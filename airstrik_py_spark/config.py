@@ -1,0 +1,74 @@
+"""Engine configuration — the semantics of the reference's config.yaml
+(/root/reference/config.yaml:1-19, loaded at /root/reference/airstrik.py:28-46)
+as a typed dataclass.
+
+Two profiles ship:
+  * REFERENCE — the reference's literal defaults (1 Hz ADS-B cadence).
+  * TESTDATA  — the same operator structure scaled to the driver's `events`
+    table cadence (~2 events/user/hour over 30 days), so sessionization,
+    decimation and min-trip-length produce non-degenerate output on the
+    fixtures.  Geofence radii/altitudes and think_ahead stay at reference
+    values.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class Geofence:
+    """Named filter `[max_dist_km, max_alt_m]` (config.yaml:17-19,
+    airstrik.py:415-427)."""
+
+    name: str
+    max_dist_km: float
+    max_alt_m: float
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    # config.yaml:4-6 / airstrik.py:35 — origin for distance + alarm
+    home_lat: float = 35.727
+    home_lon: float = -78.696
+    # config.yaml:1-2 / airstrik.py:242 — dead-reckoning horizon (seconds)
+    think_ahead: int = 60
+    # config.yaml:3 / airstrik.py:379-388 — speed-smoothing lookback (ROWS)
+    lookback_rows: int = 10
+    # config.yaml:10 / airstrik.py:482,551 — session gap timeout (seconds)
+    remember_s: float = 60.0
+    # config.yaml:13 / airstrik.py:487-490 — min session duration to persist
+    min_trip_length_s: float = 90.0
+    # config.yaml:7 / airstrik.py:584-626 — write every Nth live update
+    decimation_factor: int = 15
+    # config.yaml:8 / airstrik.py:612-624 — only write when lat/lon changed
+    decimation_force_new_data: bool = True
+    # config.yaml:9 / airstrik.py:663-664 — day boundary tz offset for stats
+    utc_time_offset_h: int = -4
+    # config.yaml:14 / airstrik.py:308 — top-K display limit
+    print_top_planes: int = 25
+    # config.yaml:17-19 / airstrik.py:415-427
+    filters: tuple[Geofence, ...] = (
+        Geofence("close", 10.0, 1000.0),
+        Geofence("tooclose", 5.0, 1000.0),
+    )
+
+    @property
+    def most_generous_dist_km(self) -> float:
+        # airstrik.py:665 — max over configured filter distances
+        return max(f.max_dist_km for f in self.filters)
+
+    @property
+    def most_generous_alt_m(self) -> float:
+        # airstrik.py:666
+        return max(f.max_alt_m for f in self.filters)
+
+
+REFERENCE = EngineConfig()
+
+# Same structure, cadence-scaled for the driver's `events` table (median
+# inter-event gap per key ~7 h): remember 60 s -> 6 h, min trip 90 s -> 1 h.
+TESTDATA = EngineConfig(
+    remember_s=21600.0,
+    min_trip_length_s=3600.0,
+)

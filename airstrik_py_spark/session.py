@@ -1,0 +1,42 @@
+"""SparkSession factory tuned for the test harness and for scale.
+
+Local runs use local[N] with shuffle partitions ~= cores; on a real cluster
+the same builder settings (AQE, skew-join handling, Arrow) are the ones that
+matter at 100 TB — partition counts are left to AQE coalescing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "airstrik_py_spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def pin_session(spark: SparkSession) -> SparkSession:
+    """Pin runtime confs we rely on for oracle comparison on a session we did
+    not create (the driver passes its own session into ``queries()``)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # The driver fixtures store TIMESTAMP(NANOS) which vanilla Spark rejects
+    # (PARQUET_TYPE_ILLEGAL); read as long and convert in sources/tables.py
+    # exactly the way DuckDB does (floor to micros).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark

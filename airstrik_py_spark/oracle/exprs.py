@@ -28,6 +28,43 @@ obs AS (
 """
 
 
+_WIN = "PARTITION BY hex ORDER BY ts_sec, event_id"
+
+
+def session_ctes(remember_s: float, home_lat: float = 35.727, home_lon: float = -78.696) -> str:
+    """obs -> obsd (distance-home) -> sess (session ids) -> trips (A3 fold).
+    Mirrors operators/kinematics.py::with_distance_home +
+    operators/sessions.py::{with_session_id, trips}."""
+    hav = duck_haversine(str(home_lat), str(home_lon), "lat", "lon")
+    return f"""{OBS_CTE},
+obsd AS (
+  SELECT *, round({hav}, 4) AS distance FROM obs
+),
+gapped AS (
+  SELECT *, CASE WHEN lag(ts_sec) OVER ({_WIN}) IS NULL
+                   OR ts_sec - lag(ts_sec) OVER ({_WIN}) > {remember_s}
+                 THEN 1 ELSE 0 END AS is_new
+  FROM obsd
+),
+sess AS (
+  SELECT *, sum(is_new) OVER ({_WIN} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM gapped
+),
+trips AS (
+  SELECT hex AS flight_id, session_id,
+         min(ts_sec) AS start_sec,
+         max(ts_sec) AS end_sec,
+         count(*) AS n_obs,
+         (min(CASE WHEN flight IS NOT NULL
+              THEN struct_pack(t := ts_sec, e := event_id, v := replace(flight, ' ', '')) END)).v AS callsign,
+         (min(struct_pack(d := distance, t := ts_sec, e := event_id))).d AS closest_dist,
+         (min(struct_pack(d := distance, t := ts_sec, e := event_id))).t AS closest_sec,
+         max(CASE WHEN distance <= 10.0 AND (alt_geom IS NULL OR alt_geom <= 1000.0)
+                  THEN TRUE ELSE FALSE END) AS alarmed
+  FROM sess GROUP BY hex, session_id
+)"""
+
+
 def duck_haversine(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
     """Mirror of functions/geo.py::haversine_km."""
     return (

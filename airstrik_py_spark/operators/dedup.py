@@ -1,0 +1,198 @@
+"""Document deduplication for large-scale training-data pipelines: exact,
+MinHash+LSH, SimHash, and n-gram Jaccard — all pure DataFrame ops.
+
+Scale notes (the whole point of these):
+  * exact: one hash-groupBy — map-side partial agg, one shuffle on digest.
+  * minhash-LSH: shingle -> k md5-minhashes -> band keys -> bucket self-join.
+    Never all-pairs: candidate generation joins only within LSH buckets.
+  * simhash: 16-bit signature; candidates must share one of 4 4-bit blocks
+    (pigeonhole: hamming <= 3 implies >= 1 identical block), so the join is
+    block-bucketed, not quadratic.
+  * ngram-jaccard: candidate pairs from a shared-shingle equi-join (inverted
+    index), exact Jaccard only on candidates.
+MinHash here permutes via md5(seed || shingle) and takes the lexicographic
+min — engine-agnostic (the DuckDB oracle computes the identical strings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MINHASH_K = 6  # 6 hashes -> 3 LSH bands of 2
+SIMHASH_BITS = 16
+SIMHASH_BLOCKS = 4  # 4 blocks of 4 bits; hamming<=3 => >=1 shared block
+HEX_ONES = "89abcdef"  # md5 hex chars whose high bit is 1
+
+
+def _shingle_array(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> ('w1|w2|w3'); empty for docs
+    shorter than n words (guarded: Spark's sequence() runs backwards when
+    stop < start)."""
+    w = F.split(text, " ")
+    seq = F.sequence(F.lit(1), F.size(w) - (n - 1))
+    mk = lambda i: F.concat_ws("|", *[F.element_at(w, i + j) for j in range(n)])  # noqa: E731
+    return F.when(F.size(w) >= n, F.transform(seq, mk)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct (doc_id, shingle) long form — the inverted-index base."""
+    return (
+        docs.select("doc_id", F.explode(_shingle_array(F.col("text"), n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """Exact dedup via content digest: one row per distinct text with the
+    canonical (min) doc_id and the copy count."""
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def minhash_signature(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """Per-doc MinHash signature: h_i = min over shingles of md5('i|'+s).
+    One groupBy; the k minima are parallel partial aggregates."""
+    sh = shingles(docs)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(docs: DataFrame, k: int = MINHASH_K, rows_per_band: int = 2) -> DataFrame:
+    """MinHash-LSH candidate duplicate pairs: docs sharing >= 1 band bucket.
+    Band key = md5(band_index | h_i .. h_j); self-join per bucket only."""
+    sig = minhash_signature(docs, k)
+    n_bands = k // rows_per_band
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit(str(b)),
+                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
+                )
+            ).alias("bkey"),
+        )
+        for b in range(n_bands)
+    ]
+    keyed = sig.select(
+        "doc_id", F.explode(F.array(*bands)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def simhash_signature(docs: DataFrame) -> DataFrame:
+    """16-bit SimHash over whitespace tokens: bit j set when the sum over
+    token occurrences of ±1 (md5 nibble j high bit) is positive."""
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tok = tok.withColumn("h", F.md5("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.substring("h", j + 1, 1).isin(*list(HEX_ONES)), 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    sums = tok.groupBy("doc_id").agg(*bit_sums)
+    sig = F.concat(
+        *[F.when(F.col(f"s{j}") > 0, F.lit("1")).otherwise(F.lit("0")) for j in range(SIMHASH_BITS)]
+    )
+    return sums.select("doc_id", sig.alias("sig"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs at hamming <= max_hamming, via block-bucketed joins
+    (share >= 1 of the 4 4-bit blocks — pigeonhole-complete for hamming<=3)."""
+    sig = simhash_signature(docs)
+    block_w = SIMHASH_BITS // SIMHASH_BLOCKS
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("blk"),
+                F.substring("sig", b * block_w + 1, block_w).alias("bval"),
+            )
+            for b in range(SIMHASH_BLOCKS)
+        ]
+    )
+    keyed = sig.select("doc_id", "sig", F.explode(blocks).alias("bk")).select(
+        "doc_id", "sig", F.col("bk.blk").alias("blk"), F.col("bk.bval").alias("bval")
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    ham = sum(
+        F.when(
+            F.substring("sig_a", j + 1, 1) != F.substring("sig_b", j + 1, 1), 1
+        ).otherwise(0)
+        for j in range(SIMHASH_BITS)
+    )
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float, n: int = 3) -> DataFrame:
+    """Exact n-gram Jaccard similarity on candidate pairs that share >= 1
+    shingle (inverted-index join, never all-pairs)."""
+    sh = shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
+            ),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= F.lit(threshold)).select(
+        "doc_a", "doc_b", "n_inter", "jaccard"
+    )

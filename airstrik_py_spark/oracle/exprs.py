@@ -65,6 +65,103 @@ trips AS (
 )"""
 
 
+def kin_ctes(home_lat: float = 35.727, home_lon: float = -78.696, lookback_rows: int = 10) -> str:
+    """obs -> kin: calc_heading (lag pair), calc_speed (N-row lookback,
+    round 4), distance (round 4).  Mirrors operators/kinematics.py
+    with_calc_heading + with_calc_speed + with_distance_home (NO dedup)."""
+    hav_home = duck_haversine(str(home_lat), str(home_lon), "lat", "lon")
+    return f"""{OBS_CTE},
+lagged AS (
+  SELECT *,
+         lag(lat) OVER ({_WIN}) AS plat,
+         lag(lon) OVER ({_WIN}) AS plon,
+         first_value(lat) OVER w{lookback_rows} AS olat,
+         first_value(lon) OVER w{lookback_rows} AS olon,
+         first_value(ts_sec) OVER w{lookback_rows} AS ots
+  FROM obs
+  WINDOW w{lookback_rows} AS ({_WIN} ROWS BETWEEN {lookback_rows - 1} PRECEDING AND CURRENT ROW)
+),
+kin AS (
+  SELECT hex, ts, ts_sec, event_id, flight, lat, lon, nav_heading, alt_geom, seen,
+         {duck_bearing('plat', 'plon', 'lat', 'lon')} AS calc_heading,
+         round(CASE WHEN ts_sec - ots > 0.0
+               THEN {duck_haversine('olat', 'olon', 'lat', 'lon')} * 1000.0 / (ts_sec - ots) * 3.6
+               END, 4) AS calc_speed,
+         round({hav_home}, 4) AS distance
+  FROM lagged
+)"""
+
+
+def dead_reckoning_ctes(
+    think_ahead: int = 60,
+    most_generous_dist: float = 10.0,
+    home_lat: float = 35.727,
+    home_lon: float = -78.696,
+) -> str:
+    """kin-latest -> unrolled simulation -> per-plane alarm aggregate.
+    Mirrors operators/alarm.py::dead_reckoning step for step (strict < zone
+    test, break-before-evaluate ±90, growth break among in-zone steps)."""
+    step_km = "(l.calc_speed / 3600.0) * s.t"
+    dest_lat = duck_dest_lat("l.lat", "l.sim_heading", step_km)
+    return f"""
+latest AS (
+  SELECT *, coalesce(calc_heading, nav_heading) AS sim_heading,
+         (coalesce(calc_heading, nav_heading) IS NOT NULL AND calc_speed IS NOT NULL) AS can_sim
+  FROM kin
+  QUALIFY row_number() OVER (PARTITION BY hex ORDER BY ts_sec DESC, event_id DESC) = 1
+),
+steps AS (
+  SELECT l.hex, l.event_id, l.lat, l.lon, l.calc_speed, l.sim_heading,
+         CAST(s.t AS INTEGER) AS t,
+         {dest_lat} AS sim_lat
+  FROM latest l CROSS JOIN range(0, {think_ahead}) s(t)
+  WHERE l.can_sim
+),
+steps2 AS (
+  SELECT *, {duck_dest_lon('lat', 'lon', 'sim_lat', 'sim_heading', '(calc_speed / 3600.0) * t')} AS sim_lon
+  FROM steps
+),
+steps3 AS (
+  SELECT *, {duck_haversine(str(home_lat), str(home_lon), 'sim_lat', 'sim_lon')} AS sim_dist
+  FROM steps2
+),
+flagged AS (
+  SELECT *,
+         (sim_dist < {most_generous_dist}) AS in_zone,
+         (abs(sim_lat) > 90.0 OR abs(sim_lon) > 90.0) AS oob,
+         last_value(CASE WHEN sim_dist < {most_generous_dist} THEN sim_dist END IGNORE NULLS)
+           OVER (PARTITION BY hex, event_id ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_zone_dist
+  FROM steps3
+),
+breaks AS (
+  SELECT *,
+         min(CASE WHEN oob THEN t END) OVER (PARTITION BY hex, event_id) AS b_oob,
+         min(CASE WHEN in_zone AND prev_zone_dist IS NOT NULL AND sim_dist > prev_zone_dist
+                  THEN t END) OVER (PARTITION BY hex, event_id) AS b_grow
+  FROM flagged
+),
+sim_agg AS (
+  SELECT hex, event_id,
+         max(in_zone) AS sim_alarm_ll,
+         min(CASE WHEN in_zone THEN t END) AS sim_alarm_time,
+         min(CASE WHEN in_zone THEN sim_dist END) AS sim_min_radius
+  FROM breaks
+  WHERE t < least(coalesce(b_oob, {think_ahead}), coalesce(b_grow, {think_ahead}))
+  GROUP BY hex, event_id
+),
+reckoned AS (
+  SELECT l.*,
+         coalesce(a.sim_alarm_ll, FALSE) AS alarm_ll,
+         CAST(coalesce(a.sim_alarm_time, -1) AS BIGINT) AS alarm_time,
+         CASE WHEN NOT l.can_sim THEN 0.0
+              ELSE round(coalesce(a.sim_min_radius, 100000000.0), 4) END AS min_radius,
+         (coalesce(a.sim_alarm_ll, FALSE)
+          AND (l.alt_geom IS NULL OR l.alt_geom <= 1000.0)) AS alarm
+  FROM latest l LEFT JOIN sim_agg a ON l.hex = a.hex AND l.event_id = a.event_id
+)"""
+
+
 def duck_haversine(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
     """Mirror of functions/geo.py::haversine_km."""
     return (

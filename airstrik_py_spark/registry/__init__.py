@@ -13,6 +13,7 @@ _MODULES = (
     "kinematics_q",
     "sessions_q",
     "alarm_q",
+    "alarm_q",
     "stats_q",
     "search_q",
     "sinks_q",

@@ -1,0 +1,101 @@
+"""t2 queries for the predictive geofence alarm: D1 dead-reckoning unroll and
+D2 alert/warning payload routing (SURVEY §2.6)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from airstrik_py_spark.config import REFERENCE
+from airstrik_py_spark.operators import alarm as AL
+from airstrik_py_spark.operators import kinematics as K
+from airstrik_py_spark.oracle.exprs import dead_reckoning_ctes, kin_ctes
+from airstrik_py_spark.session import pin_session
+from airstrik_py_spark.sources.tables import observations
+
+CFG = REFERENCE  # think_ahead/geofences at reference values
+
+
+def _latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest fix per plane with kinematics attached (the reference's
+    plane_history[-1] state, no consecutive-dedup so every event counts)."""
+    pin_session(spark)
+    obs = observations(spark, sf_dir)
+    kin = K.with_distance_home(
+        K.with_calc_speed(K.with_calc_heading(obs), CFG), CFG
+    )
+    w = Window.partitionBy("hex").orderBy(
+        F.col("ts_sec").desc(), F.col("event_id").desc()
+    )
+    return (
+        kin.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
+    )
+
+
+def q_alarm_dead_reckoning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 — get_alarm_info unrolled (airstrik.py:223-278): per plane, the
+    (alarm, alarm_time, min_radius) triple from simulating think_ahead
+    seconds along the current heading."""
+    out = AL.dead_reckoning(_latest_state(spark, sf_dir), CFG)
+    return out.select(
+        "hex",
+        "can_sim",
+        "alarm_ll",
+        F.col("alarm_time").cast("long").alias("alarm_time"),
+        "min_radius",
+        "alarm",
+    )
+
+
+def q_alarm_event_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 — raise_alarm payload assembly + topic routing
+    (airstrik.py:318-368, README.md:57-68)."""
+    state = AL.dead_reckoning(_latest_state(spark, sf_dir), CFG)
+    pay = AL.alarm_payload(state, CFG)
+    return pay.select(
+        "plane_hex",
+        "plane_id",
+        "plane_time",
+        "heading",
+        "speed",
+        "altitude",
+        "latitude",
+        "longitude",
+        "distance",
+        F.col("eta").cast("long").alias("eta"),
+        "topic",
+    )
+
+
+_KIN = kin_ctes()
+_DR = dead_reckoning_ctes(CFG.think_ahead, CFG.most_generous_dist_km)
+
+QUERIES = {
+    "alarm_dead_reckoning": q_alarm_dead_reckoning,
+    "alarm_event_routing": q_alarm_event_routing,
+}
+
+ORACLES = {
+    "alarm_dead_reckoning": f"""
+WITH {_KIN},
+{_DR}
+SELECT hex, can_sim, alarm_ll, alarm_time, min_radius, alarm FROM reckoned
+""",
+    "alarm_event_routing": f"""
+WITH {_KIN},
+{_DR}
+SELECT hex AS plane_hex,
+       flight AS plane_id,
+       round(ts_sec, 6) AS plane_time,
+       round(sim_heading, 6) AS heading,
+       calc_speed AS speed,
+       alt_geom AS altitude,
+       round(lat, 6) AS latitude,
+       round(lon, 6) AS longitude,
+       distance,
+       CAST(CASE WHEN distance <= 10.0 THEN 0 ELSE alarm_time END AS BIGINT) AS eta,
+       CASE WHEN distance <= 10.0 THEN 'airstrik-alert' ELSE 'airstrik-warning' END AS topic
+FROM reckoned
+WHERE distance <= 10.0 OR (alarm_time > -1 AND alarm_time < {CFG.think_ahead})
+""",
+}

@@ -1,0 +1,151 @@
+"""t2 queries for the dedup suite over `documents`/`embeddings`: exact,
+MinHash-LSH, SimHash, n-gram Jaccard, embedding-cosine (BASELINE.json
+training-data-pipeline extensions)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from airstrik_py_spark.operators import dedup as D
+from airstrik_py_spark.operators.similarity import cosine_dup_pairs
+from airstrik_py_spark.session import pin_session
+from airstrik_py_spark.sources.tables import load_table
+
+JACCARD_THRESHOLD = 0.1
+COSINE_THRESHOLD = 0.4
+
+# Shared shingle CTEs (mirror of operators/dedup.py::shingles)
+_SH = """
+dwords AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, s
+  FROM (SELECT doc_id,
+               unnest(CASE WHEN len(words) >= 3
+                      THEN list_transform(range(1, len(words) - 1),
+                           i -> words[i] || '|' || words[i+1] || '|' || words[i+2])
+                      ELSE [] END) AS s
+        FROM dwords))
+"""
+
+_SIMHASH_SUMS = ", ".join(
+    "sum(CASE WHEN substr(h, {p}, 1) IN ('8','9','a','b','c','d','e','f') "
+    "THEN 1 ELSE -1 END) AS s{j}".format(p=j + 1, j=j)
+    for j in range(16)
+)
+_SIMHASH_SIG = " || ".join(
+    f"(CASE WHEN s{j} > 0 THEN '1' ELSE '0' END)" for j in range(16)
+)
+_HAMMING = " + ".join(
+    f"(CASE WHEN substr(a.sig, {j + 1}, 1) <> substr(b.sig, {j + 1}, 1) THEN 1 ELSE 0 END)"
+    for j in range(16)
+)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content-digest groupBy, canonical = min doc_id."""
+    pin_session(spark)
+    return D.dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(6) + LSH(3 bands x 2): candidate near-dup pairs from shared
+    band buckets — bucket-join, never all-pairs."""
+    pin_session(spark)
+    return D.lsh_candidate_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-16 near-dup pairs at hamming <= 3 via 4-block pigeonhole
+    bucketing."""
+    pin_session(spark)
+    return D.simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard >= threshold on shared-shingle candidates."""
+    pin_session(spark)
+    return D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), JACCARD_THRESHOLD
+    )
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (rounded cosine >= threshold)."""
+    pin_session(spark)
+    return cosine_dup_pairs(load_table(spark, sf_dir, "embeddings"), COSINE_THRESHOLD)
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+}
+
+ORACLES = {
+    "dedup_exact": """
+SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+""",
+    "dedup_minhash_lsh": f"""
+WITH {_SH},
+sig AS (
+  SELECT doc_id,
+         min(md5('0|' || s)) AS h0, min(md5('1|' || s)) AS h1,
+         min(md5('2|' || s)) AS h2, min(md5('3|' || s)) AS h3,
+         min(md5('4|' || s)) AS h4, min(md5('5|' || s)) AS h5
+  FROM sh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 0 AS band, md5('0' || '|' || h0 || '|' || h1) AS bkey FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5('1' || '|' || h2 || '|' || h3) AS bkey FROM sig
+  UNION ALL
+  SELECT doc_id, 2 AS band, md5('2' || '|' || h4 || '|' || h5) AS bkey FROM sig)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+""",
+    "dedup_simhash": f"""
+WITH tok AS (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents),
+sums AS (SELECT doc_id, {_SIMHASH_SUMS} FROM tok GROUP BY doc_id),
+sig AS (SELECT doc_id, {_SIMHASH_SIG} AS sig FROM sums),
+blocks AS (
+  SELECT doc_id, sig, b.blk, substr(sig, b.blk * 4 + 1, 4) AS bval
+  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS blk) b),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS asig, b.sig AS bsig
+  FROM blocks a JOIN blocks b
+    ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id),
+ham AS (
+  SELECT doc_a, doc_b,
+         ({_HAMMING.replace('a.sig', 'asig').replace('b.sig', 'bsig')}) AS hamming
+  FROM cand)
+SELECT doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming FROM ham WHERE hamming <= 3
+""",
+    "dedup_ngram_jaccard": f"""
+WITH {_SH},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+jac AS (
+  SELECT i.doc_a, i.doc_b, i.n_inter,
+         round(i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter), 4) AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b)
+SELECT doc_a, doc_b, n_inter, jaccard FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+""",
+    "dedup_embedding_cosine": f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= {COSINE_THRESHOLD}
+""",
+}

@@ -1,0 +1,75 @@
+"""t2 queries for similarity search over `embeddings`: brute-force cosine
+top-k (baseline), SRP-LSH bucketed, and label-cell IVF (scale paths)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from airstrik_py_spark.operators import similarity as SIM
+from airstrik_py_spark.session import pin_session
+from airstrik_py_spark.sources.tables import load_table
+
+N_QUERIES = 5
+TOP_K = 10
+
+_E = """
+e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings)
+"""
+_COS = (
+    "round(list_dot_product(q.v, c.v) "
+    "/ (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 4)"
+)
+_BUCKET = " || ".join(
+    f"(CASE WHEN v[{i + 1}] >= 0.0 THEN '1' ELSE '0' END)" for i in range(SIM.SRP_BITS)
+)
+
+
+def q_ann_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_session(spark)
+    return SIM.ann_bruteforce(load_table(spark, sf_dir, "embeddings"), N_QUERIES, TOP_K)
+
+
+def q_ann_lsh_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_session(spark)
+    return SIM.ann_srp_lsh(load_table(spark, sf_dir, "embeddings"), N_QUERIES, TOP_K)
+
+
+def q_ann_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_session(spark)
+    return SIM.ann_ivf_label(load_table(spark, sf_dir, "embeddings"), N_QUERIES, TOP_K)
+
+
+QUERIES = {
+    "ann_bruteforce_cosine": q_ann_bruteforce_cosine,
+    "ann_lsh_srp": q_ann_lsh_srp,
+    "ann_ivf_label": q_ann_ivf_label,
+}
+
+ORACLES = {
+    "ann_bruteforce_cosine": f"""
+WITH {_E}
+SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS} AS cos,
+       CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY {_COS} DESC, c.vec_id) AS INTEGER) AS rank
+FROM e q JOIN e c ON q.vec_id <> c.vec_id
+WHERE q.vec_id < {N_QUERIES}
+QUALIFY rank <= {TOP_K}
+""",
+    "ann_lsh_srp": f"""
+WITH {_E},
+b AS (SELECT *, {_BUCKET} AS bucket FROM e)
+SELECT q.vec_id AS query_id, q.bucket AS bucket, c.vec_id AS neighbor_id, {_COS} AS cos,
+       CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY {_COS} DESC, c.vec_id) AS INTEGER) AS rank
+FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+WHERE q.vec_id < {N_QUERIES}
+QUALIFY rank <= {TOP_K}
+""",
+    "ann_ivf_label": f"""
+WITH {_E}
+SELECT q.vec_id AS query_id, q.label AS cell, c.vec_id AS neighbor_id, {_COS} AS cos,
+       CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY {_COS} DESC, c.vec_id) AS INTEGER) AS rank
+FROM e q JOIN e c ON q.label = c.label AND q.vec_id <> c.vec_id
+WHERE q.vec_id < {N_QUERIES}
+QUALIFY rank <= {TOP_K}
+""",
+}

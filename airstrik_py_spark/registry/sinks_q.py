@@ -1,0 +1,331 @@
+"""t2 queries for sink-side projections and scans: S3 trip docs, F4/S4
+decimation, S5 kafka routing, S7 catalog scan, F7/S8 CSV flatten, S9 JSON
+dump, S10 DDL (rows-only) — SURVEY §2.1/§2.2."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from airstrik_py_spark.config import REFERENCE, TESTDATA
+from airstrik_py_spark.operators import alarm as AL
+from airstrik_py_spark.operators import kinematics as K
+from airstrik_py_spark.operators import sessions as S
+from airstrik_py_spark.operators.decimation import decimate
+from airstrik_py_spark.operators.search import search_planes
+from airstrik_py_spark.oracle.exprs import (
+    dead_reckoning_ctes,
+    kin_ctes,
+    session_ctes,
+)
+from airstrik_py_spark.registry.alarm_q import _latest_state
+from airstrik_py_spark.registry.kinematics_q import TS_FMT_DUCK, TS_FMT_SPARK
+from airstrik_py_spark.registry.search_q import PREDICATES
+from airstrik_py_spark.session import pin_session
+from airstrik_py_spark.sources.tables import TABLES, load_table, observations
+
+CFG = TESTDATA
+_CTES = session_ctes(CFG.remember_s)
+_KIN = kin_ctes()
+_WIN = "PARTITION BY hex ORDER BY ts_sec, event_id"
+
+
+def _fmt_sec_spark(col: F.Column) -> F.Column:
+    """Epoch-seconds double -> 'yyyy-MM-dd HH:mm:ss' string; round-trips the
+    micros exactly (round before cast kills the 1-ulp-under case)."""
+    return F.date_format(
+        F.timestamp_micros(F.round(col * 1000000.0, 0).cast("long")), TS_FMT_SPARK
+    )
+
+
+def _fmt_sec_duck(expr: str) -> str:
+    return (
+        f"strftime(make_timestamp(CAST(round(({expr}) * 1000000.0, 0) AS BIGINT)), "
+        f"'{TS_FMT_DUCK}')"
+    )
+
+
+def _assembled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_session(spark)
+    obs = observations(spark, sf_dir)
+    sess = S.with_session_id(K.with_distance_home(obs, CFG), CFG)
+    t = S.trips_with_asof(sess, CFG)
+    t = S.filter_min_trip_length(t, CFG)
+    return S.enrich_icao(t, spark, sf_dir)
+
+
+def q_sink_mongo_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 — the closed-trip document as inserted into `flight_records`
+    (airstrik.py:498-543); `_id` = (flight_id, session) makes the write
+    idempotent under replay (exactly-once upgrade, SURVEY §2.8)."""
+    t = _assembled(spark, sf_dir)
+    return t.select(
+        F.concat_ws("_", "flight_id", "session_id").alias("_id"),
+        "flight_id",
+        F.col("trip_name").alias("flight_name"),
+        F.round("asof_lat", 6).alias("lat_value"),
+        F.round("asof_lon", 6).alias("lon_value"),
+        F.round("asof_alt", 6).alias("alt_value"),
+        F.col("closest_dist").alias("distance_value"),
+        F.round("closest_sec", 6).alias("distance_sec"),
+        F.round("start_sec", 6).alias("extras_start"),
+        F.round("end_sec", 6).alias("extras_end"),
+        AL.matched_filters(F.col("closest_dist"), F.col("asof_alt"), CFG).alias(
+            "filters"
+        ),
+    )
+
+
+def q_filter_decimation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 — pass every Nth changed update per key (airstrik.py:584-626)."""
+    pin_session(spark)
+    d = decimate(observations(spark, sf_dir), CFG)
+    return d.select(
+        "hex",
+        F.date_format("ts", TS_FMT_SPARK).alias("ts_str"),
+        "update_seq",
+        F.round("lat", 6).alias("lat"),
+        F.round("lon", 6).alias("lon"),
+    )
+
+
+def q_sink_mongo_decimated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 — the decimated live-sample doc (airstrik.py:601-624)."""
+    pin_session(spark)
+    d = decimate(observations(spark, sf_dir), CFG)
+    return d.select(
+        F.col("hex").alias("flight_id"),
+        F.round("lat", 6).alias("lat_value"),
+        F.round("lon", 6).alias("lon_value"),
+        F.round("ts_sec", 6).alias("sample_sec"),
+    )
+
+
+def q_sink_kafka_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 — alert/warning topic routing summary (raise_alarm, airstrik.py:
+    318-368): events and distinct planes per Kafka topic.  The JSON value
+    serialization itself is to_json at the writeStream edge (sinks/)."""
+    state = AL.dead_reckoning(_latest_state(spark, sf_dir), REFERENCE)
+    pay = AL.alarm_payload(state, REFERENCE)
+    return pay.groupBy("topic").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("plane_hex").alias("n_planes"),
+    )
+
+
+def q_scan_mongo_collections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 — enumerate stores with row counts (list_command, dbread.py:15-58)."""
+    pin_session(spark)
+    parts = [
+        load_table(spark, sf_dir, t)
+        .agg(F.count("*").alias("n_rows"))
+        .select(F.lit(t).alias("table_name"), "n_rows")
+        for t in TABLES
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def q_project_flatten_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 — trip doc -> flat CSV row: pair values unpacked, epoch->datetime
+    strings, filters map stringified 'name (d, a)' (csvdump.py:62-101)."""
+    t = _assembled(spark, sf_dir)
+    m_close = (F.col("closest_dist") <= 10.0) & (
+        F.col("asof_alt").isNull() | (F.col("asof_alt") <= 1000.0)
+    )
+    m_too = (F.col("closest_dist") <= 5.0) & (
+        F.col("asof_alt").isNull() | (F.col("asof_alt") <= 1000.0)
+    )
+    return t.select(
+        "flight_id",
+        F.col("trip_name").alias("flight_name"),
+        F.round("asof_lat", 6).alias("lat"),
+        F.round("asof_lon", 6).alias("lon"),
+        F.round("asof_alt", 6).alias("alt_geom"),
+        F.col("closest_dist").alias("distance"),
+        _fmt_sec_spark(F.col("start_sec")).alias("start_time"),
+        _fmt_sec_spark(F.col("end_sec")).alias("end_time"),
+        F.concat_ws(
+            ", ",
+            F.when(m_close, F.lit("close (10.0, 1000.0)")),
+            F.when(m_too, F.lit("tooclose (5.0, 1000.0)")),
+        ).alias("filters"),
+    )
+
+
+def q_sink_csv_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 — the stats-mode CSV export (csvdump.py:39-67): day rows with the
+    four counters, date column formatted."""
+    from airstrik_py_spark.operators import stats as ST
+
+    pin_session(spark)
+    obs = observations(spark, sf_dir)
+    sess = S.with_session_id(K.with_distance_home(obs, CFG), CFG)
+    trips = S.filter_min_trip_length(S.trips(sess, CFG), CFG)
+    return ST.daily_stats(trips, CFG).select(
+        F.col("day").alias("date"),
+        "unique_planes",
+        "total_trips",
+        "unique_alarm_planes",
+        F.col("total_alarm_trips").cast("long").alias("total_alarm_trips"),
+    )
+
+
+def q_sink_json_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 — dump the planes matched by the last search with their latest
+    state (dump_command, dbread.py:125-154)."""
+    pin_session(spark)
+    obs = observations(spark, sf_dir)
+    matched = search_planes(obs, PREDICATES)
+    latest = K.latest_per_key(obs, ["lat", "lon", "alt_geom", "flight"])
+    return matched.join(latest, "hex").select(
+        "hex",
+        "flight",
+        F.round("lat", 6).alias("lat"),
+        F.round("lon", 6).alias("lon"),
+        F.round("alt_geom", 6).alias("alt_geom"),
+    )
+
+
+def q_ddl_drop_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 — drop/reset catalog objects with confirmation left to the shell
+    (drop_command/reset_command, dbread.py:62-76, 157-169).  Rows-only check:
+    exercises real temp-view DDL on the live session."""
+    pin_session(spark)
+    name = "airstrik_ddl_probe"
+    spark.range(1).createOrReplaceTempView(name)
+    existed = any(t.name == name for t in spark.catalog.listTables())
+    dropped = spark.catalog.dropTempView(name)
+    gone = not any(t.name == name for t in spark.catalog.listTables())
+    return spark.createDataFrame(
+        [(name, bool(existed), bool(dropped), bool(gone))],
+        "object string, created boolean, dropped boolean, verified_gone boolean",
+    )
+
+
+QUERIES = {
+    "sink_mongo_trip": q_sink_mongo_trip,
+    "filter_decimation": q_filter_decimation,
+    "sink_mongo_decimated": q_sink_mongo_decimated,
+    "sink_kafka_alert": q_sink_kafka_alert,
+    "scan_mongo_collections": q_scan_mongo_collections,
+    "project_flatten_csv": q_project_flatten_csv,
+    "sink_csv_export": q_sink_csv_export,
+    "sink_json_dump": q_sink_json_dump,
+    "ddl_drop_reset": q_ddl_drop_reset,  # rows-only (catalog op, no SQL oracle)
+}
+
+_ASOF = """
+asof_state AS (
+  SELECT s.hex, s.session_id,
+         (max(CASE WHEN s.lat IS NOT NULL AND s.ts_sec <= t.closest_sec
+              THEN struct_pack(t := s.ts_sec, e := s.event_id, v := s.lat) END)).v AS asof_lat,
+         (max(CASE WHEN s.lon IS NOT NULL AND s.ts_sec <= t.closest_sec
+              THEN struct_pack(t := s.ts_sec, e := s.event_id, v := s.lon) END)).v AS asof_lon,
+         (max(CASE WHEN s.alt_geom IS NOT NULL AND s.ts_sec <= t.closest_sec
+              THEN struct_pack(t := s.ts_sec, e := s.event_id, v := s.alt_geom) END)).v AS asof_alt
+  FROM sess s JOIN trips t ON s.hex = t.flight_id AND s.session_id = t.session_id
+  GROUP BY s.hex, s.session_id
+),
+assembled AS (
+  SELECT t.*, a.asof_lat, a.asof_lon, a.asof_alt,
+         coalesce(t.callsign, n.n_name || ' (p)') AS trip_name
+  FROM trips t
+  JOIN asof_state a ON t.flight_id = a.hex AND t.session_id = a.session_id
+  LEFT JOIN nation n ON CAST(t.flight_id AS INTEGER) % 25 = n.n_nationkey
+  WHERE t.end_sec - t.start_sec >= 3600.0
+)"""
+
+_DECIM = f"""
+dedup AS (
+  SELECT hex, ts, ts_sec, event_id, lat, lon
+  FROM (SELECT *, lag(lat) OVER ({_WIN}) AS plat, lag(lon) OVER ({_WIN}) AS plon FROM obs)
+  WHERE plat IS NULL OR plon IS NULL OR lat <> plat OR lon <> plon),
+counted AS (
+  SELECT *, CAST(row_number() OVER ({_WIN}) AS INTEGER) AS update_seq FROM dedup)
+"""
+
+ORACLES = {
+    "sink_mongo_trip": f"""
+WITH {_CTES},
+{_ASOF}
+SELECT flight_id || '_' || CAST(session_id AS VARCHAR) AS _id,
+       flight_id, trip_name AS flight_name,
+       round(asof_lat, 6) AS lat_value, round(asof_lon, 6) AS lon_value,
+       round(asof_alt, 6) AS alt_value,
+       closest_dist AS distance_value, round(closest_sec, 6) AS distance_sec,
+       round(start_sec, 6) AS extras_start, round(end_sec, 6) AS extras_end,
+       concat_ws(',',
+         CASE WHEN closest_dist <= 10.0 AND (asof_alt IS NULL OR asof_alt <= 1000.0) THEN 'close' END,
+         CASE WHEN closest_dist <= 5.0 AND (asof_alt IS NULL OR asof_alt <= 1000.0) THEN 'tooclose' END
+       ) AS filters
+FROM assembled
+""",
+    "filter_decimation": f"""
+WITH {_CTES},
+{_DECIM}
+SELECT hex, strftime(ts, '{TS_FMT_DUCK}') AS ts_str, update_seq,
+       round(lat, 6) AS lat, round(lon, 6) AS lon
+FROM counted WHERE update_seq % 15 = 0
+""",
+    "sink_mongo_decimated": f"""
+WITH {_CTES},
+{_DECIM}
+SELECT hex AS flight_id, round(lat, 6) AS lat_value, round(lon, 6) AS lon_value,
+       round(ts_sec, 6) AS sample_sec
+FROM counted WHERE update_seq % 15 = 0
+""",
+    "sink_kafka_alert": f"""
+WITH {_KIN},
+{dead_reckoning_ctes()}
+SELECT CASE WHEN distance <= 10.0 THEN 'airstrik-alert' ELSE 'airstrik-warning' END AS topic,
+       count(*) AS n_events,
+       count(DISTINCT hex) AS n_planes
+FROM reckoned
+WHERE distance <= 10.0 OR (alarm_time > -1 AND alarm_time < 60)
+GROUP BY 1
+""",
+    "scan_mongo_collections": "\nUNION ALL\n".join(
+        f"SELECT '{t}' AS table_name, count(*) AS n_rows FROM {t}" for t in TABLES
+    ),
+    "project_flatten_csv": f"""
+WITH {_CTES},
+{_ASOF}
+SELECT flight_id, trip_name AS flight_name,
+       round(asof_lat, 6) AS lat, round(asof_lon, 6) AS lon,
+       round(asof_alt, 6) AS alt_geom, closest_dist AS distance,
+       {_fmt_sec_duck('start_sec')} AS start_time,
+       {_fmt_sec_duck('end_sec')} AS end_time,
+       concat_ws(', ',
+         CASE WHEN closest_dist <= 10.0 AND (asof_alt IS NULL OR asof_alt <= 1000.0) THEN 'close (10.0, 1000.0)' END,
+         CASE WHEN closest_dist <= 5.0 AND (asof_alt IS NULL OR asof_alt <= 1000.0) THEN 'tooclose (5.0, 1000.0)' END
+       ) AS filters
+FROM assembled
+""",
+    "sink_csv_export": f"""
+WITH {_CTES}
+SELECT strftime(DATE '1970-01-01' + CAST(floor((end_sec + -14400.0) / 86400.0) AS INTEGER), '%Y-%m-%d') AS date,
+       count(DISTINCT flight_id) AS unique_planes,
+       count(*) AS total_trips,
+       count(DISTINCT CASE WHEN alarmed THEN flight_id END) AS unique_alarm_planes,
+       CAST(sum(CASE WHEN alarmed THEN 1 ELSE 0 END) AS BIGINT) AS total_alarm_trips
+FROM trips
+WHERE end_sec - start_sec >= 3600.0
+GROUP BY 1
+""",
+    "sink_json_dump": f"""
+WITH {_CTES},
+leg1 AS (SELECT hex, ts_sec, event_id FROM obs WHERE lat > 35.727),
+leg2 AS (SELECT hex, ts_sec, event_id FROM obs WHERE alt_geom < 1000.0),
+conj AS (SELECT * FROM leg1 INTERSECT SELECT * FROM leg2),
+matched AS (SELECT DISTINCT hex FROM conj),
+latest AS (
+  SELECT hex, lat, lon, alt_geom, flight FROM obs
+  QUALIFY row_number() OVER (PARTITION BY hex ORDER BY ts_sec DESC, event_id DESC) = 1)
+SELECT m.hex, l.flight, round(l.lat, 6) AS lat, round(l.lon, 6) AS lon,
+       round(l.alt_geom, 6) AS alt_geom
+FROM matched m JOIN latest l USING (hex)
+""",
+}

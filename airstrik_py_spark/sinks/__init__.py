@@ -1,0 +1,81 @@
+"""Sink adapters — SURVEY §2.1 S3-S9.
+
+The reference writes row-at-a-time to Mongo collections and a Kafka producer
+(airstrik.py:543, 584-626, 318-368, 668-691; csvdump.py; dbread dump).  Here
+every sink is a DataFrame writer:
+
+  * trip/decimated/stats stores -> parquet (or the Mongo Spark connector when
+    its jars are on the classpath — guarded import, not in this container);
+  * Kafka alert/warning -> to_json payload + topic column for
+    format("kafka") (or collected for print fallback when no broker is
+    configured, matching the reference's empty-address behavior);
+  * CSV/JSON exports -> native DataFrame writers with the reference's
+    headers/projections.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MONGO_CONNECTOR_AVAILABLE = False  # mongo-spark jars not in this container
+
+
+def write_store(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S3/S4/S6 — the document-store write (parquet stand-in for Mongo;
+    nested docs map to parquet structs losslessly)."""
+    df.write.mode(mode).parquet(path)
+
+
+def write_store_mongo(df: DataFrame, uri: str, database: str, collection: str) -> None:
+    """Mongo connector path — guarded: raises in this container."""
+    if not MONGO_CONNECTOR_AVAILABLE:  # pragma: no cover
+        raise NotImplementedError(
+            "mongo-spark-connector jars not installed; use write_store (parquet)"
+        )
+    (
+        df.write.format("mongodb")
+        .option("connection.uri", uri)
+        .option("database", database)
+        .option("collection", collection)
+        .mode("append")
+        .save()
+    )
+
+
+def kafka_records(payload_df: DataFrame) -> DataFrame:
+    """S5 — serialize alert/warning payloads to Kafka records: key =
+    plane_hex, value = JSON of all payload fields, topic column routes
+    alert vs warning (airstrik.py:345-368; message contract README.md:57-68).
+    Missing altitude stringifies as 'unknown' at this edge (README.md:63)."""
+    value_cols = [c for c in payload_df.columns if c != "topic"]
+    edge = payload_df.withColumn(
+        "altitude",
+        F.coalesce(F.col("altitude").cast("string"), F.lit("unknown")),
+    )
+    return edge.select(
+        F.col("plane_hex").alias("key"),
+        F.to_json(F.struct(*value_cols)).alias("value"),
+        "topic",
+    )
+
+
+def write_kafka(payload_df: DataFrame, bootstrap: str) -> None:
+    """Kafka write when a broker is configured; empty address -> caller
+    should print instead (reference behavior, airstrik.py:345-368)."""
+    (
+        kafka_records(payload_df)
+        .write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .save()
+    )
+
+
+def write_csv(df: DataFrame, out_dir: str) -> None:
+    """S8 — header CSV export (csvdump.py:39-101)."""
+    df.write.option("header", True).mode("overwrite").csv(out_dir)
+
+
+def write_json(df: DataFrame, out_dir: str) -> None:
+    """S9 — JSON dump of matched planes (dbread.py:125-154)."""
+    df.write.mode("overwrite").json(out_dir)

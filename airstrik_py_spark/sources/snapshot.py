@@ -1,0 +1,118 @@
+"""S1/S2 — the live ADS-B snapshot source (SURVEY §2.1).
+
+The reference busy-polls dump1090's aircraft.json until `now` advances and
+flattens `aircraft[]` row-at-a-time (load_aircraft_json, airstrik.py:189-208,
+695-697); the decoder subprocess is spawned and watched by a daemon thread
+(run_dump1090/start, airstrik.py:61-126).
+
+Spark-first equivalents:
+  * the poll-until-new loop IS a micro-batch trigger: a file-source
+    readStream on the snapshot landing directory picks up each new snapshot
+    exactly once — no polling code at all;
+  * the `aircraft[]` flatten is explode() on the parsed struct;
+  * the subprocess watchdog maps to a producer process outside the engine +
+    StreamingQueryListener for failure handling (S2: the engine only needs
+    the landing dir/topic, so the adapter here just manages the process and
+    its output directory).
+"""
+
+from __future__ import annotations
+
+import subprocess
+import threading
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# aircraft.json shape (airstrik.py:481-482, 551-577; SURVEY §1.1)
+SNAPSHOT_SCHEMA = T.StructType(
+    [
+        T.StructField("now", T.DoubleType()),
+        T.StructField(
+            "aircraft",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("hex", T.StringType()),
+                        T.StructField("flight", T.StringType()),
+                        T.StructField("lat", T.DoubleType()),
+                        T.StructField("lon", T.DoubleType()),
+                        T.StructField("nav_heading", T.DoubleType()),
+                        T.StructField("alt_geom", T.DoubleType()),
+                        T.StructField("seen", T.DoubleType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def flatten_snapshots(snap: DataFrame) -> DataFrame:
+    """Snapshot docs -> one observation row per aircraft (the reference's
+    per-aircraft loop at airstrik.py:481): explode + struct expansion, with
+    the snapshot `now` stamped as event time."""
+    return (
+        snap.select(F.col("now"), F.explode("aircraft").alias("a"))
+        .select(
+            F.col("a.hex").alias("hex"),
+            F.timestamp_seconds(F.col("now")).alias("ts"),
+            F.col("now").alias("ts_sec"),
+            F.col("a.flight").alias("flight"),
+            F.col("a.lat").alias("lat"),
+            F.col("a.lon").alias("lon"),
+            F.col("a.nav_heading").alias("nav_heading"),
+            F.col("a.alt_geom").alias("alt_geom"),
+            F.col("a.seen").alias("seen"),
+        )
+        .withColumn(
+            # deterministic tie-break surrogate (monotonically_increasing_id
+            # is unsupported on streams and differs between replays)
+            "event_id",
+            F.xxhash64("hex", "ts_sec"),
+        )
+    )
+
+
+def read_snapshot_batch(spark: SparkSession, landing_dir: str) -> DataFrame:
+    """Batch read of a snapshot directory (replay/backfill path)."""
+    return flatten_snapshots(
+        spark.read.schema(SNAPSHOT_SCHEMA).json(landing_dir)
+    )
+
+
+def read_snapshot_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
+    """S1 streaming form: each new snapshot file becomes (part of) a
+    micro-batch — the `now`-change poll with zero polling code."""
+    return flatten_snapshots(
+        spark.readStream.schema(SNAPSHOT_SCHEMA).json(landing_dir)
+    )
+
+
+class DecoderAdapter:
+    """S2 — manage an external decoder process (dump1090/dump978) writing
+    snapshots into the landing dir; `crashed` mirrors the reference's
+    end_process flag (airstrik.py:75, 92, 120).  The engine itself never
+    depends on this class — any producer filling the landing dir works."""
+
+    def __init__(self, cmd: list[str], landing_dir: str):
+        self.cmd = cmd
+        self.landing_dir = landing_dir
+        self.proc: subprocess.Popen | None = None
+        self.crashed = False
+        self._watch: threading.Thread | None = None
+
+    def start(self) -> None:
+        self.proc = subprocess.Popen(self.cmd)  # noqa: S603
+        self._watch = threading.Thread(target=self._monitor, daemon=True)
+        self._watch.start()
+
+    def _monitor(self) -> None:
+        if self.proc is not None:
+            self.proc.wait()
+            self.crashed = True
+
+    def stop(self) -> None:
+        if self.proc is not None and self.proc.poll() is None:
+            self.proc.terminate()

@@ -1,0 +1,126 @@
+"""Structured Streaming parity layer (SURVEY §2.8): the reference's live loop
+as a streaming query.
+
+Mapping:
+  trigger            <- poll-until-`now`-changes (airstrik.py:195-208)
+  event time + WM    <- snapshot `now`; watermark = remember + slack
+  session close      <- F.session_window(ts, remember): gap-based session
+                        whose watermark-driven emission IS the reference's
+                        "seen > remember -> close trip" path (airstrik.py:482)
+  sticky alarm flag  <- max(bool) over the session (airstrik.py:277)
+  exactly-once       <- foreachBatch idempotent write keyed on
+                        (hex, session_start) — upgrade over the reference's
+                        at-least-once inserts (airstrik.py:677-685)
+
+Stream==batch equivalence is the core Structured Streaming property; tests
+replay a snapshot tape with availableNow and assert the emitted trips equal
+the batch operators' output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from airstrik_py_spark.config import EngineConfig
+from airstrik_py_spark.functions.geo import haversine_km
+
+
+def with_stream_distance(obs: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """Stateless per-row derivation usable on an unbounded stream."""
+    return obs.withColumn(
+        "distance",
+        F.round(
+            haversine_km(
+                F.lit(cfg.home_lat), F.lit(cfg.home_lon), F.col("lat"), F.col("lon")
+            ),
+            4,
+        ),
+    )
+
+
+def stream_trips(obs: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """W5 in pure streaming form: session_window(gap=remember) + the A2/A3/A4
+    trip fold as streaming-safe aggregates.  Emission happens when the
+    watermark passes session end + gap — the reference's close condition."""
+    gap = f"{int(cfg.remember_s)} seconds"
+    watermark = f"{int(cfg.remember_s * 2)} seconds"
+    clean_flight = F.regexp_replace("flight", " ", "")
+    closest = F.min(
+        F.struct(
+            F.col("distance").alias("d"),
+            F.col("ts_sec").alias("t"),
+            F.col("event_id").alias("e"),
+        )
+    )
+    first_callsign = F.min(
+        F.when(
+            F.col("flight").isNotNull(),
+            F.struct(
+                F.col("ts_sec").alias("t"),
+                F.col("event_id").alias("e"),
+                clean_flight.alias("v"),
+            ),
+        )
+    )
+    return (
+        with_stream_distance(obs, cfg)
+        .withWatermark("ts", watermark)
+        .groupBy(F.col("hex"), F.session_window("ts", gap))
+        .agg(
+            F.min("ts_sec").alias("start_sec"),
+            F.max("ts_sec").alias("end_sec"),
+            F.count("*").alias("n_obs"),
+            first_callsign.getField("v").alias("callsign"),
+            closest.getField("d").alias("closest_dist"),
+            closest.getField("t").alias("closest_sec"),
+            F.max(
+                F.when(
+                    (F.col("distance") <= F.lit(cfg.most_generous_dist_km))
+                    & (
+                        F.col("alt_geom").isNull()
+                        | (F.col("alt_geom") <= F.lit(cfg.most_generous_alt_m))
+                    ),
+                    True,
+                ).otherwise(False)
+            ).alias("alarmed"),
+        )
+        .select(
+            F.col("hex").alias("flight_id"),
+            "start_sec",
+            "end_sec",
+            "n_obs",
+            "callsign",
+            "closest_dist",
+            "closest_sec",
+            "alarmed",
+        )
+    )
+
+
+def run_to_memory(trips_stream: DataFrame, name: str) -> None:
+    """Drive a bounded replay to completion synchronously (availableNow) into
+    an in-memory table — the test/replay harness."""
+    q = (
+        trips_stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def foreach_batch_idempotent_parquet(out_dir: str):
+    """Exactly-once-ish sink: partition the output by batch epoch and
+    overwrite that partition on replay — idempotent under micro-batch
+    retries (the Delta-less MERGE substitute)."""
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.withColumn("_epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/epoch={epoch_id}")
+        )
+
+    return write

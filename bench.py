@@ -1,0 +1,69 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is fully materialized through the `noop` sink so Catalyst cannot
+prune unused result columns — the timings are end-to-end plan executions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from airstrik_py_spark.session import get_spark  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+# The headline set: flagship trip pipeline + the heaviest operator families
+# (dead reckoning unroll, daily rollup, dedup, ANN, kinematics windows).
+HEADLINE = (
+    "agg_trip_assembly",
+    "alarm_dead_reckoning",
+    "agg_daily_stats",
+    "window_calc_speed",
+    "filter_decimation",
+    "predicate_search",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "ann_bruteforce_cosine",
+    "text_fingerprint",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    spark = get_spark("bench")
+    queries = entrymod.queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

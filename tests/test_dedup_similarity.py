@@ -1,0 +1,94 @@
+"""Dedup + similarity operator tests on crafted documents/vectors."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airstrik_py_spark.operators import dedup as D
+from airstrik_py_spark.operators import similarity as SIM
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+            (2, "the quick brown fox jumps over the sleepy dog"),  # near dup
+            (3, "completely different text with other words entirely here"),
+            (4, "xy"),  # shorter than one shingle
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_dedup_exact_groups(spark):
+    out = {r["canonical_doc_id"]: r["n_copies"] for r in D.dedup_exact(_docs(spark)).collect()}
+    assert out[0] == 2  # docs 0,1 identical, canonical = min id
+    assert out[2] == 1 and out[3] == 1
+
+
+def test_shingles_short_doc_empty(spark):
+    sh = D.shingles(_docs(spark))
+    assert sh.filter("doc_id = 4").count() == 0
+    assert sh.filter("doc_id = 0").count() == 7  # 9 words -> 7 distinct 3-grams
+
+
+def test_minhash_identical_docs_all_bands_collide(spark):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["n_shared_bands"]
+        for r in D.lsh_candidate_pairs(_docs(spark)).collect()
+    }
+    assert pairs[(0, 1)] == 3  # identical docs share all 3 bands
+    assert (0, 3) not in pairs and (1, 3) not in pairs  # unrelated: no bucket
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"] for r in D.simhash_pairs(_docs(spark)).collect()
+    }
+    assert pairs[(0, 1)] == 0
+
+
+def test_ngram_jaccard_values(spark):
+    out = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(_docs(spark), 0.1).collect()
+    }
+    assert out[(0, 1)] == 1.0  # identical
+    assert 0.3 < out[(0, 2)] < 0.8  # one word changed out of 9
+    assert (0, 3) not in out
+
+
+def _vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),  # identical to 0
+        (2, [0.9, 0.1, 0.0, 0.0]),  # close to 0
+        (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite
+        (4, [0.0, 1.0, 0.0, 0.0]),  # orthogonal
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").withColumn(
+        "label", (F.col("vec_id") % 2).cast("int")
+    )
+
+
+def test_cosine_dup_pairs(spark):
+    out = {(r["id_a"], r["id_b"]): r["cos"] for r in SIM.cosine_dup_pairs(_vecs(spark), 0.9).collect()}
+    assert out[(0, 1)] == 1.0
+    assert (0, 3) not in out and (0, 4) not in out
+    assert out[(0, 2)] > 0.99
+
+
+def test_ann_bruteforce_ranks(spark):
+    out = SIM.ann_bruteforce(_vecs(spark), n_queries=1, k=3).collect()
+    ranked = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked[0] == 1  # identical vector first
+    assert ranked[1] == 2  # then the near one
+    assert 3 not in ranked[:2]
+
+
+def test_ann_srp_bucket_excludes_opposite_sign(spark):
+    out = SIM.ann_srp_lsh(_vecs(spark), n_queries=1, k=5).collect()
+    neigh = {r["neighbor_id"] for r in out}
+    assert 3 not in neigh  # opposite first-dim sign -> different bucket
+    assert 1 in neigh

@@ -1,0 +1,91 @@
+"""Streaming parity (SURVEY §5.3): replay a snapshot tape through the
+session_window streaming path with availableNow and assert the emitted trips
+equal the batch operators' output — stream == batch equivalence."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from airstrik_py_spark.config import EngineConfig
+from airstrik_py_spark.operators import kinematics as K
+from airstrik_py_spark.operators import sessions as S
+from airstrik_py_spark.sources.snapshot import read_snapshot_batch, read_snapshot_stream
+from airstrik_py_spark.streaming.pipeline import run_to_memory, stream_trips
+
+CFG = EngineConfig(remember_s=60.0, min_trip_length_s=0.0)
+BASE = 1700000000.0
+
+
+def _write_tape(tmpdir: str) -> None:
+    """A deterministic aircraft.json replay tape: 6 snapshots, 2 planes,
+    plane 'a' has a >60 s silence gap splitting it into two trips."""
+    snaps = []
+    for i, t in enumerate([0, 20, 40, 150, 170, 300]):
+        aircraft = []
+        if t <= 40 or t >= 150:
+            aircraft.append(
+                {"hex": "a", "flight": "AAL1", "lat": 35.7 + i * 0.01,
+                 "lon": -78.7, "nav_heading": 0.0, "alt_geom": 500.0, "seen": 0.5}
+            )
+        if t <= 170:
+            aircraft.append(
+                {"hex": "b", "lat": 36.0 - i * 0.01, "lon": -78.0,
+                 "alt_geom": 800.0, "seen": 0.2}
+            )
+        snaps.append({"now": BASE + t, "aircraft": aircraft})
+    # end-of-tape sentinel: advances the watermark past every real session so
+    # append-mode emits them all (a trip still open when the tape ends stays
+    # unemitted — exactly the reference's never-closed-at-shutdown behavior)
+    snaps.append(
+        {
+            "now": BASE + 10000,
+            "aircraft": [{"hex": "zz", "lat": 0.0, "lon": 0.0, "seen": 0.1}],
+        }
+    )
+    for i, snap in enumerate(snaps):
+        with open(os.path.join(tmpdir, f"snap_{i:04d}.json"), "w") as f:
+            json.dump(snap, f)
+
+
+def test_snapshot_flatten_schema(spark, tmp_path):
+    tape = str(tmp_path / "tape1")
+    os.makedirs(tape)
+    _write_tape(tape)
+    obs = read_snapshot_batch(spark, tape).filter("hex <> 'zz'")
+    assert obs.columns[:3] == ["hex", "ts", "ts_sec"]
+    assert obs.count() == 6 + 5  # plane a: 6 snapshots, plane b: 5
+    assert obs.filter("flight IS NULL").count() == 5  # b never broadcasts
+
+
+def test_stream_equals_batch_trips(spark, tmp_path):
+    tape = str(tmp_path / "tape2")
+    os.makedirs(tape)
+    _write_tape(tape)
+
+    # streaming path: session_window over the file-source stream
+    stream = read_snapshot_stream(spark, tape)
+    run_to_memory(stream_trips(stream, CFG), "trips_stream")
+    got = {
+        (r["flight_id"], r["start_sec"]): (r["end_sec"], r["n_obs"], r["callsign"])
+        for r in spark.table("trips_stream").collect()
+        if r["flight_id"] != "zz"
+    }
+
+    # batch path: the W5 lag-cumsum operators on the same tape
+    obs = read_snapshot_batch(spark, tape)
+    batch = S.trips(
+        S.with_session_id(K.with_distance_home(obs, CFG), CFG), CFG
+    )
+    want = {
+        (r["flight_id"], r["start_sec"]): (r["end_sec"], r["n_obs"], r["callsign"])
+        for r in batch.collect()
+        if r["flight_id"] != "zz"
+    }
+
+    assert got == want
+    # plane a: [0-40], [150-170], [300]; plane b: [0-40], [150-170] — every
+    # >60 s silence gap closes a trip on both paths
+    assert len(want) == 5

@@ -57,7 +57,11 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
 def minhash_signature(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """Per-doc MinHash signature: h_i = min over shingles of md5('i|'+s).
     One groupBy; the k minima are parallel partial aggregates."""
-    sh = shingles(docs)
+    # no distinct: min() is duplicate-insensitive, so the dedup shuffle in
+    # shingles() would be pure waste here — explode feeds the agg directly
+    sh = docs.select(
+        "doc_id", F.explode(_shingle_array(F.col("text"))).alias("shingle")
+    )
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
         for i in range(k)

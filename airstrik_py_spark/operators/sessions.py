@@ -93,26 +93,62 @@ def trips(df: DataFrame, cfg: EngineConfig) -> DataFrame:
 
 
 def trips_with_asof(df: DataFrame, cfg: EngineConfig) -> DataFrame:
-    """A3 + J2 in one pass: trip fold plus the per-attribute as-of state at
-    the moment of closest approach.  Two-phase: argmin first, then the as-of
-    fold joined back on (key, session) — both reuse the hex partitioning."""
-    base = trips(df, cfg)
-    cutoff = F.col("closest_sec")
-    obs_with_cutoff = df.join(
-        base.select(
-            F.col("flight_id").alias("hex"), "session_id", "closest_sec"
-        ),
-        ["hex", "session_id"],
+    """A3 + J2 in ONE shuffle: a session-scoped window computes the
+    closest-approach cutoff per row, then a single groupBy folds the trip
+    AND the as-of state conditioned on that cutoff.
+
+    Scale note: the hex hash-exchange introduced by with_session_id's window
+    satisfies the (hex, session_id) window and groupBy distributions too
+    (partitioning on a subset of the clustering keys), so Catalyst inserts
+    no further exchange — verified via .explain: one Exchange for the whole
+    sessionize->argmin->asof->fold chain."""
+    session_w = Window.partitionBy("hex", "session_id")
+    closest_here = F.min(
+        F.struct(
+            F.col("distance").alias("d"),
+            F.col("ts_sec").alias("t"),
+            F.col("event_id").alias("e"),
+        )
+    ).over(session_w)
+    with_cutoff = df.withColumn("closest_sec", closest_here.getField("t"))
+
+    clean_flight = F.regexp_replace("flight", " ", "")
+    closest = F.min(
+        F.struct(
+            F.col("distance").alias("d"),
+            F.col("ts_sec").alias("t"),
+            F.col("event_id").alias("e"),
+        )
     )
-    asof = obs_with_cutoff.groupBy(
-        F.col("hex").alias("flight_id"), "session_id"
-    ).agg(
-        _last_nonnull_before(F.col("lat"), cutoff).alias("asof_lat"),
-        _last_nonnull_before(F.col("lon"), cutoff).alias("asof_lon"),
-        _last_nonnull_before(F.col("alt_geom"), cutoff).alias("asof_alt"),
-        _last_nonnull_before(F.col("flight"), cutoff).alias("asof_flight"),
+    return (
+        with_cutoff.groupBy(F.col("hex").alias("flight_id"), "session_id")
+        .agg(
+            F.min("ts_sec").alias("start_sec"),
+            F.max("ts_sec").alias("end_sec"),
+            F.count("*").alias("n_obs"),
+            _first_nonnull(clean_flight).alias("callsign"),
+            closest.getField("d").alias("closest_dist"),
+            closest.getField("t").alias("closest_sec"),
+            F.max(
+                F.when(
+                    (F.col("distance") <= F.lit(cfg.most_generous_dist_km))
+                    & (
+                        F.col("alt_geom").isNull()
+                        | (F.col("alt_geom") <= F.lit(cfg.most_generous_alt_m))
+                    ),
+                    True,
+                ).otherwise(False)
+            ).alias("alarmed"),
+            _last_nonnull_before(F.col("lat"), F.col("closest_sec")).alias("asof_lat"),
+            _last_nonnull_before(F.col("lon"), F.col("closest_sec")).alias("asof_lon"),
+            _last_nonnull_before(F.col("alt_geom"), F.col("closest_sec")).alias(
+                "asof_alt"
+            ),
+            _last_nonnull_before(F.col("flight"), F.col("closest_sec")).alias(
+                "asof_flight"
+            ),
+        )
     )
-    return base.join(asof, ["flight_id", "session_id"])
 
 
 def filter_min_trip_length(trips_df: DataFrame, cfg: EngineConfig) -> DataFrame:

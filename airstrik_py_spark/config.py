@@ -64,6 +64,43 @@ class EngineConfig:
         return max(f.max_alt_m for f in self.filters)
 
 
+def load_config(path: str) -> EngineConfig:
+    """Load the reference's config.yaml shape (config.yaml:1-19, parsed at
+    airstrik.py:28-46) into an EngineConfig — a drop-in for existing
+    deployments' config files."""
+    import yaml
+
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+    filters = tuple(
+        Geofence(name, float(v[0]), float(v[1]))
+        for name, v in (raw.get("filters") or {}).items()
+    )
+    home = raw.get("home") or {}
+    defaults = EngineConfig()
+    return EngineConfig(
+        home_lat=float(home.get("lat", defaults.home_lat)),
+        home_lon=float(home.get("lon", defaults.home_lon)),
+        think_ahead=int(raw.get("think_ahead", defaults.think_ahead)),
+        lookback_rows=int(
+            raw.get("lat_lon_packet_age_max", defaults.lookback_rows)
+        ),
+        remember_s=float(raw.get("remember", defaults.remember_s)),
+        min_trip_length_s=float(
+            raw.get("min_trip_length", defaults.min_trip_length_s)
+        ),
+        decimation_factor=int(
+            raw.get("decimation_factor", defaults.decimation_factor)
+        ),
+        decimation_force_new_data=bool(
+            raw.get("decimation_force_new_data", defaults.decimation_force_new_data)
+        ),
+        utc_time_offset_h=int(raw.get("utc_time_offset", defaults.utc_time_offset_h)),
+        print_top_planes=int(raw.get("print_top_planes", defaults.print_top_planes)),
+        filters=filters or defaults.filters,
+    )
+
+
 REFERENCE = EngineConfig()
 
 # Same structure, cadence-scaled for the driver's `events` table (median

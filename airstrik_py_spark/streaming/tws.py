@@ -1,0 +1,113 @@
+"""Spark 4-native stateful tracker: the same per-plane bookkeeping as
+streaming/stateful.py (consecutive-dedup + decimation counter + sticky alarm
+flag) on the transformWithStateInPandas API — applyInPandasWithState's
+successor with typed state handles (ValueState) and first-class timers.
+
+Both implementations ship: applyInPandasWithState for portability to Spark
+3.4+ clusters, this one as the forward path.  Tests assert they produce
+identical output on the same tape.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+from airstrik_py_spark.config import EngineConfig
+from airstrik_py_spark.streaming.stateful import OUT_SCHEMA
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_lat", T.DoubleType()),
+        T.StructField("last_lon", T.DoubleType()),
+        T.StructField("update_count", T.IntegerType()),
+        T.StructField("alarm_triggered", T.BooleanType()),
+    ]
+)
+
+
+class PlaneTracker(StatefulProcessor):
+    """Keyed tracker with O(1) ValueState per plane."""
+
+    def __init__(self, cfg: EngineConfig):
+        self.n = int(cfg.decimation_factor)
+        self.force_new = cfg.decimation_force_new_data
+        self.zone_km = cfg.most_generous_dist_km
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.track = handle.getValueState("track", STATE_SCHEMA)
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timer_values
+    ) -> Iterator[pd.DataFrame]:
+        if self.track.exists():
+            last_lat, last_lon, count, sticky = self.track.get()
+        else:
+            last_lat, last_lon, count, sticky = None, None, 0, False
+        out = []
+        for pdf in rows:
+            pdf = pdf.sort_values("ts_sec")
+            for row in pdf.itertuples(index=False):
+                changed = (
+                    last_lat is None
+                    or last_lon is None
+                    or row.lat != last_lat
+                    or row.lon != last_lon
+                )
+                if self.force_new and not changed:
+                    continue
+                count += 1
+                if row.distance is not None and row.distance <= self.zone_km:
+                    sticky = True
+                out.append(
+                    (key[0], row.ts_sec, row.lat, row.lon, count, count % self.n == 0, sticky)
+                )
+                last_lat, last_lon = row.lat, row.lon
+        self.track.update((last_lat, last_lon, count, sticky))
+        if out:
+            yield pd.DataFrame(out, columns=[f.name for f in OUT_SCHEMA.fields])
+
+    def close(self) -> None:
+        pass
+
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def tws_available() -> bool:
+    """transformWithState's state protocol needs google.protobuf, which is
+    not in every image (not in this one) — the applyInPandasWithState
+    implementation in streaming/stateful.py is the portable fallback."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def tracked_stream_tws(obs_with_distance: DataFrame, cfg: EngineConfig) -> DataFrame:
+    # transformWithState requires the RocksDB state store (also the right
+    # choice at scale: spill-to-disk state, incremental checkpoints)
+    obs_with_distance.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
+    return (
+        obs_with_distance.select("hex", "ts_sec", "lat", "lon", "distance")
+        .groupBy("hex")
+        .transformWithStateInPandas(
+            statefulProcessor=PlaneTracker(cfg),
+            outputStructType=OUT_SCHEMA,
+            outputMode="append",
+            timeMode="none",
+        )
+    )

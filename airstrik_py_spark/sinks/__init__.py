@@ -21,6 +21,56 @@ from pyspark.sql import functions as F
 MONGO_CONNECTOR_AVAILABLE = False  # mongo-spark jars not in this container
 
 
+def trip_documents(assembled: DataFrame, cfg) -> DataFrame:
+    """The EXACT nested flight_records document shape (SURVEY §1.3,
+    FIXTURES.md A3; assembled doc at airstrik.py:498-543): per-attribute
+    `struct<value, ts>` pairs, `extras struct<start_time, end_time>`,
+    `filters map<string, struct<dist, alt>>`, `flight_id`.
+
+    Input: trips_with_asof output (+ trip_name).  Parquet stores this
+    losslessly; the Mongo connector maps it 1:1 to BSON documents."""
+    pair = lambda v, t: F.when(  # noqa: E731
+        v.isNotNull(), F.struct(v.alias("value"), t.alias("ts"))
+    )
+    filter_entries = F.filter(
+        F.array(
+            *[
+                F.when(
+                    (F.col("closest_dist") <= F.lit(gf.max_dist_km))
+                    & (
+                        F.col("asof_alt").isNull()
+                        | (F.col("asof_alt") <= F.lit(gf.max_alt_m))
+                    ),
+                    F.struct(
+                        F.lit(gf.name).alias("key"),
+                        F.struct(
+                            F.lit(gf.max_dist_km).alias("dist"),
+                            F.lit(gf.max_alt_m).alias("alt"),
+                        ).alias("value"),
+                    ),
+                )
+                for gf in cfg.filters
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return assembled.select(
+        F.col("flight_id"),
+        F.array(
+            pair(F.col("trip_name"), F.col("start_sec"))
+        ).alias("flight_name_id"),
+        pair(F.col("asof_lat"), F.col("closest_sec")).alias("lat"),
+        pair(F.col("asof_lon"), F.col("closest_sec")).alias("lon"),
+        pair(F.col("asof_alt"), F.col("closest_sec")).alias("alt_geom"),
+        pair(F.col("closest_dist"), F.col("closest_sec")).alias("distance"),
+        F.struct(
+            F.col("start_sec").alias("start_time"),
+            F.col("end_sec").alias("end_time"),
+        ).alias("extras"),
+        F.map_from_entries(filter_entries).alias("filters"),
+    )
+
+
 def write_store(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """S3/S4/S6 — the document-store write (parquet stand-in for Mongo;
     nested docs map to parquet structs losslessly)."""

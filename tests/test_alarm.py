@@ -106,3 +106,36 @@ def test_matched_filters_expression(spark):
         "",  # too far
         "close,tooclose",  # unknown altitude passes (airstrik.py:421)
     ]
+
+
+def test_lon_90_break_replicates_reference_bug(spark):
+    """airstrik.py:255 clamps LONGITUDE to ±90 (a reference bug we keep,
+    SURVEY §7): a plane west of lon -89 heading due west breaks the
+    simulation once sim_lon < -90, leaving the sentinel min_radius."""
+    cfg = REFERENCE
+    rows = [
+        ("w", BASE + 0, None, 35.0, -89.0, None, 500.0, 1),
+        ("w", BASE + 1, None, 35.0, -89.9, None, 500.0, 1),  # ~294,000 km/h west
+    ]
+    out = AL.dead_reckoning(_state(spark, rows), cfg).first()
+    assert out["can_sim"]
+    # the break fires before any in-zone step is possible
+    assert not out["alarm"]
+    assert out["min_radius"] == AL.MIN_RADIUS_SENTINEL
+
+
+def test_growth_break_keeps_perigee_radius(spark):
+    """Once inside the zone and receding (airstrik.py:266-268), the loop
+    breaks: min_radius is the perigee, not affected by later steps, and
+    alarm_time is the zone-entry second."""
+    cfg = REFERENCE
+    # ~13 km south, fast due north: enters zone, passes home, then recedes
+    rows = [
+        ("p", BASE + 0, None, 35.727 - 0.20, -78.696, None, 500.0, 1),
+        ("p", BASE + 30, None, 35.727 - 0.12, -78.696, None, 500.0, 1),
+    ]
+    out = AL.dead_reckoning(_state(spark, rows), cfg).first()
+    assert out["alarm"]
+    assert 0 < out["alarm_time"] < cfg.think_ahead
+    # perigee must be well inside the zone and non-negative
+    assert 0.0 <= out["min_radius"] < 10.0

@@ -95,3 +95,31 @@ def test_repl_dispatch(spark, tmp_path):
     found = repl.execute("search lat>35.74 & dump " + str(tmp_path / "dump"))[0]
     assert found.count() == 1  # plane a matches
     assert spark.read.json(str(tmp_path / "dump")).count() > 0
+
+
+def test_trip_documents_nested_schema(spark, tmp_path):
+    """FIXTURES.md A3 golden shape: pair structs, extras, filters map."""
+    from airstrik_py_spark.config import EngineConfig
+    from airstrik_py_spark.sinks import trip_documents
+
+    cfg = EngineConfig(remember_s=1000.0, min_trip_length_s=0.0)
+    obs = _obs(spark)
+    sess = S.with_session_id(K.with_distance_home(obs, cfg), cfg)
+    assembled = S.trips_with_asof(sess, cfg).withColumn(
+        "trip_name", F.col("callsign")
+    )
+    docs = trip_documents(assembled, cfg)
+    # schema shape
+    s = dict(docs.dtypes)
+    assert s["lat"] == "struct<value:double,ts:double>"
+    assert s["extras"] == "struct<start_time:double,end_time:double>"
+    assert s["filters"] == "map<string,struct<dist:double,alt:double>>"
+    assert s["flight_name_id"].startswith("array<struct<value:string")
+    row = docs.first()
+    assert row["extras"]["start_time"] <= row["extras"]["end_time"]
+    assert row["lat"]["value"] is not None
+    # parquet round-trip preserves nesting
+    out = str(tmp_path / "docs")
+    docs.write.parquet(out)
+    back = spark.read.parquet(out)
+    assert dict(back.dtypes) == s

@@ -34,7 +34,9 @@ def canon_value(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return repr(round(v, 9))
+        # exact repr: queries round on both engines upstream, so even float
+        # outputs must agree to the bit — no tolerance here
+        return repr(v)
     return str(v)
 
 

@@ -18,18 +18,27 @@ CFG = REFERENCE  # think_ahead/geofences at reference values
 
 def _latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest fix per plane with kinematics attached (the reference's
-    plane_history[-1] state, no consecutive-dedup so every event counts)."""
+    plane_history[-1] state, no consecutive-dedup so every event counts).
+
+    Scale shape: the expensive trig windows only ever look lookback_rows
+    back, so we first prune each key to its last lookback_rows+1 rows with
+    one cheap rank window, run kinematics on that sliver, then keep the top
+    row — identical values, ~10x less window compute (and at 100 TB, the
+    prune is the difference between reranking a key's tail and re-deriving
+    its entire history)."""
     pin_session(spark)
     obs = observations(spark, sf_dir)
-    kin = K.with_distance_home(
-        K.with_calc_speed(K.with_calc_heading(obs), CFG), CFG
-    )
-    w = Window.partitionBy("hex").orderBy(
+    w_desc = Window.partitionBy("hex").orderBy(
         F.col("ts_sec").desc(), F.col("event_id").desc()
     )
-    return (
-        kin.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
+    tail = (
+        obs.withColumn("_rn", F.row_number().over(w_desc))
+        .filter(F.col("_rn") <= CFG.lookback_rows + 1)
     )
+    kin = K.with_distance_home(
+        K.with_calc_speed(K.with_calc_heading(tail), CFG), CFG
+    )
+    return kin.filter("_rn = 1").drop("_rn")
 
 
 def q_alarm_dead_reckoning(spark: SparkSession, sf_dir: str) -> DataFrame:

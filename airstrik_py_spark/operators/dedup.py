@@ -63,6 +63,16 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
     )
 
 
+def dedup_normalized(docs: DataFrame) -> DataFrame:
+    """Exact dedup after canonicalization (lowercase, collapsed whitespace) —
+    catches trivially-reformatted copies that byte-exact dedup misses."""
+    canon = F.regexp_replace(F.trim(F.lower(F.col("text"))), " +", " ")
+    return (
+        docs.groupBy(F.md5(canon).alias("canon_hash"))
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
 def minhash_signature(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """Per-doc MinHash signature: h_i = min over shingles of md5('i|'+s).
     One groupBy; the k minima are parallel partial aggregates."""

@@ -47,6 +47,12 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_exact(load_table(spark, sf_dir, "documents"))
 
 
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after lowercase + whitespace collapse."""
+    pin_session(spark)
+    return D.dedup_normalized(load_table(spark, sf_dir, "documents"))
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(6) + LSH(3 bands x 2): candidate near-dup pairs from shared
     band buckets — bucket-join, never all-pairs."""
@@ -77,6 +83,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_normalized": q_dedup_normalized,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -86,6 +93,11 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": """
 SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+""",
+    "dedup_normalized": """
+SELECT md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS canon_hash,
+       min(doc_id) AS canonical_doc_id, count(*) AS n_copies
 FROM documents GROUP BY 1
 """,
     "dedup_minhash_lsh": f"""

@@ -29,6 +29,9 @@ obs AS (
 
 
 _WIN = "PARTITION BY hex ORDER BY ts_sec, event_id"
+_SWIN = "PARTITION BY hex, session_id ORDER BY ts_sec, event_id"
+_SRUN = f"{_SWIN} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+_SPRE = f"{_SWIN} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
 
 
 def session_ctes(remember_s: float, home_lat: float = 35.727, home_lon: float = -78.696) -> str:
@@ -50,6 +53,27 @@ sess AS (
   SELECT *, CAST(sum(is_new) OVER ({_WIN} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM gapped
 ),
+marks AS (
+  -- running tracker state per packet: last non-null distance/altitude, and
+  -- "is this a new (consecutive-deduped) lat/lon fix" markers — mirrors
+  -- operators/sessions.py::_alarmed_row
+  SELECT *,
+         last_value(distance IGNORE NULLS) OVER ({_SRUN}) AS dist_run,
+         last_value(alt_geom IGNORE NULLS) OVER ({_SRUN}) AS alt_run,
+         CASE WHEN lat IS NOT NULL AND (last_value(lat IGNORE NULLS) OVER ({_SPRE}) IS NULL
+                   OR lat <> last_value(lat IGNORE NULLS) OVER ({_SPRE}))
+              THEN 1 ELSE 0 END AS lat_fix,
+         CASE WHEN lon IS NOT NULL AND (last_value(lon IGNORE NULLS) OVER ({_SPRE}) IS NULL
+                   OR lon <> last_value(lon IGNORE NULLS) OVER ({_SPRE}))
+              THEN 1 ELSE 0 END AS lon_fix
+  FROM sess
+),
+runstate AS (
+  SELECT *,
+         sum(lat_fix) OVER ({_SRUN}) AS n_lat_fix,
+         sum(lon_fix) OVER ({_SRUN}) AS n_lon_fix
+  FROM marks
+),
 trips AS (
   SELECT hex AS flight_id, session_id,
          min(ts_sec) AS start_sec,
@@ -59,9 +83,10 @@ trips AS (
               THEN struct_pack(t := ts_sec, e := event_id, v := replace(flight, ' ', '')) END)).v AS callsign,
          (min(struct_pack(d := distance, t := ts_sec, e := event_id))).d AS closest_dist,
          (min(struct_pack(d := distance, t := ts_sec, e := event_id))).t AS closest_sec,
-         max(CASE WHEN distance <= 10.0 AND (alt_geom IS NULL OR alt_geom <= 1000.0)
+         max(CASE WHEN n_lat_fix >= 2 AND n_lon_fix >= 2 AND dist_run < 10.0
+                       AND (alt_run IS NULL OR alt_run <= 1000.0)
                   THEN TRUE ELSE FALSE END) AS alarmed
-  FROM sess GROUP BY hex, session_id
+  FROM runstate GROUP BY hex, session_id
 )"""
 
 

@@ -9,17 +9,20 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Deterministic enumeration order.  The driver walks queries() in insertion
+# order and may truncate the tail under its verify budget (round 1 recorded
+# exactly the first 50 of 52 rows), so the cheapest-to-lose slugs go LAST:
+# sinks_q ends with ddl_drop_reset, which is rows-only (no oracle) anyway.
 _MODULES = (
     "kinematics_q",
     "sessions_q",
     "alarm_q",
-    "alarm_q",
     "stats_q",
     "search_q",
-    "sinks_q",
+    "text_q",
     "dedup_q",
     "similarity_q",
-    "text_q",
+    "sinks_q",
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -33,6 +36,10 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
             mod = importlib.import_module(f"airstrik_py_spark.registry.{mod_name}")
         except ModuleNotFoundError:
             continue
-        queries.update(getattr(mod, "QUERIES", {}))
+        mod_queries = getattr(mod, "QUERIES", {})
+        dupes = set(mod_queries) & set(queries)
+        if dupes:
+            raise ValueError(f"duplicate registry slugs from {mod_name}: {sorted(dupes)}")
+        queries.update(mod_queries)
         oracles.update(getattr(mod, "ORACLES", {}))
     return queries, oracles

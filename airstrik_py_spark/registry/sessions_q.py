@@ -65,8 +65,10 @@ def q_agg_argmin_closest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_join_asof_closest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2 — full aircraft state as of the closest approach: last non-null
-    value with ts <= closest_time per attribute (airstrik.py:498-521)."""
+    """J2 — full aircraft state as of the closest approach: the OLDEST
+    history entry with ts <= closest_time per attribute (the reference's
+    reversed scan with no break, airstrik.py:505-508, lets the oldest match
+    win)."""
     t = S.trips_with_asof(_sessioned(spark, sf_dir), CFG)
     return t.select(
         F.col("flight_id").alias("hex"),
@@ -100,7 +102,7 @@ def q_agg_trip_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     geofence re-match (airstrik.py:524-535) -> assembled trip rows."""
     t = S.trips_with_asof(_sessioned(spark, sf_dir), CFG)
     t = S.filter_min_trip_length(t, CFG)
-    t = S.enrich_icao(t, spark, sf_dir)
+    t = S.enrich_icao(t, spark, sf_dir, name_col="asof_flight")
     return t.select(
         "flight_id",
         "session_id",
@@ -113,7 +115,9 @@ def q_agg_trip_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("closest_sec", 6).alias("closest_sec"),
         F.round("asof_alt", 6).alias("asof_alt"),
         "asof_flight",
-        AL.matched_filters(F.col("closest_dist"), F.col("asof_alt"), CFG).alias(
+        # closure re-match uses the as-of distance, not closest_dist
+        # (airstrik.py:524-535: match_filters(write['distance'][0], ...))
+        AL.matched_filters(F.col("asof_dist"), F.col("asof_alt"), CFG).alias(
             "filters_matched"
         ),
         "alarmed",
@@ -178,17 +182,23 @@ _MATCHED_SQL = (
     "CASE WHEN {d} <= 5.0 AND ({a} IS NULL OR {a} <= 1000.0) THEN 'tooclose' END)"
 )
 
+# OLDEST-wins as-of (min-struct): mirrors operators/sessions.py::
+# _asof_struct_before (reference scan quirk airstrik.py:505-508).
 _ASOF_CTE = f"""
 asof_state AS (
   SELECT s.hex, s.session_id,
-         (max(CASE WHEN s.lat IS NOT NULL AND s.ts_sec <= t.closest_sec
+         (min(CASE WHEN s.lat IS NOT NULL AND s.ts_sec <= t.closest_sec
               THEN struct_pack(t := s.ts_sec, e := s.event_id, v := s.lat) END)).v AS asof_lat,
-         (max(CASE WHEN s.lon IS NOT NULL AND s.ts_sec <= t.closest_sec
+         (min(CASE WHEN s.lon IS NOT NULL AND s.ts_sec <= t.closest_sec
               THEN struct_pack(t := s.ts_sec, e := s.event_id, v := s.lon) END)).v AS asof_lon,
-         (max(CASE WHEN s.alt_geom IS NOT NULL AND s.ts_sec <= t.closest_sec
+         (min(CASE WHEN s.alt_geom IS NOT NULL AND s.ts_sec <= t.closest_sec
               THEN struct_pack(t := s.ts_sec, e := s.event_id, v := s.alt_geom) END)).v AS asof_alt,
-         (max(CASE WHEN s.flight IS NOT NULL AND s.ts_sec <= t.closest_sec
-              THEN struct_pack(t := s.ts_sec, e := s.event_id, v := s.flight) END)).v AS asof_flight
+         (min(CASE WHEN s.flight IS NOT NULL AND s.ts_sec <= t.closest_sec
+              THEN struct_pack(t := s.ts_sec, e := s.event_id, v := replace(s.flight, ' ', '')) END)).v AS asof_flight,
+         (min(CASE WHEN s.distance IS NOT NULL AND s.ts_sec <= t.closest_sec
+              THEN struct_pack(t := s.ts_sec, e := s.event_id, v := s.distance) END)).v AS asof_dist,
+         (min(CASE WHEN s.distance IS NOT NULL AND s.ts_sec <= t.closest_sec
+              THEN struct_pack(t := s.ts_sec, e := s.event_id, v := s.distance) END)).t AS asof_dist_sec
   FROM sess s JOIN trips t ON s.hex = t.flight_id AND s.session_id = t.session_id
   GROUP BY s.hex, s.session_id
 )"""
@@ -250,10 +260,10 @@ WITH {_CTES},
 SELECT t.flight_id, t.session_id,
        round(t.start_sec, 6) AS start_sec, round(t.end_sec, 6) AS end_sec,
        round(t.end_sec - t.start_sec, 6) AS duration_s, t.n_obs,
-       coalesce(t.callsign, n.n_name || ' (p)') AS trip_name,
+       coalesce(a.asof_flight, n.n_name || ' (p)') AS trip_name,
        t.closest_dist, round(t.closest_sec, 6) AS closest_sec,
        round(a.asof_alt, 6) AS asof_alt, a.asof_flight,
-       {_MATCHED_SQL.format(d='t.closest_dist', a='a.asof_alt')} AS filters_matched,
+       {_MATCHED_SQL.format(d='a.asof_dist', a='a.asof_alt')} AS filters_matched,
        t.alarmed
 FROM trips t
 JOIN asof_state a ON t.flight_id = a.hex AND t.session_id = a.session_id

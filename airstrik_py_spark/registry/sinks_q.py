@@ -51,7 +51,7 @@ def _assembled(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = S.with_session_id(K.with_distance_home(obs, CFG), CFG)
     t = S.trips_with_asof(sess, CFG)
     t = S.filter_min_trip_length(t, CFG)
-    return S.enrich_icao(t, spark, sf_dir)
+    return S.enrich_icao(t, spark, sf_dir, name_col="asof_flight")
 
 
 def q_sink_mongo_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -66,11 +66,15 @@ def q_sink_mongo_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("asof_lat", 6).alias("lat_value"),
         F.round("asof_lon", 6).alias("lon_value"),
         F.round("asof_alt", 6).alias("alt_value"),
-        F.col("closest_dist").alias("distance_value"),
-        F.round("closest_sec", 6).alias("distance_sec"),
+        # write['distance'] is the as-of entry (value, its own ts) — the
+        # reference's reversed scan stores the oldest pair <= closest_time
+        # (airstrik.py:505-508), and the filter re-match uses that value
+        # (airstrik.py:524-535)
+        F.col("asof_dist").alias("distance_value"),
+        F.round("asof_dist_sec", 6).alias("distance_sec"),
         F.round("start_sec", 6).alias("extras_start"),
         F.round("end_sec", 6).alias("extras_end"),
-        AL.matched_filters(F.col("closest_dist"), F.col("asof_alt"), CFG).alias(
+        AL.matched_filters(F.col("asof_dist"), F.col("asof_alt"), CFG).alias(
             "filters"
         ),
     )
@@ -132,10 +136,10 @@ def q_project_flatten_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F7 — trip doc -> flat CSV row: pair values unpacked, epoch->datetime
     strings, filters map stringified 'name (d, a)' (csvdump.py:62-101)."""
     t = _assembled(spark, sf_dir)
-    m_close = (F.col("closest_dist") <= 10.0) & (
+    m_close = (F.col("asof_dist") <= 10.0) & (
         F.col("asof_alt").isNull() | (F.col("asof_alt") <= 1000.0)
     )
-    m_too = (F.col("closest_dist") <= 5.0) & (
+    m_too = (F.col("asof_dist") <= 5.0) & (
         F.col("asof_alt").isNull() | (F.col("asof_alt") <= 1000.0)
     )
     return t.select(
@@ -144,7 +148,7 @@ def q_project_flatten_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("asof_lat", 6).alias("lat"),
         F.round("asof_lon", 6).alias("lon"),
         F.round("asof_alt", 6).alias("alt_geom"),
-        F.col("closest_dist").alias("distance"),
+        F.col("asof_dist").alias("distance"),
         _fmt_sec_spark(F.col("start_sec")).alias("start_time"),
         _fmt_sec_spark(F.col("end_sec")).alias("end_time"),
         F.concat_ws(
@@ -217,21 +221,29 @@ QUERIES = {
     "ddl_drop_reset": q_ddl_drop_reset,  # rows-only (catalog op, no SQL oracle)
 }
 
+# OLDEST-wins as-of (min-struct) — mirrors operators/sessions.py::
+# _asof_struct_before (reference scan quirk airstrik.py:505-508).
 _ASOF = """
 asof_state AS (
   SELECT s.hex, s.session_id,
-         (max(CASE WHEN s.lat IS NOT NULL AND s.ts_sec <= t.closest_sec
+         (min(CASE WHEN s.lat IS NOT NULL AND s.ts_sec <= t.closest_sec
               THEN struct_pack(t := s.ts_sec, e := s.event_id, v := s.lat) END)).v AS asof_lat,
-         (max(CASE WHEN s.lon IS NOT NULL AND s.ts_sec <= t.closest_sec
+         (min(CASE WHEN s.lon IS NOT NULL AND s.ts_sec <= t.closest_sec
               THEN struct_pack(t := s.ts_sec, e := s.event_id, v := s.lon) END)).v AS asof_lon,
-         (max(CASE WHEN s.alt_geom IS NOT NULL AND s.ts_sec <= t.closest_sec
-              THEN struct_pack(t := s.ts_sec, e := s.event_id, v := s.alt_geom) END)).v AS asof_alt
+         (min(CASE WHEN s.alt_geom IS NOT NULL AND s.ts_sec <= t.closest_sec
+              THEN struct_pack(t := s.ts_sec, e := s.event_id, v := s.alt_geom) END)).v AS asof_alt,
+         (min(CASE WHEN s.flight IS NOT NULL AND s.ts_sec <= t.closest_sec
+              THEN struct_pack(t := s.ts_sec, e := s.event_id, v := replace(s.flight, ' ', '')) END)).v AS asof_flight,
+         (min(CASE WHEN s.distance IS NOT NULL AND s.ts_sec <= t.closest_sec
+              THEN struct_pack(t := s.ts_sec, e := s.event_id, v := s.distance) END)).v AS asof_dist,
+         (min(CASE WHEN s.distance IS NOT NULL AND s.ts_sec <= t.closest_sec
+              THEN struct_pack(t := s.ts_sec, e := s.event_id, v := s.distance) END)).t AS asof_dist_sec
   FROM sess s JOIN trips t ON s.hex = t.flight_id AND s.session_id = t.session_id
   GROUP BY s.hex, s.session_id
 ),
 assembled AS (
-  SELECT t.*, a.asof_lat, a.asof_lon, a.asof_alt,
-         coalesce(t.callsign, n.n_name || ' (p)') AS trip_name
+  SELECT t.*, a.asof_lat, a.asof_lon, a.asof_alt, a.asof_dist, a.asof_dist_sec,
+         coalesce(a.asof_flight, n.n_name || ' (p)') AS trip_name
   FROM trips t
   JOIN asof_state a ON t.flight_id = a.hex AND t.session_id = a.session_id
   LEFT JOIN nation n ON CAST(t.flight_id AS INTEGER) % 25 = n.n_nationkey
@@ -255,11 +267,11 @@ SELECT flight_id || '_' || CAST(session_id AS VARCHAR) AS _id,
        flight_id, trip_name AS flight_name,
        round(asof_lat, 6) AS lat_value, round(asof_lon, 6) AS lon_value,
        round(asof_alt, 6) AS alt_value,
-       closest_dist AS distance_value, round(closest_sec, 6) AS distance_sec,
+       asof_dist AS distance_value, round(asof_dist_sec, 6) AS distance_sec,
        round(start_sec, 6) AS extras_start, round(end_sec, 6) AS extras_end,
        concat_ws(',',
-         CASE WHEN closest_dist <= 10.0 AND (asof_alt IS NULL OR asof_alt <= 1000.0) THEN 'close' END,
-         CASE WHEN closest_dist <= 5.0 AND (asof_alt IS NULL OR asof_alt <= 1000.0) THEN 'tooclose' END
+         CASE WHEN asof_dist <= 10.0 AND (asof_alt IS NULL OR asof_alt <= 1000.0) THEN 'close' END,
+         CASE WHEN asof_dist <= 5.0 AND (asof_alt IS NULL OR asof_alt <= 1000.0) THEN 'tooclose' END
        ) AS filters
 FROM assembled
 """,
@@ -268,14 +280,14 @@ WITH {_CTES},
 {_DECIM}
 SELECT hex, strftime(ts, '{TS_FMT_DUCK}') AS ts_str, update_seq,
        round(lat, 6) AS lat, round(lon, 6) AS lon
-FROM counted WHERE update_seq % 15 = 0
+FROM counted WHERE update_seq >= 3 AND (update_seq - 3) % 15 = 0
 """,
     "sink_mongo_decimated": f"""
 WITH {_CTES},
 {_DECIM}
 SELECT hex AS flight_id, round(lat, 6) AS lat_value, round(lon, 6) AS lon_value,
        round(ts_sec, 6) AS sample_sec
-FROM counted WHERE update_seq % 15 = 0
+FROM counted WHERE update_seq >= 3 AND (update_seq - 3) % 15 = 0
 """,
     "sink_kafka_alert": f"""
 WITH {_KIN},
@@ -295,12 +307,12 @@ WITH {_CTES},
 {_ASOF}
 SELECT flight_id, trip_name AS flight_name,
        round(asof_lat, 6) AS lat, round(asof_lon, 6) AS lon,
-       round(asof_alt, 6) AS alt_geom, closest_dist AS distance,
+       round(asof_alt, 6) AS alt_geom, asof_dist AS distance,
        {_fmt_sec_duck('start_sec')} AS start_time,
        {_fmt_sec_duck('end_sec')} AS end_time,
        concat_ws(', ',
-         CASE WHEN closest_dist <= 10.0 AND (asof_alt IS NULL OR asof_alt <= 1000.0) THEN 'close (10.0, 1000.0)' END,
-         CASE WHEN closest_dist <= 5.0 AND (asof_alt IS NULL OR asof_alt <= 1000.0) THEN 'tooclose (5.0, 1000.0)' END
+         CASE WHEN asof_dist <= 10.0 AND (asof_alt IS NULL OR asof_alt <= 1000.0) THEN 'close (10.0, 1000.0)' END,
+         CASE WHEN asof_dist <= 5.0 AND (asof_alt IS NULL OR asof_alt <= 1000.0) THEN 'tooclose (5.0, 1000.0)' END
        ) AS filters
 FROM assembled
 """,

@@ -36,7 +36,7 @@ def trip_documents(assembled: DataFrame, cfg) -> DataFrame:
         F.array(
             *[
                 F.when(
-                    (F.col("closest_dist") <= F.lit(gf.max_dist_km))
+                    (F.col("asof_dist") <= F.lit(gf.max_dist_km))
                     & (
                         F.col("asof_alt").isNull()
                         | (F.col("asof_alt") <= F.lit(gf.max_alt_m))
@@ -56,13 +56,16 @@ def trip_documents(assembled: DataFrame, cfg) -> DataFrame:
     )
     return assembled.select(
         F.col("flight_id"),
+        # each pair is (value, ts-of-that-entry): the reference writes the
+        # matched history entry verbatim (airstrik.py:505-508); predicted
+        # names get the closure time a_json['now'] (airstrik.py:515)
         F.array(
-            pair(F.col("trip_name"), F.col("start_sec"))
+            pair(F.col("trip_name"), F.coalesce(F.col("asof_flight_sec"), F.col("end_sec")))
         ).alias("flight_name_id"),
-        pair(F.col("asof_lat"), F.col("closest_sec")).alias("lat"),
-        pair(F.col("asof_lon"), F.col("closest_sec")).alias("lon"),
-        pair(F.col("asof_alt"), F.col("closest_sec")).alias("alt_geom"),
-        pair(F.col("closest_dist"), F.col("closest_sec")).alias("distance"),
+        pair(F.col("asof_lat"), F.col("asof_lat_sec")).alias("lat"),
+        pair(F.col("asof_lon"), F.col("asof_lon_sec")).alias("lon"),
+        pair(F.col("asof_alt"), F.col("asof_alt_sec")).alias("alt_geom"),
+        pair(F.col("asof_dist"), F.col("asof_dist_sec")).alias("distance"),
         F.struct(
             F.col("start_sec").alias("start_time"),
             F.col("end_sec").alias("end_time"),

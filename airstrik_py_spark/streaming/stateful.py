@@ -35,11 +35,12 @@ OUT_SCHEMA = T.StructType(
     ]
 )
 
-# (last_lat, last_lon, update_count, alarm_triggered)
+# (last_lat, last_lon, last_alt, update_count, alarm_triggered)
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("last_lat", T.DoubleType()),
         T.StructField("last_lon", T.DoubleType()),
+        T.StructField("last_alt", T.DoubleType()),
         T.StructField("update_count", T.IntegerType()),
         T.StructField("alarm_triggered", T.BooleanType()),
     ]
@@ -50,10 +51,20 @@ def make_tracker(cfg: EngineConfig, live: bool = True):
     """Returns the applyInPandasWithState function closure over config.
     `live` enables the processing-time state TTL; bounded replays pass
     False (a pending TTL keeps the query ticking, so processAllAvailable
-    on a finite tape would never return)."""
+    on a finite tape would never return).
+
+    The sticky alarm flag replicates airstrik.py:272-277 exactly as the
+    batch `operators/sessions.py::_alarmed_row` does: the sim must be able
+    to run (>= 2 unique fixes), the running distance is STRICT < the zone,
+    and the running last altitude (if any) is within the zone ceiling."""
     n = int(cfg.decimation_factor)
     force_new = cfg.decimation_force_new_data
     zone_km = cfg.most_generous_dist_km
+    alt_max = cfg.most_generous_alt_m
+    # reference write phase (see operators/decimation.py docstring):
+    # fix #3 with force_new (the first eligible packet only baselines
+    # last_written), fix #2 without; factor=0 stores no live samples at all
+    first_write = 3 if force_new else 2
 
     def track(
         key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
@@ -61,8 +72,8 @@ def make_tracker(cfg: EngineConfig, live: bool = True):
         if state.hasTimedOut:
             state.remove()
             return
-        last_lat, last_lon, count, sticky = (
-            state.get if state.exists else (None, None, 0, False)
+        last_lat, last_lon, last_alt, count, sticky = (
+            state.get if state.exists else (None, None, None, 0, False)
         )
         out = []
         for pdf in batches:
@@ -74,11 +85,24 @@ def make_tracker(cfg: EngineConfig, live: bool = True):
                     or row.lat != last_lat
                     or row.lon != last_lon
                 )
+                alt = getattr(row, "alt_geom", None)
+                if alt is not None and not pd.isna(alt):
+                    last_alt = float(alt)
                 if force_new and not changed:
                     continue  # airstrik.py:576-577 consecutive-dup suppression
                 count += 1
-                if row.distance is not None and row.distance <= zone_km:
+                if (
+                    count >= 2  # sim can run: >= 2 unique fixes (airstrik.py:579)
+                    and row.distance is not None
+                    and row.distance < zone_km  # strict < (airstrik.py:276)
+                    and (last_alt is None or last_alt <= alt_max)  # :272-275
+                ):
                     sticky = True  # airstrik.py:277 sticky alarm_triggered
+                emit = (
+                    n > 0
+                    and count >= first_write
+                    and (count - first_write) % n == 0
+                )
                 out.append(
                     (
                         key[0],
@@ -86,12 +110,12 @@ def make_tracker(cfg: EngineConfig, live: bool = True):
                         row.lat,
                         row.lon,
                         count,
-                        count % n == 0,  # airstrik.py:616 decimation gate
+                        emit,  # airstrik.py:584-626 decimation gate
                         sticky,
                     )
                 )
                 last_lat, last_lon = row.lat, row.lon
-        state.update((last_lat, last_lon, count, sticky))
+        state.update((last_lat, last_lon, last_alt, count, sticky))
         if live:
             # state eviction ≙ the reference's `del plane_history[hex]`
             state.setTimeoutDuration(int(2 * cfg.remember_s * 1000))
@@ -110,7 +134,7 @@ def tracked_stream(
         GroupStateTimeout.ProcessingTimeTimeout if live else GroupStateTimeout.NoTimeout
     )
     return (
-        obs_with_distance.select("hex", "ts_sec", "lat", "lon", "distance")
+        obs_with_distance.select("hex", "ts_sec", "lat", "lon", "alt_geom", "distance")
         .groupBy("hex")
         .applyInPandasWithState(
             make_tracker(cfg, live),

@@ -27,6 +27,7 @@ STATE_SCHEMA = T.StructType(
     [
         T.StructField("last_lat", T.DoubleType()),
         T.StructField("last_lon", T.DoubleType()),
+        T.StructField("last_alt", T.DoubleType()),
         T.StructField("update_count", T.IntegerType()),
         T.StructField("alarm_triggered", T.BooleanType()),
     ]
@@ -34,12 +35,17 @@ STATE_SCHEMA = T.StructType(
 
 
 class PlaneTracker(StatefulProcessor):
-    """Keyed tracker with O(1) ValueState per plane."""
+    """Keyed tracker with O(1) ValueState per plane.  Sticky-alarm and
+    decimation-phase semantics mirror streaming/stateful.py::make_tracker
+    (airstrik.py:272-277 strict-< + alt ceiling + >=2-fix sim gate;
+    airstrik.py:584-626 write phase)."""
 
     def __init__(self, cfg: EngineConfig):
         self.n = int(cfg.decimation_factor)
         self.force_new = cfg.decimation_force_new_data
         self.zone_km = cfg.most_generous_dist_km
+        self.alt_max = cfg.most_generous_alt_m
+        self.first_write = 3 if self.force_new else 2
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self.track = handle.getValueState("track", STATE_SCHEMA)
@@ -48,9 +54,9 @@ class PlaneTracker(StatefulProcessor):
         self, key, rows: Iterator[pd.DataFrame], timer_values
     ) -> Iterator[pd.DataFrame]:
         if self.track.exists():
-            last_lat, last_lon, count, sticky = self.track.get()
+            last_lat, last_lon, last_alt, count, sticky = self.track.get()
         else:
-            last_lat, last_lon, count, sticky = None, None, 0, False
+            last_lat, last_lon, last_alt, count, sticky = None, None, None, 0, False
         out = []
         for pdf in rows:
             pdf = pdf.sort_values("ts_sec")
@@ -61,16 +67,29 @@ class PlaneTracker(StatefulProcessor):
                     or row.lat != last_lat
                     or row.lon != last_lon
                 )
+                alt = getattr(row, "alt_geom", None)
+                if alt is not None and not pd.isna(alt):
+                    last_alt = float(alt)
                 if self.force_new and not changed:
                     continue
                 count += 1
-                if row.distance is not None and row.distance <= self.zone_km:
+                if (
+                    count >= 2
+                    and row.distance is not None
+                    and row.distance < self.zone_km
+                    and (last_alt is None or last_alt <= self.alt_max)
+                ):
                     sticky = True
+                emit = (
+                    self.n > 0
+                    and count >= self.first_write
+                    and (count - self.first_write) % self.n == 0
+                )
                 out.append(
-                    (key[0], row.ts_sec, row.lat, row.lon, count, count % self.n == 0, sticky)
+                    (key[0], row.ts_sec, row.lat, row.lon, count, emit, sticky)
                 )
                 last_lat, last_lon = row.lat, row.lon
-        self.track.update((last_lat, last_lon, count, sticky))
+        self.track.update((last_lat, last_lon, last_alt, count, sticky))
         if out:
             yield pd.DataFrame(out, columns=[f.name for f in OUT_SCHEMA.fields])
 
@@ -102,7 +121,7 @@ def tracked_stream_tws(obs_with_distance: DataFrame, cfg: EngineConfig) -> DataF
         "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
     )
     return (
-        obs_with_distance.select("hex", "ts_sec", "lat", "lon", "distance")
+        obs_with_distance.select("hex", "ts_sec", "lat", "lon", "alt_geom", "distance")
         .groupBy("hex")
         .transformWithStateInPandas(
             statefulProcessor=PlaneTracker(cfg),

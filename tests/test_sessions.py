@@ -80,11 +80,74 @@ def test_first_callsign_stripped(spark):
 
 
 def test_asof_state_at_closest(spark):
+    """The reference's closure scan (airstrik.py:505-508) walks each history
+    newest-to-oldest with NO break, so the OLDEST entry <= closest_time is
+    the one written — not the latest."""
     rows = [
         ("a", BASE + 0, "EARLY", 35.9, -78.696, 0.0, 800.0, 1),
         ("a", BASE + 10, None, 35.727, -78.696, 0.0, 600.0, 1),  # closest here
         ("a", BASE + 20, "LATE", 36.0, -78.696, 0.0, 400.0, 1),
     ]
     t = S.trips_with_asof(_sessioned(spark, rows), CFG).first()
-    assert t["asof_alt"] == 600.0  # value at closest ts, not after
-    assert t["asof_flight"] == "EARLY"  # last non-null at/before closest
+    assert t["asof_alt"] == 800.0  # OLDEST entry at/before closest wins
+    assert t["asof_alt_sec"] == BASE + 0
+    assert t["asof_flight"] == "EARLY"  # oldest non-null at/before closest
+
+
+def test_asof_excludes_entries_after_closest(spark):
+    """An attribute first observed AFTER the closest approach has no entry
+    <= closest_time -> NULL (the reference's dw=False path,
+    airstrik.py:509-521)."""
+    rows = [
+        ("a", BASE + 0, None, 35.9, -78.696, 0.0, None, 1),
+        ("a", BASE + 10, None, 35.727, -78.696, 0.0, None, 1),  # closest here
+        ("a", BASE + 20, "LATE", 36.0, -78.696, 0.0, 400.0, 1),
+    ]
+    t = S.trips_with_asof(_sessioned(spark, rows), CFG).first()
+    assert t["asof_alt"] is None
+    assert t["asof_flight"] is None
+    # distance exists from the first fix -> as-of distance is the FIRST one
+    first_dist = K.with_distance_home(
+        obs_rows(spark, rows[:1]), CFG
+    ).first()["distance"]
+    assert t["asof_dist"] == first_dist
+
+
+def test_alarmed_requires_two_fixes(spark):
+    """alarm_triggered needs the dead-reckoning sim to have run: a single
+    in-zone fix never alarms (airstrik.py:579-581 gates the whole alarm path
+    on >= 2 lat/lon history entries)."""
+    rows = [("a", BASE + 0, None, 35.727, -78.696, 0.0, 500.0, 1)]
+    t = S.trips(_sessioned(spark, rows), CFG).first()
+    assert t["alarmed"] is False
+    # a second fix with the SAME lon doesn't arm it either: the reference
+    # appends to lon_history only on change, and gates on BOTH histories
+    # having >= 2 entries (airstrik.py:574-581)
+    same_lon = rows + [("a", BASE + 10, None, 35.728, -78.696, 0.0, 500.0, 1)]
+    t1 = S.trips(_sessioned(spark, same_lon), CFG).first()
+    assert t1["alarmed"] is False
+    # a second fully-distinct in-zone fix arms it
+    rows2 = rows + [("a", BASE + 10, None, 35.728, -78.697, 0.0, 500.0, 1)]
+    t2 = S.trips(_sessioned(spark, rows2), CFG).first()
+    assert t2["alarmed"] is True
+
+
+def test_alarmed_strict_distance_and_alt_gate(spark):
+    """Strict < on the running distance (airstrik.py:276) and the altitude
+    ceiling on the running last altitude (airstrik.py:272-275)."""
+    # exactly at the zone boundary (10 km): 35.727 + 10/111.19...  use a row
+    # whose rounded distance is exactly the boundary via alt gate instead:
+    # in-zone fixes but altitude above the ceiling -> no alarm
+    high = [
+        ("a", BASE + 0, None, 35.727, -78.696, 0.0, 5000.0, 1),
+        ("a", BASE + 10, None, 35.728, -78.697, 0.0, 5000.0, 1),
+    ]
+    t = S.trips(_sessioned(spark, high), CFG).first()
+    assert t["alarmed"] is False
+    # altitude unknown throughout -> vacuously passes the ceiling
+    unk = [
+        ("a", BASE + 0, None, 35.727, -78.696, 0.0, None, 1),
+        ("a", BASE + 10, None, 35.728, -78.697, 0.0, None, 1),
+    ]
+    t2 = S.trips(_sessioned(spark, unk), CFG).first()
+    assert t2["alarmed"] is True

@@ -60,7 +60,9 @@ def test_stateful_tracker_stream(spark, tmp_path):
     # duplicate suppressed: 4 of 5 updates survive
     assert len(rows) == 4
     assert [r["update_seq"] for r in rows] == [1, 2, 3, 4]
-    # decimation gate fires on every 2nd update
-    assert [r["emit"] for r in rows] == [False, True, False, True]
+    # reference write phase with force_new (airstrik.py:584-626): the first
+    # eligible fix (#2) only baselines last_written, the first WRITE is fix
+    # #3, then every n=2 fixes -> counts 3, 5, ...
+    assert [r["emit"] for r in rows] == [False, False, True, False]
     # sticky flag latches at the close approach and stays on
     assert [r["alarm_triggered"] for r in rows] == [False, False, True, True]

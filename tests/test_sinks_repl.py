@@ -40,6 +40,34 @@ def test_decimation_change_gate(spark):
     assert decimate(frozen, CFG).count() == 0  # force_new_data suppresses all
 
 
+def test_decimation_phase_without_force_new(spark):
+    """Without the change gate the first eligible packet writes immediately
+    (airstrik.py:612-616): fix #2, then every Nth."""
+    cfg = EngineConfig(
+        remember_s=1000.0, min_trip_length_s=0.0,
+        decimation_factor=3, decimation_force_new_data=False,
+    )
+    seqs = sorted(r["update_seq"] for r in decimate(_obs(spark), cfg).collect())
+    assert seqs == [2, 5, 8]
+
+
+def test_decimation_factor_zero_closest_only(spark):
+    """decimation_factor=0 is the documented closest-only mode
+    (config.yaml:7): no per-update samples (and no modulo-by-zero), the
+    closest-approach sample is stored instead."""
+    from airstrik_py_spark.operators import kinematics as K
+    from airstrik_py_spark.operators.decimation import decimate_closest
+
+    cfg = EngineConfig(remember_s=1000.0, min_trip_length_s=0.0, decimation_factor=0)
+    obs = K.with_distance_home(_obs(spark), cfg)
+    assert decimate(obs, cfg).count() == 0
+    closest = decimate_closest(obs, cfg).collect()
+    assert len(closest) == 1
+    expected = min(obs.collect(), key=lambda r: (r["distance"], r["ts_sec"]))
+    assert closest[0]["ts_sec"] == expected["ts_sec"]
+    assert closest[0]["distance"] == expected["distance"]
+
+
 def test_store_roundtrip(spark, tmp_path):
     sess = S.with_session_id(K.with_distance_home(_obs(spark), CFG), CFG)
     trips = S.trips(sess, CFG)

@@ -189,10 +189,32 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float, n: int = 3) -> DataFrame:
+NGRAM_DF_MAX = 50  # drop shingles shared by more than this many docs
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float, n: int = 3, df_max: int = NGRAM_DF_MAX
+) -> DataFrame:
     """Exact n-gram Jaccard similarity on candidate pairs that share >= 1
-    shingle (inverted-index join, never all-pairs)."""
-    sh = shingles(docs, n)
+    RARE shingle (inverted-index join with a document-frequency cap,
+    never all-pairs).
+
+    The DF cap is the scale guard: an uncapped hot shingle shared by d docs
+    creates d^2 candidate pairs on one (skewed) join key — a stop-word-ish
+    shingle in 1% of a 100 TB corpus is ~10^12 pairs.  Standard prefix/DF
+    filtering drops shingles with df > df_max from the REPRESENTATION (both
+    intersection and sizes), so Jaccard stays a true set similarity over the
+    capped vocabulary and the join's per-key fan-out is bounded by df_max^2.
+    The DF count is a count-over-window on the shingle key, whose hash
+    exchange the self-join then reuses — the cap costs no extra shuffle.
+
+    (minhash_signature needs no such cap: it never joins on shingles — the
+    min-agg is keyed by doc_id and hot shingles cost it only linear work.)"""
+    from pyspark.sql import Window
+
+    sh = shingles(docs, n).withColumn(
+        "df", F.count("*").over(Window.partitionBy("shingle"))
+    ).filter(F.col("df") <= F.lit(df_max)).drop("df")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -30,17 +30,51 @@ def _with_vec(df: DataFrame) -> DataFrame:
     )
 
 
-def cosine_dup_pairs(emb: DataFrame, threshold: float) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: round-then-threshold so the
-    verdict is stable across engines' last-ulp summation differences."""
-    a = _with_vec(emb).select(F.col("vec_id").alias("id_a"), F.col("vec").alias("va"))
-    b = _with_vec(emb).select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+COSINE_BANDS = 8
+
+
+def srp_band_key(vec: Column, band: Column, bits: int = SRP_BITS) -> Column:
+    """Sign pattern of dims [band*bits+1 .. band*bits+bits] — one SRP band
+    key.  Out-of-range dims read as NULL -> '0' (mirrors DuckDB list
+    indexing), so short vectors still bucket deterministically."""
+    start = band * F.lit(bits)
+    return F.concat(
+        *[
+            F.when(F.try_element_at(vec, start + F.lit(i + 1)) >= 0.0, F.lit("1"))
+            .otherwise(F.lit("0"))
+            for i in range(bits)
+        ]
+    )
+
+
+def cosine_dup_pairs(emb: DataFrame, threshold: float, bands: int = COSINE_BANDS) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via SRP-banded candidate
+    generation: vectors sharing the sign pattern of ANY 8-dim block become
+    candidates (banded LSH, same shape as MinHash bands), exact cosine
+    re-rank inside buckets only, DISTINCT collapses multi-band hits.
+
+    NEVER all-pairs: the join is an equi-join on (band, bucket-key), so at
+    10^9 vectors work is sum of squared bucket sizes, not N^2/2 — the same
+    contract as lsh_candidate_pairs/simhash_pairs.  Recall is the standard
+    banded-SRP curve (p_agree^bits per band, 1-(1-p^8)^8 overall): ~0.94
+    for true near-dups (cos >= 0.9); lower-cos borderline pairs are
+    deliberately candidate-pruned.  Round-then-threshold keeps the verdict
+    stable across engines' last-ulp summation differences."""
+    base = (
+        _with_vec(emb)
+        .withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))))
+        .withColumn("bkey", srp_band_key(F.col("vec"), F.col("band")))
+    )
+    a = base.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("va"), "band", "bkey")
+    b = base.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"), "band", "bkey")
     cos = F.round(cosine(F.col("va"), F.col("vb")), 4)
     return (
-        pairs.withColumn("cos", cos)
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cos)
         .filter(F.col("cos") >= F.lit(threshold))
         .select("id_a", "id_b", "cos")
+        .distinct()
     )
 
 

@@ -7,12 +7,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from airstrik_py_spark.operators import dedup as D
+from airstrik_py_spark.operators.dedup import NGRAM_DF_MAX
 from airstrik_py_spark.operators.similarity import cosine_dup_pairs
 from airstrik_py_spark.session import pin_session
 from airstrik_py_spark.sources.tables import load_table
 
 JACCARD_THRESHOLD = 0.1
 COSINE_THRESHOLD = 0.4
+_COS_BANDS = 8
+_COS_BITS = 8
+# one SRP band key: sign bits of dims [band*8+1 .. band*8+8]; v[i] past the
+# end is NULL -> ELSE '0' (mirrors Spark try_element_at)
+_COS_BAND_KEY = " || ".join(
+    f"(CASE WHEN v[b.band * {_COS_BITS} + {i + 1}] >= 0 THEN '1' ELSE '0' END)"
+    for i in range(_COS_BITS)
+)
 
 # Shared shingle CTEs (mirror of operators/dedup.py::shingles)
 _SH = """
@@ -137,10 +146,14 @@ SELECT doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming FROM ham WHERE hamming 
 """,
     "dedup_ngram_jaccard": f"""
 WITH {_SH},
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+rare AS (
+  SELECT doc_id, s
+  FROM (SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh)
+  WHERE df <= {NGRAM_DF_MAX}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM rare GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2),
 jac AS (
   SELECT i.doc_a, i.doc_b, i.n_inter,
@@ -150,13 +163,20 @@ jac AS (
   JOIN sizes sb ON sb.doc_id = i.doc_b)
 SELECT doc_a, doc_b, n_inter, jaccard FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
 """,
+    # SRP-banded candidates + exact in-bucket re-rank — mirrors
+    # operators/similarity.py::cosine_dup_pairs (8 bands x 8 sign bits,
+    # out-of-range dims -> '0')
     "dedup_embedding_cosine": f"""
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           FROM embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           FROM embeddings),
+banded AS (
+  SELECT vec_id, v, b.band, {_COS_BAND_KEY} AS bkey
+  FROM e, (SELECT unnest(range(0, {_COS_BANDS})) AS band) b)
+SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_dot_product(a.v, b.v)
              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
-FROM e a JOIN e b ON a.vec_id < b.vec_id
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.v, b.v)
             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= {COSINE_THRESHOLD}
 """,

@@ -59,6 +59,26 @@ def test_ngram_jaccard_values(spark):
     assert (0, 3) not in out
 
 
+def test_ngram_jaccard_df_cap_drops_hot_shingles(spark):
+    """A shingle shared by more than df_max docs is dropped from the
+    representation: docs related ONLY through hot shingles produce no pair
+    (the 100 TB guard against d^2 candidate blowup on one join key)."""
+    hot = [(i, f"common shingle here unique{i} tail{i} word{i}") for i in range(6)]
+    docs = spark.createDataFrame(hot, "doc_id long, text string")
+    # 'common|shingle|here' appears in all 6 docs; everything else is unique
+    assert D.ngram_jaccard_pairs(docs, 0.01, df_max=5).count() == 0
+    # raising the cap re-admits the shared shingle -> 15 candidate pairs
+    assert D.ngram_jaccard_pairs(docs, 0.01, df_max=6).count() == 15
+
+
+def test_cosine_dup_pairs_plan_is_bucketed(spark):
+    """The candidate join must be an equi-join on (band, bucket) — never a
+    broadcast nested-loop cartesian (the r1 scale-killer)."""
+    plan = SIM.cosine_dup_pairs(_vecs(spark), 0.9)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def _vecs(spark):
     rows = [
         (0, [1.0, 0.0, 0.0, 0.0]),

@@ -20,9 +20,18 @@ _COS = (
     "round(list_dot_product(q.v, c.v) "
     "/ (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 4)"
 )
-_BUCKET = " || ".join(
-    f"(CASE WHEN v[{i + 1}] >= 0.0 THEN '1' ELSE '0' END)" for i in range(SIM.SRP_BITS)
+# SRP signature mirror: same literal ±1 hyperplanes as
+# operators/similarity.py::SRP_WEIGHTS, same round-6-then-sign rule.
+_SIG = " + ".join(
+    "(CASE WHEN round(list_dot_product(list_resize(v, {d}, 0.0), [{w}]), 6) >= 0.0 "
+    "THEN {bit} ELSE 0 END)".format(
+        d=SIM.SRP_DIM,
+        w=", ".join(str(x) for x in w),
+        bit=1 << j,
+    )
+    for j, w in enumerate(SIM.SRP_WEIGHTS)
 )
+_MASKS = ", ".join(str(m) for m in SIM.srp_probe_masks())
 
 
 def q_ann_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -57,10 +66,13 @@ QUALIFY rank <= {TOP_K}
 """,
     "ann_lsh_srp": f"""
 WITH {_E},
-b AS (SELECT *, {_BUCKET} AS bucket FROM e)
-SELECT q.vec_id AS query_id, q.bucket AS bucket, c.vec_id AS neighbor_id, {_COS} AS cos,
+sigd AS (SELECT vec_id, v, ({_SIG}) AS sig FROM e),
+probes AS (
+  SELECT vec_id, v, unnest(list_transform([{_MASKS}], m -> xor(sig, m))) AS bucket
+  FROM sigd WHERE vec_id < {N_QUERIES})
+SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS} AS cos,
        CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY {_COS} DESC, c.vec_id) AS INTEGER) AS rank
-FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+FROM probes q JOIN sigd c ON q.bucket = c.sig AND q.vec_id <> c.vec_id
 WHERE q.vec_id < {N_QUERIES}
 QUALIFY rank <= {TOP_K}
 """,

@@ -37,7 +37,24 @@ def _trips(spark, cfg, landing_dir):
     return S.filter_min_trip_length(S.trips_with_asof(sess, cfg), cfg)
 
 
+def trigger_kwargs(cfg, once: bool) -> dict:
+    """Micro-batch cadence: --once -> drain-and-exit; json_speed > 0 ->
+    trigger(processingTime=...) (config.yaml:12 / airstrik.py:86 sets the
+    snapshot update period); 0 -> as fast as possible (default trigger)."""
+    if once:
+        return {"availableNow": True}
+    if cfg.json_speed_s > 0:
+        return {"processingTime": f"{cfg.json_speed_s} seconds"}
+    return {}
+
+
+def _with_trigger(writer, kwargs: dict):
+    return writer.trigger(**kwargs) if kwargs else writer
+
+
 def cmd_run(args) -> None:
+    import os
+
     cfg = _cfg(args)
     spark = get_spark("airstrik-run")
     from airstrik_py_spark.sources.snapshot import read_snapshot_stream
@@ -54,20 +71,29 @@ def cmd_run(args) -> None:
         for row in pay_df.collect():
             print(f"[{row['topic']}] {row.asDict()}")
 
-    alarms = (
-        stream.writeStream.foreachBatch(alarm_foreach_batch(cfg, print_sink))
-        .trigger(availableNow=bool(args.once))
-        .start()
-    )
-    trips_q = (
+    if cfg.kafka_address:
+        from airstrik_py_spark.sinks import write_kafka
+
+        def alarm_sink(pay_df, epoch_id):
+            write_kafka(pay_df, cfg.kafka_address)
+    else:
+        alarm_sink = print_sink
+
+    # ≙ database[args.database_out] (airstrik.py:649-650): the trip store
+    # lands under <out>/<database-out>
+    store = os.path.join(args.out, args.database_out)
+    trig = trigger_kwargs(cfg, bool(args.once))
+    alarms = _with_trigger(
+        stream.writeStream.foreachBatch(alarm_foreach_batch(cfg, alarm_sink)), trig
+    ).start()
+    trips_q = _with_trigger(
         stream_trips(read_snapshot_stream(spark, args.landing_dir), cfg)
-        .writeStream.foreachBatch(foreach_batch_idempotent_parquet(args.out))
-        .trigger(availableNow=bool(args.once))
-        .start()
-    )
+        .writeStream.foreachBatch(foreach_batch_idempotent_parquet(store)),
+        trig,
+    ).start()
     alarms.awaitTermination()
     trips_q.awaitTermination()
-    print(f"trips written under {args.out}")
+    print(f"trips written under {store}")
 
 
 def cmd_repl(args) -> None:
@@ -142,6 +168,11 @@ def main() -> None:
     run.add_argument("--out", required=True)
     run.add_argument("--config")
     run.add_argument("--once", action="store_true", help="drain and exit (replay)")
+    run.add_argument(
+        "--database-out",
+        default="airstrikdb",
+        help="store (sub)database to write trips to (airstrik.py:23)",
+    )
     run.set_defaults(fn=cmd_run)
 
     repl = sub.add_parser("repl", help="interactive queries (dbread.py equivalent)")

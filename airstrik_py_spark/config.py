@@ -28,7 +28,10 @@ class Geofence:
 
 @dataclass(frozen=True)
 class EngineConfig:
-    # config.yaml:4-6 / airstrik.py:35 — origin for distance + alarm
+    # config.yaml:4-6 / airstrik.py:35 — origin for distance + alarm.
+    # Dataclass defaults are the ROUNDED fixture origin (tests + TESTDATA
+    # oracles use these literals); the REFERENCE profile overrides with
+    # config.yaml's full-precision coordinates.
     home_lat: float = 35.727
     home_lon: float = -78.696
     # config.yaml:1-2 / airstrik.py:242 — dead-reckoning horizon (seconds)
@@ -47,6 +50,15 @@ class EngineConfig:
     utc_time_offset_h: int = -4
     # config.yaml:14 / airstrik.py:308 — top-K display limit
     print_top_planes: int = 25
+    # config.yaml:12 / airstrik.py:86 — seconds between snapshot updates;
+    # 0 = as fast as possible (maps to Spark's default micro-batch trigger,
+    # > 0 maps to trigger(processingTime=...))
+    json_speed_s: float = 0.0
+    # config.yaml:15 / airstrik.py:649 — document-store address (used by the
+    # mongo-connector write path when its jars are present)
+    mongo_address: str = "127.0.0.1:27017"
+    # config.yaml:16 / airstrik.py:345,654-656 — empty = print fallback
+    kafka_address: str = ""
     # config.yaml:17-19 / airstrik.py:415-427
     filters: tuple[Geofence, ...] = (
         Geofence("close", 10.0, 1000.0),
@@ -97,15 +109,24 @@ def load_config(path: str) -> EngineConfig:
         ),
         utc_time_offset_h=int(raw.get("utc_time_offset", defaults.utc_time_offset_h)),
         print_top_planes=int(raw.get("print_top_planes", defaults.print_top_planes)),
+        json_speed_s=float(raw.get("json_speed", defaults.json_speed_s)),
+        mongo_address=str(raw.get("mongo_address", defaults.mongo_address)),
+        kafka_address=str(raw.get("kafka_address", defaults.kafka_address)),
         filters=filters or defaults.filters,
     )
 
 
-REFERENCE = EngineConfig()
+# The reference's literal defaults — home is config.yaml:5-6's
+# full-precision origin (the rounded 4-dp origin is a ~40 m shift that
+# changes every distance on a real deployment).
+REFERENCE = EngineConfig(home_lat=35.7270309, home_lon=-78.695587)
 
 # Same structure, cadence-scaled for the driver's `events` table (median
 # inter-event gap per key ~7 h): remember 60 s -> 6 h, min trip 90 s -> 1 h.
+# Keeps the ROUNDED fixture origin: the DuckDB oracle constants embed it.
 TESTDATA = EngineConfig(
+    home_lat=35.727,
+    home_lon=-78.696,
     remember_s=21600.0,
     min_trip_length_s=3600.0,
 )

@@ -76,8 +76,13 @@ def q_alarm_event_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KIN = kin_ctes()
-_DR = dead_reckoning_ctes(CFG.think_ahead, CFG.most_generous_dist_km)
+_KIN = kin_ctes(home_lat=CFG.home_lat, home_lon=CFG.home_lon)
+_DR = dead_reckoning_ctes(
+    CFG.think_ahead,
+    CFG.most_generous_dist_km,
+    home_lat=CFG.home_lat,
+    home_lon=CFG.home_lon,
+)
 
 QUERIES = {
     "alarm_dead_reckoning": q_alarm_dead_reckoning,

@@ -137,7 +137,7 @@ def q_agg_extremes_config(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_HAV_HOME = duck_haversine("35.727", "-78.696", "lat", "lon")
+_HAV_HOME = duck_haversine(str(REFERENCE.home_lat), str(REFERENCE.home_lon), "lat", "lon")
 
 QUERIES = {
     "source_snapshot_ingest": q_source_snapshot_ingest,

@@ -26,7 +26,9 @@ from airstrik_py_spark.sources.tables import TABLES, load_table, observations
 
 CFG = TESTDATA
 _CTES = session_ctes(CFG.remember_s)
-_KIN = kin_ctes()
+# the kafka-alert oracle pairs with REFERENCE-profile Spark queries, so it
+# uses the full-precision home origin
+_KIN = kin_ctes(home_lat=REFERENCE.home_lat, home_lon=REFERENCE.home_lon)
 _WIN = "PARTITION BY hex ORDER BY ts_sec, event_id"
 
 
@@ -291,7 +293,7 @@ FROM counted WHERE update_seq >= 3 AND (update_seq - 3) % 15 = 0
 """,
     "sink_kafka_alert": f"""
 WITH {_KIN},
-{dead_reckoning_ctes()}
+{dead_reckoning_ctes(home_lat=REFERENCE.home_lat, home_lon=REFERENCE.home_lon)}
 SELECT CASE WHEN distance <= 10.0 THEN 'airstrik-alert' ELSE 'airstrik-warning' END AS topic,
        count(*) AS n_events,
        count(DISTINCT hex) AS n_planes

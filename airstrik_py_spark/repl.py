@@ -10,8 +10,17 @@ Commands (dbread.py:180-187 dispatch table):
   list            -> store enumeration + per-plane trip counts
   search <preds>  -> F6 predicate search; caches view `last_search`
   dump <path>     -> S9 JSON dump of the last search
-  drop <view>     -> S10 temp-view drop
+  drop <name>     -> S10 drop, name-typed confirmation (drop_command,
+                     dbread.py:155-168): temp view, else catalog database
+  use [db]        -> switch/show the current database (use_command,
+                     dbread.py:170-175) — a real Spark catalog database
+  reset           -> consent-gated drop-ALL (reset_command, dbread.py:62-76:
+                     the exact consent sentence), drops every non-default
+                     database + temp view and returns to `default`
 Multi-statement `a & b` supported like dbread.py:194.
+
+Interactive confirmations go through `input_fn` (builtins.input by
+default) so tests and scripted runs can inject answers.
 """
 
 from __future__ import annotations
@@ -23,12 +32,19 @@ from pyspark.sql import DataFrame, SparkSession
 from airstrik_py_spark.operators.search import OPS, search_planes
 from airstrik_py_spark.sinks import write_json
 
+RESET_CONSENT = (
+    "I understand what will happen, and I consent to resetting the database."
+)
+
 
 class Repl:
-    def __init__(self, spark: SparkSession, obs: DataFrame, trips: DataFrame):
+    def __init__(
+        self, spark: SparkSession, obs: DataFrame, trips: DataFrame, input_fn=input
+    ):
         self.spark = spark
         self.obs = obs
         self.trips = trips
+        self.input_fn = input_fn
         obs.createOrReplaceTempView("obs")
         trips.createOrReplaceTempView("trips")
 
@@ -54,11 +70,56 @@ class Repl:
             write_json(matched, args[0])
             return matched
         if cmd == "drop":
-            self.spark.catalog.dropTempView(args[0])
-            return self.spark.sql("SHOW VIEWS")
+            return self._drop(args[0])
+        if cmd == "use":
+            return self._use(args)
+        if cmd == "reset":
+            return self._reset()
         if cmd == "sql":  # escape hatch the reference never had
             return self.spark.sql(stmt[4:])
         raise ValueError(f"unknown command: {cmd}")
+
+    def _drop(self, name: str) -> DataFrame:
+        """Name-typed confirmation then drop: temp view first, else catalog
+        database (the reference's per-dump-session database,
+        dbread.py:155-168)."""
+        if self.input_fn("To drop this table, enter its name: ") != name:
+            return self.spark.sql("SELECT 'abort' AS status")
+        if any(v.name == name for v in self.spark.catalog.listTables()):
+            self.spark.catalog.dropTempView(name)
+        elif any(d.name == name for d in self.spark.catalog.listDatabases()):
+            self.spark.sql(f"DROP DATABASE IF EXISTS `{name}` CASCADE")
+        else:
+            return self.spark.sql("SELECT 'ERR: table doesn''t exist' AS status")
+        return self.spark.sql("SHOW VIEWS")
+
+    def _use(self, args: list[str]) -> DataFrame:
+        """Switch the session's current database, creating it on first use
+        (the reference just repoints current_db, dbread.py:170-175); no args
+        shows the current one."""
+        if args:
+            db = args[0]
+            self.spark.sql(f"CREATE DATABASE IF NOT EXISTS `{db}`")
+            self.spark.sql(f"USE `{db}`")
+        return self.spark.sql("SELECT current_database() AS current_db")
+
+    def _reset(self) -> DataFrame:
+        """Drop EVERYTHING after the reference's exact typed consent
+        (dbread.py:62-76): every non-default catalog database, every temp
+        view, back to `default`."""
+        answer = self.input_fn(
+            'Type exactly this: "' + RESET_CONSENT + '"'
+        )
+        if answer != RESET_CONSENT:
+            return self.spark.sql("SELECT 'Does not match.' AS status")
+        self.spark.sql("USE default")
+        for d in self.spark.catalog.listDatabases():
+            if d.name != "default":
+                self.spark.sql(f"DROP DATABASE IF EXISTS `{d.name}` CASCADE")
+        for v in self.spark.catalog.listTables():
+            if v.isTemporary:
+                self.spark.catalog.dropTempView(v.name)
+        return self.spark.sql("SELECT current_database() AS current_db")
 
     @staticmethod
     def _parse_pred(token: str) -> tuple[str, str, float]:

@@ -24,8 +24,11 @@ decimation_factor: 15
 decimation_force_new_data: true
 utc_time_offset: -4
 remember: 60
+json_speed: 2
 min_trip_length: 90
 print_top_planes: 25
+mongo_address: "10.0.0.5:27017"
+kafka_address: "broker:9092"
 filters:
   close: [10, 1000]
   tooclose: [5, 1000]
@@ -37,6 +40,33 @@ filters:
     assert cfg.remember_s == 60.0
     assert cfg.most_generous_dist_km == 10.0
     assert [f.name for f in cfg.filters] == ["close", "tooclose"]
+    # config.yaml:12,15-16 drop-in fidelity
+    assert cfg.json_speed_s == 2.0
+    assert cfg.mongo_address == "10.0.0.5:27017"
+    assert cfg.kafka_address == "broker:9092"
+
+
+def test_reference_profile_uses_full_precision_home():
+    """config.yaml:5-6 literals, not the 4-dp fixture rounding (a ~40 m
+    origin shift on a real deployment)."""
+    from airstrik_py_spark.config import REFERENCE, TESTDATA
+
+    assert (REFERENCE.home_lat, REFERENCE.home_lon) == (35.7270309, -78.695587)
+    assert (TESTDATA.home_lat, TESTDATA.home_lon) == (35.727, -78.696)
+
+
+def test_trigger_kwargs_from_json_speed():
+    """json_speed -> processingTime trigger (config.yaml:12, airstrik.py:86)."""
+    from airstrik_py_spark.__main__ import trigger_kwargs
+    from airstrik_py_spark.config import EngineConfig
+
+    assert trigger_kwargs(EngineConfig(json_speed_s=2.0), once=False) == {
+        "processingTime": "2.0 seconds"
+    }
+    assert trigger_kwargs(EngineConfig(json_speed_s=0.0), once=False) == {}
+    assert trigger_kwargs(EngineConfig(json_speed_s=2.0), once=True) == {
+        "availableNow": True
+    }
 
 
 def test_csvdump_subcommand(tmp_path):

@@ -125,6 +125,52 @@ def test_repl_dispatch(spark, tmp_path):
     assert spark.read.json(str(tmp_path / "dump")).count() > 0
 
 
+def test_repl_use_and_reset(spark):
+    """use/reset parity (dbread.py:170-175, 62-76): database switching plus
+    the consent-gated drop-all."""
+    from airstrik_py_spark.repl import RESET_CONSENT
+
+    obs = _obs(spark)
+    sess = S.with_session_id(K.with_distance_home(obs, CFG), CFG)
+    trips = S.trips(sess, CFG)
+    answers = []
+    repl = Repl(spark, obs, trips, input_fn=lambda prompt: answers.pop(0))
+
+    assert repl.execute("use")[0].first()["current_db"] == "default"
+    assert repl.execute("use jun9_1090")[0].first()["current_db"] == "jun9_1090"
+    assert "jun9_1090" in [d.name for d in spark.catalog.listDatabases()]
+
+    # wrong consent sentence -> nothing dropped
+    answers.append("yes please")
+    assert repl.execute("reset")[0].first()["status"] == "Does not match."
+    assert "jun9_1090" in [d.name for d in spark.catalog.listDatabases()]
+
+    # exact consent -> non-default databases gone, back on default
+    answers.append(RESET_CONSENT)
+    assert repl.execute("reset")[0].first()["current_db"] == "default"
+    assert "jun9_1090" not in [d.name for d in spark.catalog.listDatabases()]
+
+
+def test_repl_drop_confirmation(spark):
+    """drop requires re-typing the name (drop_command, dbread.py:155-168)."""
+    obs = _obs(spark)
+    sess = S.with_session_id(K.with_distance_home(obs, CFG), CFG)
+    trips = S.trips(sess, CFG)
+    answers = []
+    repl = Repl(spark, obs, trips, input_fn=lambda prompt: answers.pop(0))
+
+    spark.range(1).createOrReplaceTempView("probe_view")
+    answers.append("wrong_name")
+    assert repl.execute("drop probe_view")[0].first()["status"] == "abort"
+    assert any(t.name == "probe_view" for t in spark.catalog.listTables())
+    answers.append("probe_view")
+    repl.execute("drop probe_view")
+    assert not any(t.name == "probe_view" for t in spark.catalog.listTables())
+    answers.append("no_such_thing")
+    out = repl.execute("drop no_such_thing")[0].first()["status"]
+    assert out.startswith("ERR")
+
+
 def test_trip_documents_nested_schema(spark, tmp_path):
     """FIXTURES.md A3 golden shape: pair structs, extras, filters map."""
     from airstrik_py_spark.config import EngineConfig

@@ -54,7 +54,11 @@ def flatten_snapshots(snap: DataFrame) -> DataFrame:
     per-aircraft loop at airstrik.py:481): explode + struct expansion, with
     the snapshot `now` stamped as event time."""
     return (
-        snap.select(F.col("now"), F.explode("aircraft").alias("a"))
+        snap.select(
+            F.col("now"),
+            F.input_file_name().alias("_src"),
+            F.posexplode("aircraft").alias("_pos", "a"),
+        )
         .select(
             F.col("a.hex").alias("hex"),
             F.timestamp_seconds(F.col("now")).alias("ts"),
@@ -65,12 +69,11 @@ def flatten_snapshots(snap: DataFrame) -> DataFrame:
             F.col("a.nav_heading").alias("nav_heading"),
             F.col("a.alt_geom").alias("alt_geom"),
             F.col("a.seen").alias("seen"),
-        )
-        .withColumn(
             # deterministic tie-break surrogate (monotonically_increasing_id
-            # is unsupported on streams and differs between replays)
-            "event_id",
-            F.xxhash64("hex", "ts_sec"),
+            # is unsupported on streams and differs between replays), salted
+            # with the source file + array position so true duplicate
+            # (hex, ts) rows keep a TOTAL order under streaming replay
+            F.xxhash64("a.hex", "now", "_src", "_pos").alias("event_id"),
         )
     )
 

@@ -42,8 +42,20 @@ def with_stream_distance(obs: DataFrame, cfg: EngineConfig) -> DataFrame:
 def stream_trips(obs: DataFrame, cfg: EngineConfig) -> DataFrame:
     """W5 in pure streaming form: session_window(gap=remember) + the A2/A3/A4
     trip fold as streaming-safe aggregates.  Emission happens when the
-    watermark passes session end + gap — the reference's close condition."""
-    gap = f"{int(cfg.remember_s)} seconds"
+    watermark passes session end + gap — the reference's close condition.
+
+    Boundary semantics: the reference closes a session only when the gap is
+    STRICTLY greater than `remember` (airstrik.py:482), but session_window's
+    end is exclusive — an event exactly `remember` after the last would
+    start a new session.  The +1 ms epsilon keeps exact-boundary gaps in the
+    same session, matching batch with_session_id.
+
+    The `alarmed` flag here is the per-event approximation that a pure
+    streaming aggregate can express (strict-< zone test + same-row altitude
+    ceiling); the fully faithful sticky flag — running last-altitude and the
+    >=2-unique-fix sim gate (airstrik.py:272-277) — needs keyed state and
+    lives in streaming/stateful.py::tracked_stream."""
+    gap = f"{int(cfg.remember_s * 1000) + 1} milliseconds"
     watermark = f"{int(cfg.remember_s * 2)} seconds"
     clean_flight = F.regexp_replace("flight", " ", "")
     closest = F.min(
@@ -76,7 +88,7 @@ def stream_trips(obs: DataFrame, cfg: EngineConfig) -> DataFrame:
             closest.getField("t").alias("closest_sec"),
             F.max(
                 F.when(
-                    (F.col("distance") <= F.lit(cfg.most_generous_dist_km))
+                    (F.col("distance") < F.lit(cfg.most_generous_dist_km))
                     & (
                         F.col("alt_geom").isNull()
                         | (F.col("alt_geom") <= F.lit(cfg.most_generous_alt_m))

@@ -60,6 +60,47 @@ def test_snapshot_flatten_schema(spark, tmp_path):
     assert obs.filter("flight IS NULL").count() == 5  # b never broadcasts
 
 
+def test_duplicate_rows_keep_total_order(spark, tmp_path):
+    """True duplicate (hex, ts) rows — the same aircraft listed twice in one
+    snapshot, or identical rows in two files — get DISTINCT event_ids (the
+    tie-break is salted with source file + array position), so replays have
+    a total order."""
+    tape = str(tmp_path / "dup_tape")
+    os.makedirs(tape)
+    entry = {"hex": "a", "lat": 35.7, "lon": -78.7, "alt_geom": 500.0, "seen": 0.1}
+    with open(os.path.join(tape, "s0.json"), "w") as f:
+        json.dump({"now": BASE, "aircraft": [entry, entry]}, f)
+    with open(os.path.join(tape, "s1.json"), "w") as f:
+        json.dump({"now": BASE, "aircraft": [entry]}, f)
+    obs = read_snapshot_batch(spark, tape)
+    rows = obs.collect()
+    assert len(rows) == 3
+    assert len({r["event_id"] for r in rows}) == 3  # all distinct
+    # and deterministic across reads
+    again = {r["event_id"] for r in read_snapshot_batch(spark, tape).collect()}
+    assert {r["event_id"] for r in rows} == again
+
+
+def test_stream_exact_boundary_gap_stays_one_session(spark, tmp_path):
+    """A gap of EXACTLY remember seconds must not split the session on the
+    streaming path either (reference strict >, airstrik.py:482; the
+    session_window gap carries a +1 ms epsilon for this)."""
+    tape = str(tmp_path / "edge_tape")
+    os.makedirs(tape)
+    snaps = [
+        {"now": BASE, "aircraft": [{"hex": "a", "lat": 35.7, "lon": -78.7, "seen": 0.1}]},
+        {"now": BASE + 60, "aircraft": [{"hex": "a", "lat": 35.71, "lon": -78.7, "seen": 0.1}]},
+        {"now": BASE + 10000, "aircraft": [{"hex": "zz", "lat": 0.0, "lon": 0.0, "seen": 0.1}]},
+    ]
+    for i, snap in enumerate(snaps):
+        with open(os.path.join(tape, f"s{i}.json"), "w") as f:
+            json.dump(snap, f)
+    run_to_memory(stream_trips(read_snapshot_stream(spark, tape), CFG), "edge_trips")
+    rows = [r for r in spark.table("edge_trips").collect() if r["flight_id"] == "a"]
+    assert len(rows) == 1
+    assert rows[0]["n_obs"] == 2
+
+
 def test_stream_equals_batch_trips(spark, tmp_path):
     tape = str(tmp_path / "tape2")
     os.makedirs(tape)

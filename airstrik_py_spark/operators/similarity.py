@@ -193,6 +193,123 @@ def ann_srp_lsh(
     )
 
 
+KMEANS_CELLS = 8
+KMEANS_ITERS = 3
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    """Squared L2 rounded to 6 dp before the argmin so last-ulp summation
+    differences can't flip a cell assignment between engines."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+
+
+def _assign_cells(emb_vec: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment with ZERO shuffle on the vector side: the
+    k-row centroid table collapses to ONE array-of-structs row, broadcast
+    cross-joined, and `array_min` over struct(dist, cell) is the argmin
+    (lexicographic struct order = min dist, ties to the lowest cell id —
+    the same total order as the oracle's ORDER BY dist, cell).  This is the
+    classic scalable Lloyd shape: centroids ride the broadcast, vectors
+    never move."""
+    carr = cents.agg(F.collect_list(F.struct("cell", "cvec")).alias("cs"))
+    best = F.array_min(
+        F.transform(
+            F.col("cs"),
+            lambda c: F.struct(
+                _sq_dist(F.col("vec"), c.getField("cvec")).alias("d"),
+                c.getField("cell").alias("cell"),
+            ),
+        )
+    )
+    return (
+        emb_vec.join(F.broadcast(carr))
+        .withColumn("cell", best.getField("cell"))
+        .drop("cs")
+    )
+
+
+def _update_centroids(assigned: DataFrame, dim: int) -> DataFrame:
+    """Coordinate-wise mean per cell, each coordinate rounded to 6 dp (the
+    oracle mirrors with the same literal round(avg(v[i]),6) list).  groupBy
+    on <= k cells is map-side-combined: one tiny shuffle regardless of N."""
+    # F.get -> NULL past the end (DuckDB v[i] OOB semantics), avg skips NULLs
+    aggs = [
+        F.round(F.avg(F.get(F.col("vec"), F.lit(i))), 6).alias(f"_c{i}")
+        for i in range(dim)
+    ]
+    g = assigned.groupBy("cell").agg(*aggs)
+    return g.select(
+        "cell", F.array(*[F.col(f"_c{i}") for i in range(dim)]).alias("cvec")
+    )
+
+
+def kmeans_cells(
+    emb: DataFrame,
+    n_cells: int = KMEANS_CELLS,
+    iters: int = KMEANS_ITERS,
+    dim: int = SRP_DIM,
+) -> DataFrame:
+    """Deterministic Lloyd k-means over the embedding column: init centroids
+    are the `n_cells` lowest vec_ids (engine-agnostic seed), then `iters`
+    rounds of broadcast-assign + map-side-combined mean update.  Returns
+    (vec_id, vec, cell) — the trained coarse quantizer for IVF.
+
+    Scale: per iteration the N-row side does one broadcast join (no
+    shuffle) and one k-group aggregate (partial agg, k*dim doubles on the
+    wire).  At 10^9 vectors you'd checkpoint the k-row centroid frame per
+    iteration to cut lineage; semantics are unchanged."""
+    ev = _with_vec(emb).select("vec_id", "vec")
+    cents = ev.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").cast("int").alias("cell"), F.col("vec").alias("cvec")
+    )
+    for _ in range(iters):
+        cents = _update_centroids(_assign_cells(ev, cents), dim)
+    return _assign_cells(ev, cents).select("vec_id", "vec", "cell")
+
+
+def ann_ivf_kmeans(
+    emb: DataFrame,
+    n_queries: int,
+    k: int,
+    n_cells: int = KMEANS_CELLS,
+    iters: int = KMEANS_ITERS,
+    dim: int = SRP_DIM,
+) -> DataFrame:
+    """IVF ANN over a REAL trained coarse quantizer (kmeans_cells), not the
+    fixture label: probe the query's own cell, exact cosine re-rank inside.
+    Same output contract as ann_ivf_label (query_id, cell, neighbor_id,
+    cos, rank)."""
+    from pyspark.sql import Window
+
+    cells = kmeans_cells(emb, n_cells, iters, dim)
+    q = cells.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qv"), "cell"
+    )
+    c = cells.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("cv"), "cell"
+    )
+    scored = (
+        q.join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cell", "neighbor_id", "cos", "rank")
+    )
+
+
 def ann_ivf_label(emb: DataFrame, n_queries: int, k: int) -> DataFrame:
     """IVF-style ANN with the fixture `label` as the coarse cell: probe only
     the query's cell, exact re-rank inside."""

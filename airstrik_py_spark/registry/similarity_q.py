@@ -34,6 +34,37 @@ _SIG = " + ".join(
 _MASKS = ", ".join(str(m) for m in SIM.srp_probe_masks())
 
 
+def _kmeans_ctes(n_cells: int, iters: int, dim: int) -> str:
+    """Unrolled Lloyd iterations as DuckDB CTEs mirroring
+    operators/similarity.py::kmeans_cells exactly: squared-L2 rounded to 6
+    dp before the argmin (ORDER BY dist, cell = Spark's struct array_min),
+    coordinate means rounded to 6 dp (the literal [round(avg(v[i]),6)...]
+    list = Spark's per-coordinate agg).  DuckDB lists are 1-based, Spark
+    getItem is 0-based — v[i] here pairs with vec[i-1] there."""
+    avgs = ", ".join(f"round(avg(v[{i}]), 6)" for i in range(1, dim + 1))
+    parts = [
+        f"c0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS cvec FROM e WHERE vec_id < {n_cells})"
+    ]
+    for it in range(iters + 1):
+        parts.append(
+            f"""s{it} AS (
+  SELECT vec_id, v, cell, round(list_dot_product(d, d), 6) AS dist
+  FROM (SELECT e.vec_id, e.v, c.cell,
+               list_transform(range(1, {dim + 1}), i -> e.v[i] - c.cvec[i]) AS d
+        FROM e CROSS JOIN c{it} c) t)"""
+        )
+        parts.append(
+            f"""a{it} AS (
+  SELECT vec_id, v, cell FROM s{it}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1)"""
+        )
+        if it < iters:
+            parts.append(
+                f"c{it + 1} AS (SELECT cell, [{avgs}] AS cvec FROM a{it} GROUP BY cell)"
+            )
+    return ",\n".join(parts)
+
+
 def q_ann_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_session(spark)
     return SIM.ann_bruteforce(load_table(spark, sf_dir, "embeddings"), N_QUERIES, TOP_K)
@@ -49,10 +80,16 @@ def q_ann_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ann_ivf_label(load_table(spark, sf_dir, "embeddings"), N_QUERIES, TOP_K)
 
 
+def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_session(spark)
+    return SIM.ann_ivf_kmeans(load_table(spark, sf_dir, "embeddings"), N_QUERIES, TOP_K)
+
+
 QUERIES = {
     "ann_bruteforce_cosine": q_ann_bruteforce_cosine,
     "ann_lsh_srp": q_ann_lsh_srp,
     "ann_ivf_label": q_ann_ivf_label,
+    "ann_ivf_kmeans": q_ann_ivf_kmeans,
 }
 
 ORACLES = {
@@ -81,6 +118,16 @@ WITH {_E}
 SELECT q.vec_id AS query_id, q.label AS cell, c.vec_id AS neighbor_id, {_COS} AS cos,
        CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY {_COS} DESC, c.vec_id) AS INTEGER) AS rank
 FROM e q JOIN e c ON q.label = c.label AND q.vec_id <> c.vec_id
+WHERE q.vec_id < {N_QUERIES}
+QUALIFY rank <= {TOP_K}
+""",
+    "ann_ivf_kmeans": f"""
+WITH {_E},
+{_kmeans_ctes(SIM.KMEANS_CELLS, SIM.KMEANS_ITERS, SIM.SRP_DIM)}
+SELECT q.vec_id AS query_id, q.cell AS cell, c.vec_id AS neighbor_id, {_COS} AS cos,
+       CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY {_COS} DESC, c.vec_id) AS INTEGER) AS rank
+FROM a{SIM.KMEANS_ITERS} q JOIN a{SIM.KMEANS_ITERS} c
+  ON q.cell = c.cell AND q.vec_id <> c.vec_id
 WHERE q.vec_id < {N_QUERIES}
 QUALIFY rank <= {TOP_K}
 """,

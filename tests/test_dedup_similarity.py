@@ -112,3 +112,44 @@ def test_ann_srp_bucket_excludes_opposite_sign(spark):
     neigh = {r["neighbor_id"] for r in out}
     assert 3 not in neigh  # opposite first-dim sign -> different bucket
     assert 1 in neigh
+
+
+def _clustered_vecs(spark):
+    """Two tight clusters: even ids near e1, odd ids near e2.  Init centroids
+    (vec_id 0 and 1) land one per cluster, so 2-cell Lloyd must separate
+    them perfectly."""
+    rows = []
+    for i in range(8):
+        eps = 0.01 * i
+        if i % 2 == 0:
+            rows.append((i, [1.0, eps, 0.0, 0.0]))
+        else:
+            rows.append((i, [eps, 1.0, 0.0, 0.0]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_kmeans_cells_separates_clusters(spark):
+    cells = {
+        r["vec_id"]: r["cell"]
+        for r in SIM.kmeans_cells(_clustered_vecs(spark), n_cells=2, iters=2, dim=4).collect()
+    }
+    assert {cells[i] for i in (0, 2, 4, 6)} == {0}
+    assert {cells[i] for i in (1, 3, 5, 7)} == {1}
+
+
+def test_kmeans_cells_deterministic(spark):
+    a = SIM.kmeans_cells(_clustered_vecs(spark), n_cells=2, iters=2, dim=4).collect()
+    b = SIM.kmeans_cells(_clustered_vecs(spark), n_cells=2, iters=2, dim=4).collect()
+    assert sorted((r["vec_id"], r["cell"]) for r in a) == sorted(
+        (r["vec_id"], r["cell"]) for r in b
+    )
+
+
+def test_ann_ivf_kmeans_probes_own_cluster(spark):
+    out = SIM.ann_ivf_kmeans(_clustered_vecs(spark), n_queries=2, k=3, n_cells=2, iters=2, dim=4).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # query 0 (even cluster) only sees even neighbors; query 1 only odd
+    assert by_q[0] <= {2, 4, 6}
+    assert by_q[1] <= {3, 5, 7}

@@ -46,11 +46,14 @@ def _spread(docs: DataFrame) -> DataFrame:
 
 
 def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct (doc_id, shingle) long form — the inverted-index base."""
-    return (
-        _spread(docs)
-        .select("doc_id", F.explode(_shingle_array(F.col("text"), n)).alias("shingle"))
-        .distinct()
+    """Distinct (doc_id, shingle) long form — the inverted-index base.
+    Dedup happens map-side in the array domain (array_distinct before the
+    explode): shingle uniqueness is per-document, so a wide
+    (doc_id, shingle) distinct-shuffle would be pure waste — at 100 TB
+    that's a ~100x-row exchange avoided."""
+    return _spread(docs).select(
+        "doc_id",
+        F.explode(F.array_distinct(_shingle_array(F.col("text"), n))).alias("shingle"),
     )
 
 

@@ -92,11 +92,98 @@ def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("doc_id", "media_type", "payload_len", "width", "height")
 
 
+GATE_MIN_WORDS = 30
+GATE_MAX_WORDS = 1000
+GATE_MIN_AVG_LEN = 3.0
+GATE_MAX_AVG_LEN = 10.0
+GATE_MAX_DUP3 = 0.5
+
+
+def q_text_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style hard quality gates, pure Catalyst: word-count range,
+    mean-word-length range, stopword presence, and the Gopher duplicate
+    word-3-gram fraction (1 - distinct/total), AND-folded into `keep`.
+    At 100 TB this is a single narrow map stage — no shuffle at all."""
+    pin_session(spark)
+    d = load_table(spark, sf_dir, "documents").withColumn("words", F.split("text", " "))
+    n_tok = F.size("words")
+    avg_len = (F.length("text") - (n_tok - 1).cast("double")) / n_tok.cast("double")
+    # guarded like dedup._shingle_array: sequence() runs BACKWARDS when
+    # stop < start, so short docs need the explicit empty branch
+    grams = F.expr(
+        "CASE WHEN size(words) >= 3 THEN "
+        "transform(sequence(1, size(words) - 2), "
+        "i -> concat_ws('|', words[i-1], words[i], words[i+1])) "
+        "ELSE CAST(array() AS array<string>) END"
+    )
+    dup3 = F.when(
+        F.size(grams) > 0,
+        F.round(
+            1.0 - F.size(F.array_distinct(grams)).cast("double") / F.size(grams).cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    g_words = (n_tok >= GATE_MIN_WORDS) & (n_tok <= GATE_MAX_WORDS)
+    g_avg = (F.round(avg_len, 6) >= GATE_MIN_AVG_LEN) & (
+        F.round(avg_len, 6) <= GATE_MAX_AVG_LEN
+    )
+    g_stop = F.size(F.filter("words", lambda w: (w == STOPWORDS[0]) | (w == STOPWORDS[1]))) > 0
+    g_dup = dup3 <= GATE_MAX_DUP3
+    return d.select(
+        "doc_id",
+        g_words.alias("gate_word_count"),
+        g_avg.alias("gate_avg_word_len"),
+        g_stop.alias("gate_has_stopword"),
+        dup3.alias("dup_3gram_frac"),
+        g_dup.alias("gate_repetition"),
+        (g_words & g_avg & g_stop & g_dup).alias("keep"),
+    )
+
+
+def q_corpus_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level rollup by (source, lang): doc/token/char totals, mean
+    chars, exact median token count.  One map-side-combined shuffle on a
+    low-cardinality key; the exact median is fine at any scale because
+    groups stay small in count-space (swap to approx_percentile only if a
+    single group's token-count SET can't be sorted — it always can)."""
+    pin_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    return (
+        d.groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(n_tok).alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.round(F.median(n_tok.cast("double")), 1).alias("median_tokens"),
+        )
+    )
+
+
+def q_split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/eval split by content-free id hash: first hex
+    nibble of md5(doc_id) < 'c' -> train (~75%).  Engine-agnostic and
+    stable under reruns/backfills — the property a training pipeline needs
+    from a split (no RNG, no row order dependence).  Pure map stage."""
+    pin_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return d.select(
+        "doc_id",
+        nib.alias("hash_nibble"),
+        F.when(nib < "c", F.lit("train")).otherwise(F.lit("eval")).alias("split"),
+    )
+
+
 QUERIES = {
     "text_langid": q_text_langid,
     "text_quality": q_text_quality,
     "text_tokens": q_text_tokens,
     "text_fingerprint": q_text_fingerprint,
+    "text_quality_gates": q_text_quality_gates,
+    "corpus_stats_rollup": q_corpus_stats_rollup,
+    "split_train_eval": q_split_train_eval,
     "multimodal_metadata": q_multimodal_metadata,
 }
 
@@ -148,6 +235,52 @@ SELECT doc_id,
        list_reduce(list_prepend(CAST(0 AS BIGINT), terms),
                    (a, b) -> (a * 31 + b) % {FNV_MOD}) AS fingerprint
 FROM t
+""",
+    "text_quality_gates": f"""
+WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents),
+g AS (
+  SELECT doc_id,
+         len(words) AS n_tok,
+         round((length(text) - CAST(len(words) - 1 AS DOUBLE)) / CAST(len(words) AS DOUBLE), 6) AS avg_len,
+         len(list_filter(words, w -> w IN ('the', 'a'))) > 0 AS has_stop,
+         CASE WHEN len(words) >= 3
+              THEN list_transform(range(1, len(words) - 1),
+                   i -> words[i] || '|' || words[i+1] || '|' || words[i+2])
+              ELSE [] END AS grams
+  FROM d),
+m AS (
+  SELECT doc_id, n_tok, avg_len, has_stop,
+         CASE WHEN len(grams) > 0
+              THEN round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE), 6)
+              ELSE 0.0 END AS dup3
+  FROM g)
+SELECT doc_id,
+       (n_tok >= {GATE_MIN_WORDS} AND n_tok <= {GATE_MAX_WORDS}) AS gate_word_count,
+       (avg_len >= {GATE_MIN_AVG_LEN} AND avg_len <= {GATE_MAX_AVG_LEN}) AS gate_avg_word_len,
+       has_stop AS gate_has_stopword,
+       dup3 AS dup_3gram_frac,
+       (dup3 <= {GATE_MAX_DUP3}) AS gate_repetition,
+       ((n_tok >= {GATE_MIN_WORDS} AND n_tok <= {GATE_MAX_WORDS})
+        AND (avg_len >= {GATE_MIN_AVG_LEN} AND avg_len <= {GATE_MAX_AVG_LEN})
+        AND has_stop AND dup3 <= {GATE_MAX_DUP3}) AS keep
+FROM m
+""",
+    "corpus_stats_rollup": """
+SELECT source, lang,
+       count(*) AS n_docs,
+       sum(len(string_split(text, ' '))) AS total_tokens,
+       sum(n_chars) AS total_chars,
+       round(avg(n_chars), 6) AS avg_chars,
+       round(median(CAST(len(string_split(text, ' ')) AS DOUBLE)), 1) AS median_tokens
+FROM documents
+GROUP BY source, lang
+""",
+    "split_train_eval": """
+SELECT doc_id,
+       substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS hash_nibble,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+            THEN 'train' ELSE 'eval' END AS split
+FROM documents
 """,
     "multimodal_metadata": f"""
 SELECT doc_id,

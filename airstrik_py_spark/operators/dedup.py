@@ -192,6 +192,54 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
+def dedup_clusters(pairs: DataFrame) -> DataFrame:
+    """Connected components over a near-duplicate pair graph -> one cluster
+    per component, labeled by its minimum doc_id (the canonical survivor).
+    Input: (doc_a, doc_b) candidate/confirmed pairs; output: (doc_id,
+    cluster_id) for every doc that appears in some pair.
+
+    Algorithm: min-label propagation to fixpoint — labels start as the
+    node id; each round every node takes the min of its own and its
+    neighbors' labels; stop when a round changes nothing.  Rounds are
+    bounded by the graph diameter (near-dup components are shallow:
+    star-ish clusters converge in 2-3 rounds).  Per round: one equi-join
+    on node id + one map-side-combined min-agg — all hash exchanges on the
+    same key, no N^2 anywhere.  The driver-side loop is control flow only
+    (a `.isEmpty()` convergence probe, not data collection); at web scale
+    you'd swap in the large-star/small-star variant (Kiveris et al.) with
+    the same output contract.  The DuckDB oracle computes the same
+    fixpoint as a recursive-CTE transitive closure."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
+        "lbl", F.col("doc_id")
+    )
+    while True:
+        neigh = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        merged = (
+            labels.join(neigh, labels.doc_id == neigh.src, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias(
+                    "new_lbl"
+                ),
+                "lbl",
+            )
+        )
+        changed = merged.filter(F.col("new_lbl") != F.col("lbl"))
+        new_labels = merged.select("doc_id", F.col("new_lbl").alias("lbl")).localCheckpoint()
+        if changed.isEmpty():
+            return new_labels.select("doc_id", F.col("lbl").alias("cluster_id"))
+        labels = new_labels
+
+
 NGRAM_DF_MAX = 50  # drop shingles shared by more than this many docs
 
 

@@ -90,6 +90,15 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_dup_pairs(load_table(spark, sf_dir, "embeddings"), COSINE_THRESHOLD)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from the MinHash-LSH pair graph: connected
+    components by min-label propagation, canonical doc = component min."""
+    pin_session(spark)
+    return D.dedup_clusters(
+        D.lsh_candidate_pairs(load_table(spark, sf_dir, "documents"))
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_normalized": q_dedup_normalized,
@@ -97,6 +106,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "dedup_clusters": q_dedup_clusters,
 }
 
 ORACLES = {
@@ -179,5 +189,36 @@ FROM banded a JOIN banded b
   ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.v, b.v)
             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= {COSINE_THRESHOLD}
+""",
+    # Same MinHash band CTEs as dedup_minhash_lsh, then connected components
+    # as a recursive-CTE transitive closure (UNION-dedup recursion reaches
+    # the same fixpoint as Spark's min-label propagation loop)
+    "dedup_clusters": f"""
+WITH RECURSIVE {_SH},
+sig AS (
+  SELECT doc_id,
+         min(md5('0|' || s)) AS h0, min(md5('1|' || s)) AS h1,
+         min(md5('2|' || s)) AS h2, min(md5('3|' || s)) AS h3,
+         min(md5('4|' || s)) AS h4, min(md5('5|' || s)) AS h5
+  FROM sh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 0 AS band, md5('0' || '|' || h0 || '|' || h1) AS bkey FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5('1' || '|' || h2 || '|' || h3) AS bkey FROM sig
+  UNION ALL
+  SELECT doc_id, 2 AS band, md5('2' || '|' || h4 || '|' || h5) AS bkey FROM sig),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+FROM reach GROUP BY src
 """,
 }

@@ -153,3 +153,24 @@ def test_ann_ivf_kmeans_probes_own_cluster(spark):
     # query 0 (even cluster) only sees even neighbors; query 1 only odd
     assert by_q[0] <= {2, 4, 6}
     assert by_q[1] <= {3, 5, 7}
+
+
+def test_dedup_clusters_components(spark):
+    """Two components: {1,2,3} chained (not all directly linked) and {7,9};
+    every member labels with the component min."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "doc_a long, doc_b long"
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in D.dedup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
+def test_dedup_clusters_long_chain_converges(spark):
+    """A 10-node path graph needs multiple propagation rounds (diameter 9);
+    the fixpoint loop must still converge to a single min label."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(10, 19)], "doc_a long, doc_b long"
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in D.dedup_clusters(pairs).collect()}
+    assert set(out.values()) == {10}
+    assert len(out) == 10

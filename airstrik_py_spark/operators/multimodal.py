@@ -91,3 +91,73 @@ def extract_features(media: DataFrame) -> DataFrame:
             yield out
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_feat", T.DoubleType()),
+    ]
+)
+
+
+def _frame_count_stub(payload: bytes) -> int:
+    """Deterministic fake frame count (real path: ffprobe/cv2 frame count)."""
+    if REAL_CODECS_AVAILABLE:  # pragma: no cover
+        raise NotImplementedError("wire ffprobe frame counting here")
+    return 1 + payload[2] % 60
+
+
+def sample_frames(media: DataFrame, every_n: int = 5) -> DataFrame:
+    """Frame sampling plumbing: one input row fans out to one row per
+    sampled frame (indices 0, every_n, 2*every_n, ... < n_frames) — the
+    REAL batch shape of video frame extraction (mapInPandas yielding more
+    rows than it consumes), with the codec stubbed deterministically.
+    Partition-preserving: a row's frames stay in its partition, so a
+    downstream per-frame model UDF needs no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, totals, idxs, feats = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = _frame_count_stub(payload)
+                for i in range(0, n, every_n):
+                    ids.append(doc_id)
+                    totals.append(n)
+                    idxs.append(i)
+                    feats.append(round(payload[(i * 3) % 16] / 255.0, 6))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_frames": pd.Series(totals, dtype="int32"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_feat": pd.Series(feats, dtype="float64"),
+                }
+            )
+
+    return media.mapInPandas(run, FRAME_SCHEMA)
+
+
+def resize_plan(feats: DataFrame, max_side: int = 32) -> DataFrame:
+    """Aspect-preserving resize PLAN from decoded dims: integer-only math
+    (target = side * max_side // long_side) so every engine lands on the
+    same pixel dims — no float rounding at decision boundaries.  Pure
+    Catalyst; the actual pixel resample belongs in the stubbed decode."""
+    w, h = F.col("width"), F.col("height")
+    long_side = F.greatest(w, h)
+    needs = long_side > F.lit(max_side)
+
+    def target(side: F.Column) -> F.Column:
+        scaled = F.floor((side * max_side).cast("long") / long_side).cast("int")
+        return F.when(needs, F.greatest(F.lit(1), scaled)).otherwise(side)
+
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        target(w).alias("target_w"),
+        target(h).alias("target_h"),
+        needs.alias("scaled"),
+    )

@@ -7,7 +7,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from airstrik_py_spark.operators.multimodal import attach_fake_media, extract_features
+from airstrik_py_spark.operators.multimodal import (
+    attach_fake_media,
+    extract_features,
+    resize_plan,
+    sample_frames,
+)
 from airstrik_py_spark.session import pin_session
 from airstrik_py_spark.sources.tables import load_table
 
@@ -176,6 +181,23 @@ def q_split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling: mapInPandas fans each media row out to
+    one row per sampled frame (stubbed deterministic codec; the oracle
+    recomputes the stub's byte math with a range() unnest)."""
+    pin_session(spark)
+    media = attach_fake_media(load_table(spark, sf_dir, "documents"))
+    return sample_frames(media)
+
+
+def q_multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize plan over decoded dims — integer-only
+    target math so engines agree exactly."""
+    pin_session(spark)
+    feats = extract_features(attach_fake_media(load_table(spark, sf_dir, "documents")))
+    return resize_plan(feats.select("doc_id", "width", "height"))
+
+
 QUERIES = {
     "text_langid": q_text_langid,
     "text_quality": q_text_quality,
@@ -185,10 +207,20 @@ QUERIES = {
     "corpus_stats_rollup": q_corpus_stats_rollup,
     "split_train_eval": q_split_train_eval,
     "multimodal_metadata": q_multimodal_metadata,
+    "multimodal_framesample": q_multimodal_framesample,
+    "multimodal_resize_plan": q_multimodal_resize_plan,
 }
 
 # hex nibble -> int via position in the digit string (1-indexed strpos)
 _NIB = "(strpos('0123456789abcdef', {c}) - 1)"
+
+
+def _md5_byte(k: str) -> str:
+    """Byte k (0-based, possibly an expression) of md5(text) as an int —
+    two hex nibbles at positions 2k+1, 2k+2."""
+    hi = _NIB.format(c=f"substr(h, 2 * ({k}) + 1, 1)")
+    lo = _NIB.format(c=f"substr(h, 2 * ({k}) + 2, 1)")
+    return f"({hi} * 16 + {lo})"
 _BYTE0 = (
     _NIB.format(c="substr(md5(text), 1, 1)") + " * 16 + " + _NIB.format(c="substr(md5(text), 2, 1)")
 )
@@ -289,5 +321,32 @@ SELECT doc_id,
        CAST(1 + ({_BYTE0}) % 64 AS INTEGER) AS width,
        CAST(1 + ({_BYTE1}) % 64 AS INTEGER) AS height
 FROM documents
+""",
+    "multimodal_framesample": f"""
+WITH m AS (SELECT doc_id, md5(text) AS h FROM documents),
+fc AS (SELECT doc_id, h, 1 + {_md5_byte("2")} % 60 AS n_frames FROM m),
+fr AS (SELECT doc_id, h, n_frames,
+              unnest(range(0, n_frames, 5)) AS frame_idx
+       FROM fc)
+SELECT doc_id,
+       CAST(n_frames AS INTEGER) AS n_frames,
+       CAST(frame_idx AS INTEGER) AS frame_idx,
+       round({_md5_byte("(frame_idx * 3) % 16")} / 255.0, 6) AS frame_feat
+FROM fr
+""",
+    "multimodal_resize_plan": f"""
+WITH m AS (SELECT doc_id, md5(text) AS h FROM documents),
+d AS (SELECT doc_id,
+             1 + {_md5_byte("0")} % 64 AS w,
+             1 + {_md5_byte("1")} % 64 AS h2
+      FROM m)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width, CAST(h2 AS INTEGER) AS height,
+       CAST(CASE WHEN greatest(w, h2) > 32
+                 THEN greatest(1, (w * 32) // greatest(w, h2)) ELSE w END AS INTEGER) AS target_w,
+       CAST(CASE WHEN greatest(w, h2) > 32
+                 THEN greatest(1, (h2 * 32) // greatest(w, h2)) ELSE h2 END AS INTEGER) AS target_h,
+       greatest(w, h2) > 32 AS scaled
+FROM d
 """,
 }

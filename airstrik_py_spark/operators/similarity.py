@@ -270,7 +270,11 @@ def kmeans_cells(
         F.col("vec_id").cast("int").alias("cell"), F.col("vec").alias("cvec")
     )
     for _ in range(iters):
-        cents = _update_centroids(_assign_cells(ev, cents), dim)
+        # localCheckpoint truncates the per-iteration lineage: the k-row
+        # centroid frame materializes eagerly (k*dim doubles) so each
+        # assignment pass replans against a flat scan, not the whole
+        # unrolled Lloyd history
+        cents = _update_centroids(_assign_cells(ev, cents), dim).localCheckpoint()
     return _assign_cells(ev, cents).select("vec_id", "vec", "cell")
 
 

@@ -11,18 +11,21 @@ from pyspark.sql import DataFrame, SparkSession
 
 # Deterministic enumeration order.  The driver walks queries() in insertion
 # order and may truncate the tail under its verify budget (round 1 recorded
-# exactly the first 50 of 52 rows), so the cheapest-to-lose slugs go LAST:
-# sinks_q ends with ddl_drop_reset, which is rows-only (no oracle) anyway.
+# exactly the first 50 of 52 rows), so: all 37 reference SURVEY §2 slugs
+# first, then the round-1 extension set (all driver-verified or explicitly
+# demanded by VERDICT r1), then extras_q — the round-2 additions plus the
+# two cheapest-to-lose round-1 slugs (see extras_q docstring).
 _MODULES = (
     "kinematics_q",
     "sessions_q",
     "alarm_q",
     "stats_q",
     "search_q",
+    "sinks_q",
     "text_q",
     "dedup_q",
     "similarity_q",
-    "sinks_q",
+    "extras_q",
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]

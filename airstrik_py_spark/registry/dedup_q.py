@@ -106,7 +106,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
-    "dedup_clusters": q_dedup_clusters,
+    # dedup_clusters registers via extras_q (round-2 tail block)
 }
 
 ORACLES = {

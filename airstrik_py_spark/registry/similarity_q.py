@@ -88,8 +88,8 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "ann_bruteforce_cosine": q_ann_bruteforce_cosine,
     "ann_lsh_srp": q_ann_lsh_srp,
-    "ann_ivf_label": q_ann_ivf_label,
-    "ann_ivf_kmeans": q_ann_ivf_kmeans,
+    # ann_ivf_label (fixture-label quantizer, superseded by the trained
+    # k-means variant) and ann_ivf_kmeans register via extras_q
 }
 
 ORACLES = {

@@ -220,7 +220,9 @@ QUERIES = {
     "project_flatten_csv": q_project_flatten_csv,
     "sink_csv_export": q_sink_csv_export,
     "sink_json_dump": q_sink_json_dump,
-    "ddl_drop_reset": q_ddl_drop_reset,  # rows-only (catalog op, no SQL oracle)
+    # ddl_drop_reset registers via extras_q (tail of the enumeration: its
+    # driver row is rows-only anyway, so it's the cheapest row to lose if
+    # the driver truncates)
 }
 
 # OLDEST-wins as-of (min-struct) — mirrors operators/sessions.py::

@@ -203,12 +203,10 @@ QUERIES = {
     "text_quality": q_text_quality,
     "text_tokens": q_text_tokens,
     "text_fingerprint": q_text_fingerprint,
-    "text_quality_gates": q_text_quality_gates,
-    "corpus_stats_rollup": q_corpus_stats_rollup,
-    "split_train_eval": q_split_train_eval,
     "multimodal_metadata": q_multimodal_metadata,
-    "multimodal_framesample": q_multimodal_framesample,
-    "multimodal_resize_plan": q_multimodal_resize_plan,
+    # the round-2 additions (quality gates, rollup, split, framesample,
+    # resize plan) register via extras_q so the round-1 verified set keeps
+    # the front of the driver's enumeration
 }
 
 # hex nibble -> int via position in the digit string (1-indexed strpos)

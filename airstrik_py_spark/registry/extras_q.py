@@ -19,10 +19,15 @@ similarity_q / sinks_q); this module only controls enumeration order, so
 from __future__ import annotations
 
 from airstrik_py_spark.registry.dedup_q import q_dedup_clusters
-from airstrik_py_spark.registry.similarity_q import q_ann_ivf_kmeans, q_ann_ivf_label
+from airstrik_py_spark.registry.similarity_q import (
+    q_ann_ivf_kmeans,
+    q_ann_ivf_label,
+    q_embedding_label_centroids,
+)
 from airstrik_py_spark.registry.sinks_q import q_ddl_drop_reset
 from airstrik_py_spark.registry.text_q import (
     q_corpus_stats_rollup,
+    q_corpus_vocab_topk,
     q_multimodal_framesample,
     q_multimodal_resize_plan,
     q_split_train_eval,
@@ -37,6 +42,8 @@ QUERIES = {
     "split_train_eval": q_split_train_eval,
     "multimodal_framesample": q_multimodal_framesample,
     "multimodal_resize_plan": q_multimodal_resize_plan,
+    "corpus_vocab_topk": q_corpus_vocab_topk,
+    "embedding_label_centroids": q_embedding_label_centroids,
     "ann_ivf_label": q_ann_ivf_label,
     "ddl_drop_reset": q_ddl_drop_reset,
 }

@@ -85,6 +85,34 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ann_ivf_kmeans(load_table(spark, sf_dir, "embeddings"), N_QUERIES, TOP_K)
 
 
+def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-pooled class centroids per label (the pooling step of
+    prototype/centroid classifiers and IVF training): one
+    map-side-combined groupBy on label emitting all 64 coordinate means,
+    then posexplode to scalar long form (label, n_vecs, pos, val) so the
+    value hash stays array-free.  Coordinates round to 6 dp like the
+    k-means update (same cross-engine mean contract)."""
+    from pyspark.sql import functions as F
+
+    pin_session(spark)
+    ev = load_table(spark, sf_dir, "embeddings").withColumn(
+        "vec", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    dim = SIM.SRP_DIM
+    aggs = [
+        F.round(F.avg(F.get(F.col("vec"), F.lit(i))), 6).alias(f"_c{i}")
+        for i in range(dim)
+    ]
+    g = ev.groupBy("label").agg(F.count("*").alias("n_vecs"), *aggs)
+    return g.select(
+        "label",
+        "n_vecs",
+        F.posexplode(F.array(*[F.col(f"_c{i}") for i in range(dim)])).alias(
+            "pos", "val"
+        ),
+    )
+
+
 QUERIES = {
     "ann_bruteforce_cosine": q_ann_bruteforce_cosine,
     "ann_lsh_srp": q_ann_lsh_srp,
@@ -130,5 +158,13 @@ FROM a{SIM.KMEANS_ITERS} q JOIN a{SIM.KMEANS_ITERS} c
   ON q.cell = c.cell AND q.vec_id <> c.vec_id
 WHERE q.vec_id < {N_QUERIES}
 QUALIFY rank <= {TOP_K}
+""",
+    "embedding_label_centroids": f"""
+WITH {_E},
+g AS (SELECT label, count(*) AS n_vecs,
+             [{", ".join(f"round(avg(v[{i}]), 6)" for i in range(1, SIM.SRP_DIM + 1))}] AS c
+      FROM e GROUP BY label)
+SELECT label, n_vecs, CAST(pos AS INTEGER) AS pos, c[pos + 1] AS val
+FROM (SELECT label, n_vecs, c, unnest(range(0, {SIM.SRP_DIM})) AS pos FROM g)
 """,
 }

@@ -181,6 +181,27 @@ def q_split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VOCAB_TOP_K = 100
+
+
+def q_corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary heavy hitters: top-K tokens by document frequency
+    (distinct docs containing the token) and total occurrences.  Classic
+    word-count shape: explode -> one map-side-combined groupBy on token;
+    the top-K is a TakeOrdered reduction (no global sort materialization).
+    Ties break by token text for cross-engine determinism."""
+    pin_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    counts = tok.groupBy("token").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return counts.orderBy(
+        F.col("n_occurrences").desc(), F.col("token").asc()
+    ).limit(VOCAB_TOP_K)
+
+
 def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame sampling: mapInPandas fans each media row out to
     one row per sampled frame (stubbed deterministic codec; the oracle
@@ -331,6 +352,13 @@ SELECT doc_id,
        CAST(frame_idx AS INTEGER) AS frame_idx,
        round({_md5_byte("(frame_idx * 3) % 16")} / 255.0, 6) AS frame_feat
 FROM fr
+""",
+    "corpus_vocab_topk": f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+FROM tok GROUP BY token
+ORDER BY n_occurrences DESC, token ASC
+LIMIT {VOCAB_TOP_K}
 """,
     "multimodal_resize_plan": f"""
 WITH m AS (SELECT doc_id, md5(text) AS h FROM documents),

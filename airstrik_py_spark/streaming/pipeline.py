@@ -110,6 +110,19 @@ def stream_trips(obs: DataFrame, cfg: EngineConfig) -> DataFrame:
     )
 
 
+def stream_dedup_events(obs: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """Streaming exact deduplication of the observation stream on
+    (hex, ts): `dropDuplicatesWithinWatermark` keeps per-key state only
+    until the watermark passes, so state is bounded by (event rate x
+    watermark) instead of growing forever — the streaming counterpart of
+    the batch dedup suite (W1 dedups CONSECUTIVE repeats; this drops exact
+    replays, e.g. an upstream at-least-once tape re-delivering snapshots).
+    State TTL = 2x remember, matching the session watermark."""
+    return obs.withWatermark("ts", f"{int(cfg.remember_s * 2)} seconds").dropDuplicatesWithinWatermark(
+        ["hex", "ts"]
+    )
+
+
 def run_to_memory(trips_stream: DataFrame, name: str) -> None:
     """Drive a bounded replay to completion synchronously (availableNow) into
     an in-memory table — the test/replay harness."""

@@ -130,3 +130,23 @@ def test_stream_equals_batch_trips(spark, tmp_path):
     # plane a: [0-40], [150-170], [300]; plane b: [0-40], [150-170] — every
     # >60 s silence gap closes a trip on both paths
     assert len(want) == 5
+
+
+def test_stream_dedup_drops_replayed_rows(spark, tmp_path):
+    """An at-least-once tape re-delivering the same snapshot must come out
+    once: dropDuplicatesWithinWatermark on (hex, ts) with bounded state."""
+    from airstrik_py_spark.streaming.pipeline import stream_dedup_events
+
+    tape = str(tmp_path / "replay_tape")
+    os.makedirs(tape)
+    entry = {"hex": "a", "lat": 35.7, "lon": -78.7, "seen": 0.1}
+    snap = {"now": BASE, "aircraft": [entry]}
+    for i in range(3):  # same snapshot delivered three times
+        with open(os.path.join(tape, f"s{i}.json"), "w") as f:
+            json.dump(snap, f)
+    with open(os.path.join(tape, "s3.json"), "w") as f:
+        json.dump({"now": BASE + 30, "aircraft": [entry]}, f)
+    deduped = stream_dedup_events(read_snapshot_stream(spark, tape), CFG)
+    run_to_memory(deduped.select("hex", "ts"), "dedup_stream")
+    rows = spark.table("dedup_stream").collect()
+    assert len(rows) == 2  # (a, BASE) once + (a, BASE+30) once

@@ -73,3 +73,43 @@ def test_heading_range_property(spark, plane_gaps):
         & ((F.col("calc_heading") < 0.0) | (F.col("calc_heading") >= 360.0))
     ).count()
     assert bad == 0
+
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=15,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges=edges_strategy)
+def test_dedup_clusters_matches_union_find(spark, edges):
+    """dedup_clusters (min-label propagation) must equal a plain union-find
+    on any random small graph: every node labels with its component min."""
+    from airstrik_py_spark.operators.dedup import dedup_clusters
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict[int, int] = {}
+    for node in parent:
+        r = find(node)
+        comp_min[r] = min(comp_min.get(r, node), node)
+    expected = {node: comp_min[find(node)] for node in parent}
+
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert got == expected

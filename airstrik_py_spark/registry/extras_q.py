@@ -11,12 +11,24 @@ first 50 of 52 registered slugs).  This module therefore registers, LAST:
      registered above it) and `ddl_drop_reset` (whose row is rows-only /
      `no_oracle` anyway).
 
-Every callable and oracle lives in its home module (text_q / dedup_q /
-similarity_q / sinks_q); this module only controls enumeration order, so
-`collect()` still merges each home module's ORACLES.
+Round-1 callables and oracles live in their home modules (text_q / dedup_q /
+similarity_q / sinks_q) — for those this module only controls enumeration
+order and `collect()` merges each home module's ORACLES.  Slugs born in
+round 2 with no earlier home (the bucketed co-location demo) live here
+directly.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from airstrik_py_spark.config import TESTDATA
+from airstrik_py_spark.operators import sessions as S
+from airstrik_py_spark.operators.bucketing import write_bucketed
+from airstrik_py_spark.oracle.exprs import OBS_CTE
+from airstrik_py_spark.session import pin_session
+from airstrik_py_spark.sources.tables import observations
 
 from airstrik_py_spark.registry.dedup_q import q_dedup_clusters
 from airstrik_py_spark.registry.similarity_q import (
@@ -34,6 +46,46 @@ from airstrik_py_spark.registry.text_q import (
     q_text_quality_gates,
 )
 
+def q_join_bucketed_coloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-location end-to-end: write observations and sessionized
+    rows as hex-bucketed tables (the ONE shuffle, paid at write time),
+    then per-hex aggregate each side and join — all downstream work rides
+    the bucket partitioning (tests/test_bucketing.py pins the 0-Exchange
+    plan with broadcast disabled).  Output: per-plane observation and trip
+    counts."""
+    pin_session(spark)
+    obs = observations(spark, sf_dir)
+    sess = S.with_session_id(obs, TESTDATA)
+    b_obs = write_bucketed(spark, obs.select("hex", "ts_sec"), "b_obs_coloc", "hex")
+    b_sess = write_bucketed(
+        spark, sess.select("hex", "session_id"), "b_sess_coloc", "hex"
+    )
+    n_obs = b_obs.groupBy("hex").agg(F.count("*").alias("n_obs"))
+    n_trips = b_sess.groupBy("hex").agg(
+        F.countDistinct("session_id").alias("n_trips")
+    )
+    return n_obs.join(n_trips, "hex")
+
+
+ORACLES = {
+    "join_bucketed_coloc": f"""
+WITH {OBS_CTE},
+gapped AS (
+  SELECT *, CASE WHEN lag(ts_sec) OVER (PARTITION BY hex ORDER BY ts_sec, event_id) IS NULL
+                   OR ts_sec - lag(ts_sec) OVER (PARTITION BY hex ORDER BY ts_sec, event_id) > {TESTDATA.remember_s}
+                 THEN 1 ELSE 0 END AS is_new
+  FROM obs),
+sess AS (
+  SELECT *, CAST(sum(is_new) OVER (PARTITION BY hex ORDER BY ts_sec, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM gapped)
+SELECT o.hex, o.n_obs, t.n_trips
+FROM (SELECT hex, count(*) AS n_obs FROM obs GROUP BY hex) o
+JOIN (SELECT hex, count(DISTINCT session_id) AS n_trips FROM sess GROUP BY hex) t
+  ON o.hex = t.hex
+""",
+}
+
 QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "ann_ivf_kmeans": q_ann_ivf_kmeans,
@@ -44,9 +96,9 @@ QUERIES = {
     "multimodal_resize_plan": q_multimodal_resize_plan,
     "corpus_vocab_topk": q_corpus_vocab_topk,
     "embedding_label_centroids": q_embedding_label_centroids,
+    "join_bucketed_coloc": q_join_bucketed_coloc,
     "ann_ivf_label": q_ann_ivf_label,
     "ddl_drop_reset": q_ddl_drop_reset,
 }
-
-# oracles for these slugs are defined (and merged) from the home modules
-ORACLES: dict[str, str] = {}
+# (oracles for the re-registered round-1 slugs merge from their home
+# modules; ORACLES above holds only the extras-native entries)

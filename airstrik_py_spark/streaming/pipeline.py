@@ -171,6 +171,20 @@ def alarm_foreach_batch(cfg: EngineConfig, sink):
     return run
 
 
+def stream_stats_rollup(spark, trips_store_dir: str, cfg: EngineConfig) -> DataFrame:
+    """S6 in streaming deployment shape: the trips stream lands in the
+    idempotent parquet store (foreach_batch_idempotent_parquet), and the
+    daily rollup is a BATCH aggregate over that store — streaming exact
+    countDistinct is not expressible with bounded state, so the production
+    pattern is ingest-streaming + rollup-batch over the store (micro-batch
+    cadence = rollup freshness; reference day-flush parity at
+    airstrik.py:659-691).  Column mapping matches operators/stats.py."""
+    from airstrik_py_spark.operators.stats import daily_stats
+
+    trips = spark.read.parquet(trips_store_dir)
+    return daily_stats(trips.select("flight_id", "end_sec", "alarmed"), cfg)
+
+
 def foreach_batch_idempotent_parquet(out_dir: str):
     """Exactly-once-ish sink: partition the output by batch epoch and
     overwrite that partition on replay — idempotent under micro-batch

@@ -150,3 +150,48 @@ def test_stream_dedup_drops_replayed_rows(spark, tmp_path):
     run_to_memory(deduped.select("hex", "ts"), "dedup_stream")
     rows = spark.table("dedup_stream").collect()
     assert len(rows) == 2  # (a, BASE) once + (a, BASE+30) once
+
+
+def test_stream_store_rollup_equals_batch_daily_stats(spark, tmp_path):
+    """S6 streaming deployment shape: trips stream -> idempotent parquet
+    store -> batch daily rollup == daily_stats over batch trips."""
+    from airstrik_py_spark.operators import kinematics as K
+    from airstrik_py_spark.operators import sessions as S
+    from airstrik_py_spark.operators.stats import daily_stats
+    from airstrik_py_spark.sources.snapshot import read_snapshot_batch
+    from airstrik_py_spark.streaming.pipeline import (
+        foreach_batch_idempotent_parquet,
+        stream_stats_rollup,
+    )
+
+    tape = str(tmp_path / "tape_s6")
+    os.makedirs(tape)
+    _write_tape(tape)
+    store = str(tmp_path / "trips_store")
+    q = (
+        stream_trips(read_snapshot_stream(spark, tape), CFG)
+        .writeStream.outputMode("append")
+        .foreachBatch(foreach_batch_idempotent_parquet(store))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_s6"))
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        r["day"]: (r["unique_planes"], r["total_trips"])
+        for r in stream_stats_rollup(spark, store, CFG).collect()
+    }
+    # the sentinel plane's session is still open at tape end: the stream
+    # never emits it (reference never-closed-at-shutdown behavior), so the
+    # batch side excludes it for the comparison
+    obs = read_snapshot_batch(spark, tape).filter(F.col("hex") != "zz")
+    sess = S.with_session_id(K.with_distance_home(obs, CFG), CFG)
+    batch_trips = S.trips(sess, CFG).select(
+        "flight_id", "end_sec", F.col("alarmed")
+    )
+    want = {
+        r["day"]: (r["unique_planes"], r["total_trips"])
+        for r in daily_stats(batch_trips, CFG).collect()
+    }
+    assert got == want

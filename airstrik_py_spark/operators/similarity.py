@@ -250,6 +250,28 @@ def _update_centroids(assigned: DataFrame, dim: int) -> DataFrame:
     )
 
 
+def kmeans_fit(
+    emb: DataFrame,
+    n_cells: int = KMEANS_CELLS,
+    iters: int = KMEANS_ITERS,
+    dim: int = SRP_DIM,
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd training returning BOTH the final assignment (vec_id, vec,
+    cell) and the trained centroid table (cell, cvec) — the latter feeds
+    multi-probe queries."""
+    ev = _with_vec(emb).select("vec_id", "vec")
+    cents = ev.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").cast("int").alias("cell"), F.col("vec").alias("cvec")
+    )
+    for _ in range(iters):
+        # localCheckpoint truncates the per-iteration lineage: the k-row
+        # centroid frame materializes eagerly (k*dim doubles) so each
+        # assignment pass replans against a flat scan, not the whole
+        # unrolled Lloyd history
+        cents = _update_centroids(_assign_cells(ev, cents), dim).localCheckpoint()
+    return _assign_cells(ev, cents).select("vec_id", "vec", "cell"), cents
+
+
 def kmeans_cells(
     emb: DataFrame,
     n_cells: int = KMEANS_CELLS,
@@ -263,19 +285,12 @@ def kmeans_cells(
 
     Scale: per iteration the N-row side does one broadcast join (no
     shuffle) and one k-group aggregate (partial agg, k*dim doubles on the
-    wire).  At 10^9 vectors you'd checkpoint the k-row centroid frame per
-    iteration to cut lineage; semantics are unchanged."""
-    ev = _with_vec(emb).select("vec_id", "vec")
-    cents = ev.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").cast("int").alias("cell"), F.col("vec").alias("cvec")
-    )
-    for _ in range(iters):
-        # localCheckpoint truncates the per-iteration lineage: the k-row
-        # centroid frame materializes eagerly (k*dim doubles) so each
-        # assignment pass replans against a flat scan, not the whole
-        # unrolled Lloyd history
-        cents = _update_centroids(_assign_cells(ev, cents), dim).localCheckpoint()
-    return _assign_cells(ev, cents).select("vec_id", "vec", "cell")
+    wire); the k-row centroid frame localCheckpoints per iteration so
+    lineage stays flat."""
+    return kmeans_fit(emb, n_cells, iters, dim)[0]
+
+
+KMEANS_PROBES = 2
 
 
 def ann_ivf_kmeans(
@@ -285,16 +300,34 @@ def ann_ivf_kmeans(
     n_cells: int = KMEANS_CELLS,
     iters: int = KMEANS_ITERS,
     dim: int = SRP_DIM,
+    probes: int = KMEANS_PROBES,
 ) -> DataFrame:
-    """IVF ANN over a REAL trained coarse quantizer (kmeans_cells), not the
-    fixture label: probe the query's own cell, exact cosine re-rank inside.
-    Same output contract as ann_ivf_label (query_id, cell, neighbor_id,
-    cos, rank)."""
+    """IVF ANN over a REAL trained coarse quantizer (kmeans_fit), not the
+    fixture label: each query probes its `probes` nearest cells (standard
+    IVF nprobe — recall rises with probes while candidates stay bounded by
+    probes/n_cells of N), exact cosine re-rank inside.  `cell` in the
+    output is the probed cell a neighbor was found in; each neighbor lives
+    in exactly one cell so no candidate dedup is needed.  Same output
+    contract as ann_ivf_label (query_id, cell, neighbor_id, cos, rank)."""
     from pyspark.sql import Window
 
-    cells = kmeans_cells(emb, n_cells, iters, dim)
-    q = cells.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("vec").alias("qv"), "cell"
+    cells, cents = kmeans_fit(emb, n_cells, iters, dim)
+    carr = cents.agg(F.collect_list(F.struct("cell", "cvec")).alias("cs"))
+    ranked = F.array_sort(
+        F.transform(
+            F.col("cs"),
+            lambda cc: F.struct(
+                _sq_dist(F.col("qv"), cc.getField("cvec")).alias("d"),
+                cc.getField("cell").alias("cell"),
+            ),
+        )
+    )
+    q = (
+        cells.filter(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("query_id"), F.col("vec").alias("qv"))
+        .join(F.broadcast(carr))
+        .withColumn("probe", F.explode(F.slice(ranked, 1, probes)))
+        .select("query_id", "qv", F.col("probe.cell").alias("cell"))
     )
     c = cells.select(
         F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("cv"), "cell"

@@ -149,14 +149,20 @@ FROM e q JOIN e c ON q.label = c.label AND q.vec_id <> c.vec_id
 WHERE q.vec_id < {N_QUERIES}
 QUALIFY rank <= {TOP_K}
 """,
+    # multi-probe: each query takes its KMEANS_PROBES nearest final cells
+    # (s{iters} already holds every vector's distance to the final
+    # centroids), then re-ranks inside the probed cells
     "ann_ivf_kmeans": f"""
 WITH {_E},
-{_kmeans_ctes(SIM.KMEANS_CELLS, SIM.KMEANS_ITERS, SIM.SRP_DIM)}
+{_kmeans_ctes(SIM.KMEANS_CELLS, SIM.KMEANS_ITERS, SIM.SRP_DIM)},
+probes AS (
+  SELECT vec_id, v, cell FROM s{SIM.KMEANS_ITERS}
+  WHERE vec_id < {N_QUERIES}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) <= {SIM.KMEANS_PROBES})
 SELECT q.vec_id AS query_id, q.cell AS cell, c.vec_id AS neighbor_id, {_COS} AS cos,
        CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY {_COS} DESC, c.vec_id) AS INTEGER) AS rank
-FROM a{SIM.KMEANS_ITERS} q JOIN a{SIM.KMEANS_ITERS} c
+FROM probes q JOIN a{SIM.KMEANS_ITERS} c
   ON q.cell = c.cell AND q.vec_id <> c.vec_id
-WHERE q.vec_id < {N_QUERIES}
 QUALIFY rank <= {TOP_K}
 """,
     "embedding_label_centroids": f"""

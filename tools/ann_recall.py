@@ -59,8 +59,9 @@ def main() -> None:
             f"~{probed:.0f} (~{probed / n:.1%} of N) |\n"
             f"| IVF (label cells) | {r_ivf:.3f} | one cell (~{1 / 10:.0%} of N) |\n"
             f"| IVF (trained k-means, {SIM.KMEANS_CELLS} cells x "
-            f"{SIM.KMEANS_ITERS} Lloyd iters) | {r_km:.3f} | one cell "
-            f"(~{1 / SIM.KMEANS_CELLS:.0%} of N) |\n\n"
+            f"{SIM.KMEANS_ITERS} Lloyd iters, nprobe={SIM.KMEANS_PROBES}) "
+            f"| {r_km:.3f} | {SIM.KMEANS_PROBES} cells "
+            f"(~{SIM.KMEANS_PROBES / SIM.KMEANS_CELLS:.0%} of N) |\n\n"
             "The fixture vectors are ISOTROPIC random (measured top-5 cosine\n"
             "~0.32, nearest-neighbor label agreement 7%) — the worst case for\n"
             "any LSH family: recall scales ~linearly with the candidate\n"

@@ -23,6 +23,14 @@ counts unique fixes only — identical behaviour whenever consecutive
 duplicates are suppressed upstream (the reference's own dump1090 feed
 re-sends positions, but force_new makes non-fix packets write-neutral).
 
+Known deviation (force_new_data=False only): the reference still requires
+the position to differ from the LAST WRITTEN sample for every write after
+the first (the elif at airstrik.py:619-623 applies regardless of
+force_new), so a plane re-sending one frozen position writes once in the
+reference but every Nth row here.  Exact replication needs a sequential
+fold (write decisions feed back into last_written); with the default
+force_new_data=true the change gate subsumes it and the outputs agree.
+
 decimation_factor = 0 is the documented "only the closest will be stored"
 mode (config.yaml:7): no per-update samples pass; callers store the
 closest-approach sample instead (`decimate_closest`).
@@ -30,20 +38,47 @@ closest-approach sample instead (`decimate_closest`).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from airstrik_py_spark.config import EngineConfig
-from airstrik_py_spark.operators.kinematics import dedup_consecutive, key_window
+
+
+def _trip_window() -> Window:
+    return Window.partitionBy("hex", "session_id").orderBy("ts_sec", "event_id")
 
 
 def decimate(df: DataFrame, cfg: EngineConfig) -> DataFrame:
-    """Every Nth unique update per key in the reference's write phase
-    (see module docstring); factor=0 passes nothing (closest-only mode —
-    use decimate_closest for the sample it stores)."""
+    """Every Nth unique update per TRIP in the reference's write phase (see
+    module docstring); factor=0 passes nothing (closest-only mode — use
+    decimate_closest for the sample it stores).
+
+    Trip-scoped, not plane-scoped: trip closure deletes the reference's
+    plane_history entry (airstrik.py:548), so the decimation counter AND the
+    consecutive-dup memory restart on the next trip — a packet repeating the
+    pre-gap position still counts as a fresh fix.  Inputs without a
+    session_id column get one from with_session_id (gap = remember)."""
+    from airstrik_py_spark.operators.sessions import with_session_id
+
     n = int(cfg.decimation_factor)
-    gated = dedup_consecutive(df) if cfg.decimation_force_new_data else df
-    seqd = gated.withColumn("update_seq", F.row_number().over(key_window()))
+    if "session_id" not in df.columns:
+        df = with_session_id(df, cfg)
+    w = _trip_window()
+    if cfg.decimation_force_new_data:
+        gated = (
+            df.withColumn("_plat", F.lag("lat").over(w))
+            .withColumn("_plon", F.lag("lon").over(w))
+            .filter(
+                F.col("_plat").isNull()
+                | F.col("_plon").isNull()
+                | (F.col("lat") != F.col("_plat"))
+                | (F.col("lon") != F.col("_plon"))
+            )
+            .drop("_plat", "_plon")
+        )
+    else:
+        gated = df
+    seqd = gated.withColumn("update_seq", F.row_number().over(_trip_window()))
     if n == 0:
         return seqd.filter(F.lit(False))
     first_write = 3 if cfg.decimation_force_new_data else 2

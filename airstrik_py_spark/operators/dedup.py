@@ -233,11 +233,14 @@ def dedup_clusters(pairs: DataFrame) -> DataFrame:
                 "lbl",
             )
         )
-        changed = merged.filter(F.col("new_lbl") != F.col("lbl"))
-        new_labels = merged.select("doc_id", F.col("new_lbl").alias("lbl")).localCheckpoint()
-        if changed.isEmpty():
-            return new_labels.select("doc_id", F.col("lbl").alias("cluster_id"))
-        labels = new_labels
+        # checkpoint BEFORE the convergence probe so the round's join+agg
+        # runs once and both the probe and the next round read the
+        # materialized frame
+        merged = merged.localCheckpoint()
+        done = merged.filter(F.col("new_lbl") != F.col("lbl")).isEmpty()
+        labels = merged.select("doc_id", F.col("new_lbl").alias("lbl"))
+        if done:
+            return labels.select("doc_id", F.col("lbl").alias("cluster_id"))
 
 
 NGRAM_DF_MAX = 50  # drop shingles shared by more than this many docs

@@ -57,9 +57,16 @@ def cosine_dup_pairs(emb: DataFrame, threshold: float, bands: int = COSINE_BANDS
     10^9 vectors work is sum of squared bucket sizes, not N^2/2 — the same
     contract as lsh_candidate_pairs/simhash_pairs.  Recall is the standard
     banded-SRP curve (p_agree^bits per band, 1-(1-p^8)^8 overall): ~0.94
-    for true near-dups (cos >= 0.9); lower-cos borderline pairs are
-    deliberately candidate-pruned.  Round-then-threshold keeps the verdict
-    stable across engines' last-ulp summation differences."""
+    for true near-dups (cos >= 0.9), but it decays fast below that — at the
+    t2-registered threshold 0.4 (p_agree ~= 0.63 on isotropic data) only
+    ~18% of threshold-level pairs band-collide.  That tradeoff is inherent
+    to candidate-based dedup: tighten it with narrower bands (bits=4,
+    bands=16 -> ~0.94 recall at cos 0.4, at ~16x the candidate volume), or
+    run ann_bruteforce as the exact re-rank when the pair budget allows.
+    The DuckDB oracle mirrors the banding, so t2 checks the OPERATOR's
+    contract (candidates-then-exact), not all-pairs ground truth.
+    Round-then-threshold keeps the verdict stable across engines' last-ulp
+    summation differences."""
     base = (
         _with_vec(emb)
         .withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))))

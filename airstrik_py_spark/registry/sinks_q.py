@@ -254,13 +254,16 @@ assembled AS (
   WHERE t.end_sec - t.start_sec >= 3600.0
 )"""
 
+# trip-scoped (hex, session_id) like the reference's per-trip
+# plane_history reset (airstrik.py:548) — mirrors operators/decimation.py
+_DWIN = "PARTITION BY hex, session_id ORDER BY ts_sec, event_id"
 _DECIM = f"""
 dedup AS (
-  SELECT hex, ts, ts_sec, event_id, lat, lon
-  FROM (SELECT *, lag(lat) OVER ({_WIN}) AS plat, lag(lon) OVER ({_WIN}) AS plon FROM obs)
+  SELECT hex, ts, ts_sec, event_id, lat, lon, session_id
+  FROM (SELECT *, lag(lat) OVER ({_DWIN}) AS plat, lag(lon) OVER ({_DWIN}) AS plon FROM sess)
   WHERE plat IS NULL OR plon IS NULL OR lat <> plat OR lon <> plon),
 counted AS (
-  SELECT *, CAST(row_number() OVER ({_WIN}) AS INTEGER) AS update_seq FROM dedup)
+  SELECT *, CAST(row_number() OVER ({_DWIN}) AS INTEGER) AS update_seq FROM dedup)
 """
 
 ORACLES = {

@@ -86,7 +86,12 @@ class Repl:
         if self.input_fn("To drop this table, enter its name: ") != name:
             return self.spark.sql("SELECT 'abort' AS status")
         if any(v.name == name for v in self.spark.catalog.listTables()):
-            self.spark.catalog.dropTempView(name)
+            # temp view first; a permanent catalog table (e.g. a bucketed
+            # store) returns False from dropTempView and needs DROP TABLE —
+            # the reference's drop really deletes the object
+            # (dbread.py:155-168)
+            if not self.spark.catalog.dropTempView(name):
+                self.spark.sql(f"DROP TABLE IF EXISTS `{name}`")
         elif any(d.name == name for d in self.spark.catalog.listDatabases()):
             self.spark.sql(f"DROP DATABASE IF EXISTS `{name}` CASCADE")
         else:
@@ -119,6 +124,11 @@ class Repl:
         for v in self.spark.catalog.listTables():
             if v.isTemporary:
                 self.spark.catalog.dropTempView(v.name)
+        # the reference keeps working after reset because dbread re-reads the
+        # (now-empty) store per command — mirror that by re-registering the
+        # base views as empty relations instead of leaving them dangling
+        self.obs.limit(0).createOrReplaceTempView("obs")
+        self.trips.limit(0).createOrReplaceTempView("trips")
         return self.spark.sql("SELECT current_database() AS current_db")
 
     @staticmethod

@@ -57,8 +57,14 @@ def trip_documents(assembled: DataFrame, cfg) -> DataFrame:
     return assembled.select(
         F.col("flight_id"),
         # each pair is (value, ts-of-that-entry): the reference writes the
-        # matched history entry verbatim (airstrik.py:505-508); predicted
-        # names get the closure time a_json['now'] (airstrik.py:515)
+        # matched history entry verbatim (airstrik.py:505-508).  DEVIATION:
+        # the reference stamps predicted names and extras.end_time with the
+        # CLOSURE snapshot time a_json['now'] (airstrik.py:515, 523) — the
+        # first feed tick > end + remember; this writer uses end_sec (last
+        # observation) because the batch/fixture path has no feed ticks to
+        # read a closure time from, and the session's own timestamps keep
+        # the document self-contained.  Offset = whatever real-feed silence
+        # preceded closure (>= remember).
         F.array(
             pair(F.col("trip_name"), F.coalesce(F.col("asof_flight_sec"), F.col("end_sec")))
         ).alias("flight_name_id"),

@@ -35,13 +35,15 @@ OUT_SCHEMA = T.StructType(
     ]
 )
 
-# (last_lat, last_lon, last_alt, update_count, alarm_triggered)
+# (last_lat, last_lon, last_alt, update_count, n_lat, n_lon, alarm_triggered)
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("last_lat", T.DoubleType()),
         T.StructField("last_lon", T.DoubleType()),
         T.StructField("last_alt", T.DoubleType()),
         T.StructField("update_count", T.IntegerType()),
+        T.StructField("n_lat", T.IntegerType()),
+        T.StructField("n_lon", T.IntegerType()),
         T.StructField("alarm_triggered", T.BooleanType()),
     ]
 )
@@ -72,13 +74,22 @@ def make_tracker(cfg: EngineConfig, live: bool = True):
         if state.hasTimedOut:
             state.remove()
             return
-        last_lat, last_lon, last_alt, count, sticky = (
-            state.get if state.exists else (None, None, None, 0, False)
+        last_lat, last_lon, last_alt, count, n_lat, n_lon, sticky = (
+            state.get if state.exists else (None, None, None, 0, 0, 0, False)
         )
         out = []
         for pdf in batches:
             pdf = pdf.sort_values("ts_sec")
             for row in pdf.itertuples(index=False):
+                # per-ATTRIBUTE history appends (airstrik.py:574-577): lat and
+                # lon histories grow independently, each only when its value
+                # changed — the sim gate below needs both >= 2
+                has_lat = row.lat is not None and not pd.isna(row.lat)
+                has_lon = row.lon is not None and not pd.isna(row.lon)
+                if has_lat and (n_lat == 0 or row.lat != last_lat):
+                    n_lat += 1
+                if has_lon and (n_lon == 0 or row.lon != last_lon):
+                    n_lon += 1
                 changed = (
                     last_lat is None
                     or last_lon is None
@@ -88,16 +99,24 @@ def make_tracker(cfg: EngineConfig, live: bool = True):
                 alt = getattr(row, "alt_geom", None)
                 if alt is not None and not pd.isna(alt):
                     last_alt = float(alt)
-                if force_new and not changed:
-                    continue  # airstrik.py:576-577 consecutive-dup suppression
-                count += 1
+                # sticky alarm runs on EVERY packet once the sim gate holds
+                # (airstrik.py:578-580 calls the calc unconditionally) — an
+                # unchanged-position packet can still newly satisfy the alt
+                # ceiling, so this must precede the dup suppression below
                 if (
-                    count >= 2  # sim can run: >= 2 unique fixes (airstrik.py:579)
+                    min(n_lat, n_lon) >= 2  # sim gate (airstrik.py:578-579)
                     and row.distance is not None
                     and row.distance < zone_km  # strict < (airstrik.py:276)
                     and (last_alt is None or last_alt <= alt_max)  # :272-275
                 ):
                     sticky = True  # airstrik.py:277 sticky alarm_triggered
+                if has_lat:
+                    last_lat = row.lat
+                if has_lon:
+                    last_lon = row.lon
+                if force_new and not changed:
+                    continue  # airstrik.py:576-577 consecutive-dup suppression
+                count += 1
                 emit = (
                     n > 0
                     and count >= first_write
@@ -114,8 +133,7 @@ def make_tracker(cfg: EngineConfig, live: bool = True):
                         sticky,
                     )
                 )
-                last_lat, last_lon = row.lat, row.lon
-        state.update((last_lat, last_lon, last_alt, count, sticky))
+        state.update((last_lat, last_lon, last_alt, count, n_lat, n_lon, sticky))
         if live:
             # state eviction ≙ the reference's `del plane_history[hex]`
             state.setTimeoutDuration(int(2 * cfg.remember_s * 1000))

@@ -29,6 +29,8 @@ STATE_SCHEMA = T.StructType(
         T.StructField("last_lon", T.DoubleType()),
         T.StructField("last_alt", T.DoubleType()),
         T.StructField("update_count", T.IntegerType()),
+        T.StructField("n_lat", T.IntegerType()),
+        T.StructField("n_lon", T.IntegerType()),
         T.StructField("alarm_triggered", T.BooleanType()),
     ]
 )
@@ -54,13 +56,26 @@ class PlaneTracker(StatefulProcessor):
         self, key, rows: Iterator[pd.DataFrame], timer_values
     ) -> Iterator[pd.DataFrame]:
         if self.track.exists():
-            last_lat, last_lon, last_alt, count, sticky = self.track.get()
+            last_lat, last_lon, last_alt, count, n_lat, n_lon, sticky = (
+                self.track.get()
+            )
         else:
-            last_lat, last_lon, last_alt, count, sticky = None, None, None, 0, False
+            last_lat, last_lon, last_alt, count, n_lat, n_lon, sticky = (
+                None, None, None, 0, 0, 0, False,
+            )
         out = []
         for pdf in rows:
             pdf = pdf.sort_values("ts_sec")
             for row in pdf.itertuples(index=False):
+                # mirror streaming/stateful.py exactly: per-attribute history
+                # counts feed the sim gate, and the sticky alarm evaluates on
+                # every packet BEFORE dup suppression
+                has_lat = row.lat is not None and not pd.isna(row.lat)
+                has_lon = row.lon is not None and not pd.isna(row.lon)
+                if has_lat and (n_lat == 0 or row.lat != last_lat):
+                    n_lat += 1
+                if has_lon and (n_lon == 0 or row.lon != last_lon):
+                    n_lon += 1
                 changed = (
                     last_lat is None
                     or last_lon is None
@@ -70,16 +85,20 @@ class PlaneTracker(StatefulProcessor):
                 alt = getattr(row, "alt_geom", None)
                 if alt is not None and not pd.isna(alt):
                     last_alt = float(alt)
-                if self.force_new and not changed:
-                    continue
-                count += 1
                 if (
-                    count >= 2
+                    min(n_lat, n_lon) >= 2
                     and row.distance is not None
                     and row.distance < self.zone_km
                     and (last_alt is None or last_alt <= self.alt_max)
                 ):
                     sticky = True
+                if has_lat:
+                    last_lat = row.lat
+                if has_lon:
+                    last_lon = row.lon
+                if self.force_new and not changed:
+                    continue
+                count += 1
                 emit = (
                     self.n > 0
                     and count >= self.first_write
@@ -88,8 +107,7 @@ class PlaneTracker(StatefulProcessor):
                 out.append(
                     (key[0], row.ts_sec, row.lat, row.lon, count, emit, sticky)
                 )
-                last_lat, last_lon = row.lat, row.lon
-        self.track.update((last_lat, last_lon, last_alt, count, sticky))
+        self.track.update((last_lat, last_lon, last_alt, count, n_lat, n_lon, sticky))
         if out:
             yield pd.DataFrame(out, columns=[f.name for f in OUT_SCHEMA.fields])
 

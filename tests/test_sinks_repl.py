@@ -150,6 +150,9 @@ def test_repl_use_and_reset(spark):
     assert repl.execute("reset")[0].first()["current_db"] == "default"
     assert "jun9_1090" not in [d.name for d in spark.catalog.listDatabases()]
 
+    # the REPL stays usable after reset: base views re-registered empty
+    assert repl.execute("list")[0].count() == 0
+
 
 def test_repl_drop_confirmation(spark):
     """drop requires re-typing the name (drop_command, dbread.py:155-168)."""
@@ -169,6 +172,14 @@ def test_repl_drop_confirmation(spark):
     answers.append("no_such_thing")
     out = repl.execute("drop no_such_thing")[0].first()["status"]
     assert out.startswith("ERR")
+
+    # a PERMANENT catalog table must really be dropped too (not the silent
+    # dropTempView no-op)
+    spark.sql("DROP TABLE IF EXISTS perm_probe")
+    spark.range(3).write.mode("overwrite").saveAsTable("perm_probe")
+    answers.append("perm_probe")
+    repl.execute("drop perm_probe")
+    assert not any(t.name == "perm_probe" for t in spark.catalog.listTables())
 
 
 def test_trip_documents_nested_schema(spark, tmp_path):

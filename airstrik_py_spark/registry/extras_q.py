@@ -28,7 +28,7 @@ from airstrik_py_spark.operators import sessions as S
 from airstrik_py_spark.operators.bucketing import write_bucketed
 from airstrik_py_spark.oracle.exprs import OBS_CTE
 from airstrik_py_spark.session import pin_session
-from airstrik_py_spark.sources.tables import observations
+from airstrik_py_spark.sources.tables import load_table, observations
 
 from airstrik_py_spark.registry.dedup_q import q_dedup_clusters
 from airstrik_py_spark.registry.similarity_q import (
@@ -67,7 +67,68 @@ def q_join_bucketed_coloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_obs.join(n_trips, "hex")
 
 
+def q_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination check: for every eval-split document, the
+    fraction of its 3-gram shingles that appear in ANY train-split document
+    (n-gram-overlap contamination, the standard eval-leakage metric).
+
+    Shape: eval shingles LEFT SEMI-ish join the DISTINCT train-shingle set
+    on the shingle key — an equi-join against a vocab-sized build side, so
+    no doc x doc pair blowup exists at any scale (no DF cap needed, unlike
+    the pairwise jaccard join).  Split assignment reuses the deterministic
+    md5(doc_id) hash of split_train_eval."""
+    from airstrik_py_spark.operators.dedup import shingles
+
+    pin_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    tagged = docs.withColumn("split", F.when(nib < "c", F.lit("train")).otherwise(F.lit("eval")))
+    sh = shingles(tagged.select("doc_id", "text"), 3).join(
+        tagged.select("doc_id", "split"), "doc_id"
+    )
+    train_sh = sh.filter(F.col("split") == "train").select("shingle").distinct()
+    eval_sh = sh.filter(F.col("split") == "eval")
+    hit = eval_sh.join(
+        train_sh.withColumn("_hit", F.lit(1)), "shingle", "left"
+    )
+    return (
+        hit.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination",
+            F.round(F.col("n_contaminated") / F.col("n_grams"), 4),
+        )
+    )
+
+
 ORACLES = {
+    "eval_contamination": """
+WITH dwords AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, s
+  FROM (SELECT doc_id,
+               unnest(CASE WHEN len(words) >= 3
+                      THEN list_transform(range(1, len(words) - 1),
+                           i -> words[i] || '|' || words[i+1] || '|' || words[i+2])
+                      ELSE [] END) AS s
+        FROM dwords)),
+tagged AS (
+  SELECT doc_id,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+              THEN 'train' ELSE 'eval' END AS split
+  FROM documents),
+tsh AS (SELECT DISTINCT s FROM sh JOIN tagged USING (doc_id) WHERE split = 'train'),
+esh AS (SELECT sh.doc_id, sh.s FROM sh JOIN tagged USING (doc_id) WHERE split = 'eval')
+SELECT e.doc_id,
+       count(*) AS n_grams,
+       CAST(sum(CASE WHEN t.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       round(sum(CASE WHEN t.s IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS contamination
+FROM esh e LEFT JOIN tsh t ON e.s = t.s
+GROUP BY e.doc_id
+""",
     "join_bucketed_coloc": f"""
 WITH {OBS_CTE},
 gapped AS (
@@ -97,6 +158,7 @@ QUERIES = {
     "corpus_vocab_topk": q_corpus_vocab_topk,
     "embedding_label_centroids": q_embedding_label_centroids,
     "join_bucketed_coloc": q_join_bucketed_coloc,
+    "eval_contamination": q_eval_contamination,
     "ann_ivf_label": q_ann_ivf_label,
     "ddl_drop_reset": q_ddl_drop_reset,
 }

@@ -69,3 +69,17 @@ def test_resize_plan_preserves_aspect_and_bounds(spark):
         assert max(r["target_w"], r["target_h"]) <= max(r["width"], r["height"])
         if r["scaled"]:
             assert max(r["target_w"], r["target_h"]) == 32
+
+
+def test_eval_contamination_bounds_and_coverage(spark):
+    from airstrik_py_spark.registry.extras_q import q_eval_contamination
+
+    rows = q_eval_contamination(spark, SF).collect()
+    assert rows
+    splits = {
+        r["doc_id"]: r["split"] for r in text_q.q_split_train_eval(spark, SF).collect()
+    }
+    for r in rows:
+        assert splits[r["doc_id"]] == "eval"  # only eval docs scored
+        assert 0 <= r["n_contaminated"] <= r["n_grams"]
+        assert 0.0 <= r["contamination"] <= 1.0

@@ -185,6 +185,10 @@ def main() -> None:
     dump.add_argument("--landing-dir", required=True)
     dump.add_argument("--out", required=True)
     dump.add_argument("--mode", choices=("trip", "stats"), default="trip")
+    # drop-in alias for the reference's flag shape (csvdump.py:17 -s/--stats)
+    dump.add_argument(
+        "-s", "--stats", action="store_const", dest="mode", const="stats"
+    )
     dump.add_argument("--config")
     dump.set_defaults(fn=cmd_csvdump)
 

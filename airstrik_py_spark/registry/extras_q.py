@@ -88,8 +88,12 @@ def q_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train_sh = sh.filter(F.col("split") == "train").select("shingle").distinct()
     eval_sh = sh.filter(F.col("split") == "eval")
+    # shuffled-hash, not sort-merge: the vocab build side is too big to
+    # broadcast at corpus scale, and neither side benefits from a sort
     hit = eval_sh.join(
-        train_sh.withColumn("_hit", F.lit(1)), "shingle", "left"
+        train_sh.withColumn("_hit", F.lit(1)).hint("shuffle_hash"),
+        "shingle",
+        "left",
     )
     return (
         hit.groupBy("doc_id")

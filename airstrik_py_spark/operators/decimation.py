@@ -18,18 +18,15 @@ Write-phase derivation (per plane, counting unique fixes 1, 2, 3, ...):
   * force_new_data=False: the first eligible packet writes immediately
     (:612-616), so the cadence is 2, 2+N, ....
 
-Unchanged packets also consume the reference's countdown; this operator
-counts unique fixes only — identical behaviour whenever consecutive
-duplicates are suppressed upstream (the reference's own dump1090 feed
-re-sends positions, but force_new makes non-fix packets write-neutral).
-
-Known deviation (force_new_data=False only): the reference still requires
-the position to differ from the LAST WRITTEN sample for every write after
-the first (the elif at airstrik.py:619-623 applies regardless of
-force_new), so a plane re-sending one frozen position writes once in the
-reference but every Nth row here.  Exact replication needs a sequential
-fold (write decisions feed back into last_written); with the default
-force_new_data=true the change gate subsumes it and the outputs agree.
+Replication is EXACT as of r2 (a per-trip Column fold, not the earlier
+every-Nth window approximation): unchanged packets burn the reference's
+countdown (:626), the last-written change gate applies to every write
+after the first regardless of force_new (:619-624), writes require the
+sim to have run at least once (calc_heading non-empty, via the
+min(len(lat_history), len(lon_history)) >= 2 gate at :578-579 — a
+constant-longitude track never writes), and the missing-calc-heading
+reset branch (:595-600) is reproduced.  The DuckDB oracle mirrors the
+fold operation-for-operation (registry/sinks_q.py::_decim_fold_ctes).
 
 decimation_factor = 0 is the documented "only the closest will be stored"
 mode (config.yaml:7): no per-update samples pass; callers store the
@@ -38,53 +35,139 @@ closest-approach sample instead (`decimate_closest`).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from airstrik_py_spark.config import EngineConfig
 
 
-def _trip_window() -> Window:
-    return Window.partitionBy("hex", "session_id").orderBy("ts_sec", "event_id")
+def _decim_zero() -> F.Column:
+    """Fold seed = the reference's fresh plane_history entry: tracker 0,
+    empty histories, empty last_written (airstrik.py:556-568)."""
+    d_null = F.lit(None).cast("double")
+    return F.struct(
+        F.lit(0).alias("tracker"),
+        F.lit(0).alias("n_lat"),
+        F.lit(0).alias("n_lon"),
+        d_null.alias("last_la"),
+        d_null.alias("last_lo"),
+        d_null.alias("lw_la"),
+        d_null.alias("lw_lo"),
+        F.lit(False).alias("lw_set"),
+        F.lit(False).alias("sim_ran"),
+        F.array().cast("array<int>").alias("writes"),
+        F.lit(0).alias("i"),
+    )
+
+
+def _decim_step(n: int, force_new: bool):
+    """One packet of the reference's write loop (airstrik.py:574-626) as a
+    pure Column fold step — see the CASE ladder comments for the branch
+    mapping."""
+
+    def step(acc: F.Column, p: F.Column) -> F.Column:
+        la, lo = p.getField("la"), p.getField("lo")
+        # per-attribute history appends (:574-577)
+        lat_new = la.isNotNull() & (
+            (acc.getField("n_lat") == 0) | (la != acc.getField("last_la"))
+        )
+        lon_new = lo.isNotNull() & (
+            (acc.getField("n_lon") == 0) | (lo != acc.getField("last_lo"))
+        )
+        n_lat = acc.getField("n_lat") + F.when(lat_new, 1).otherwise(0)
+        n_lon = acc.getField("n_lon") + F.when(lon_new, 1).otherwise(0)
+        # calc-heading history becomes non-empty once the sim has run (:578-580)
+        sim_ran = acc.getField("sim_ran") | ((n_lat >= 2) & (n_lon >= 2))
+        eligible = (acc.getField("tracker") <= 0) & F.lit(n != 0) & (n_lat > 1)
+        # branch ladder inside the eligible block:
+        #   A (:595-600) no calc_heading yet -> tracker reset, no write, no lw
+        #   B (:612-616) not force_new and last_written empty -> WRITE
+        #   C (:619-624) last_written set and position moved -> WRITE
+        #   D            otherwise -> no write, tracker stays <= 0
+        # last_written updates on B/C/D (:625); ineligible packets burn the
+        # countdown (:626)
+        is_a = eligible & ~sim_ran
+        is_b = eligible & sim_ran & F.lit(not force_new) & ~acc.getField("lw_set")
+        is_c = (
+            eligible
+            & sim_ran
+            & acc.getField("lw_set")
+            & ((la != acc.getField("lw_la")) | (lo != acc.getField("lw_lo")))
+        )
+        wrote = is_b | is_c
+        tracker = (
+            F.when(is_a | wrote, F.lit(n - 1))
+            .when(eligible, acc.getField("tracker"))
+            .otherwise(acc.getField("tracker") - 1)
+        )
+        idx = acc.getField("i") + 1
+        return F.struct(
+            tracker.alias("tracker"),
+            n_lat.alias("n_lat"),
+            n_lon.alias("n_lon"),
+            F.when(la.isNotNull(), la).otherwise(acc.getField("last_la")).alias("last_la"),
+            F.when(lo.isNotNull(), lo).otherwise(acc.getField("last_lo")).alias("last_lo"),
+            F.when(eligible & ~is_a, la).otherwise(acc.getField("lw_la")).alias("lw_la"),
+            F.when(eligible & ~is_a, lo).otherwise(acc.getField("lw_lo")).alias("lw_lo"),
+            (acc.getField("lw_set") | (eligible & ~is_a)).alias("lw_set"),
+            sim_ran.alias("sim_ran"),
+            F.when(wrote, F.concat(acc.getField("writes"), F.array(idx)))
+            .otherwise(acc.getField("writes"))
+            .alias("writes"),
+            idx.alias("i"),
+        )
+
+    return step
 
 
 def decimate(df: DataFrame, cfg: EngineConfig) -> DataFrame:
-    """Every Nth unique update per TRIP in the reference's write phase (see
-    module docstring); factor=0 passes nothing (closest-only mode — use
-    decimate_closest for the sample it stores).
+    """The reference's decimated live-write gate, replicated EXACTLY as a
+    per-trip fold (airstrik.py:574-626): per-attribute history appends, the
+    packet-level countdown, the missing-calc-heading reset, and the
+    last-written change gate — including the degenerate feeds the simple
+    every-Nth window form gets wrong (frozen positions under
+    force_new_data=False write once, unchanged packets still burn the
+    countdown).  `update_seq` = packet index within the trip (1-based).
 
-    Trip-scoped, not plane-scoped: trip closure deletes the reference's
-    plane_history entry (airstrik.py:548), so the decimation counter AND the
-    consecutive-dup memory restart on the next trip — a packet repeating the
-    pre-gap position still counts as a fresh fix.  Inputs without a
-    session_id column get one from with_session_id (gap = remember)."""
+    Trip-scoped: closure deletes the reference's plane_history entry
+    (airstrik.py:548), so all state restarts per session.  Scale contract:
+    one groupBy per (hex, session) with a trip-bounded collect_list — the
+    same memory shape as the A3 trip assembly — then a JVM-side Column
+    fold (F.aggregate, no Python); factor=0 passes nothing (closest-only
+    mode — use decimate_closest)."""
     from airstrik_py_spark.operators.sessions import with_session_id
 
     n = int(cfg.decimation_factor)
     if "session_id" not in df.columns:
         df = with_session_id(df, cfg)
-    w = _trip_window()
-    if cfg.decimation_force_new_data:
-        gated = (
-            df.withColumn("_plat", F.lag("lat").over(w))
-            .withColumn("_plon", F.lag("lon").over(w))
-            .filter(
-                F.col("_plat").isNull()
-                | F.col("_plon").isNull()
-                | (F.col("lat") != F.col("_plat"))
-                | (F.col("lon") != F.col("_plon"))
+    packed = df.groupBy("hex", "session_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("ts_sec").alias("t"),
+                    F.col("event_id").alias("e"),
+                    F.col("ts").alias("ts"),
+                    F.col("lat").alias("la"),
+                    F.col("lon").alias("lo"),
+                )
             )
-            .drop("_plat", "_plon")
-        )
-    else:
-        gated = df
-    seqd = gated.withColumn("update_seq", F.row_number().over(_trip_window()))
-    if n == 0:
-        return seqd.filter(F.lit(False))
-    first_write = 3 if cfg.decimation_force_new_data else 2
-    return seqd.filter(
-        (F.col("update_seq") >= first_write)
-        & (((F.col("update_seq") - first_write) % F.lit(n)) == 0)
+        ).alias("ps")
+    )
+    folded = packed.withColumn(
+        "w", F.aggregate("ps", _decim_zero(), _decim_step(n, cfg.decimation_force_new_data)).getField("writes")
+    )
+    out = folded.select(
+        "hex", "session_id", "ps", F.explode("w").alias("update_seq")
+    ).withColumn("p", F.element_at("ps", F.col("update_seq")))
+    return out.select(
+        "hex",
+        F.col("p.ts").alias("ts"),
+        F.col("p.t").alias("ts_sec"),
+        F.col("p.e").alias("event_id"),
+        F.col("p.la").alias("lat"),
+        F.col("p.lo").alias("lon"),
+        "session_id",
+        "update_seq",
     )
 
 

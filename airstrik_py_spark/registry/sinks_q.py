@@ -254,17 +254,67 @@ assembled AS (
   WHERE t.end_sec - t.start_sec >= 3600.0
 )"""
 
-# trip-scoped (hex, session_id) like the reference's per-trip
-# plane_history reset (airstrik.py:548) — mirrors operators/decimation.py
-_DWIN = "PARTITION BY hex, session_id ORDER BY ts_sec, event_id"
-_DECIM = f"""
-dedup AS (
-  SELECT hex, ts, ts_sec, event_id, lat, lon, session_id
-  FROM (SELECT *, lag(lat) OVER ({_DWIN}) AS plat, lag(lon) OVER ({_DWIN}) AS plon FROM sess)
-  WHERE plat IS NULL OR plon IS NULL OR lat <> plat OR lon <> plon),
+def _decim_fold_ctes(n: int, force_new: bool) -> str:
+    """Operation-for-operation mirror of operators/decimation.py::
+    _decim_step as a RECURSIVE CTE that advances one packet per step (the
+    CASE ladder reproduces airstrik.py:574-626 branch-for-branch).  A
+    list_reduce fold was the first attempt, but DuckDB 1.0.0's list_reduce
+    corrupts struct accumulators that carry a list field (nondeterministic
+    under threads, emits impossible indices) — the recursive CTE is the
+    deterministic equivalent; depth = longest trip."""
+    la, lo = "p.lat", "p.lon"
+    nlat = (
+        f"(s.n_lat + CASE WHEN {la} IS NOT NULL AND (s.n_lat = 0 OR {la} <> s.last_la) "
+        "THEN 1 ELSE 0 END)"
+    )
+    nlon = (
+        f"(s.n_lon + CASE WHEN {lo} IS NOT NULL AND (s.n_lon = 0 OR {lo} <> s.last_lo) "
+        "THEN 1 ELSE 0 END)"
+    )
+    sim = f"(s.sim_ran OR ({nlat} >= 2 AND {nlon} >= 2))"
+    elig = f"(s.tracker <= 0 AND {nlat} > 1)"
+    is_a = f"({elig} AND NOT {sim})"
+    is_b = "false" if force_new else f"({elig} AND {sim} AND NOT s.lw_set)"
+    is_c = (
+        f"({elig} AND {sim} AND s.lw_set AND "
+        f"(coalesce({la} <> s.lw_la, false) OR coalesce({lo} <> s.lw_lo, false)))"
+    )
+    wrote = f"({is_b} OR {is_c})"
+    return f"""
+pk AS (
+  SELECT hex, session_id, ts, ts_sec, event_id, lat, lon,
+         CAST(row_number() OVER (PARTITION BY hex, session_id
+                                 ORDER BY ts_sec, event_id) AS INTEGER) AS i
+  FROM sess),
+step AS (
+  SELECT hex, session_id, 0 AS i, 0 AS tracker, 0 AS n_lat, 0 AS n_lon,
+         CAST(NULL AS DOUBLE) AS last_la, CAST(NULL AS DOUBLE) AS last_lo,
+         CAST(NULL AS DOUBLE) AS lw_la, CAST(NULL AS DOUBLE) AS lw_lo,
+         false AS lw_set, false AS sim_ran, false AS wrote
+  FROM (SELECT DISTINCT hex, session_id FROM pk)
+  UNION ALL
+  SELECT s.hex, s.session_id, p.i,
+         CASE WHEN {is_a} OR {wrote} THEN {n - 1}
+              WHEN {elig} THEN s.tracker
+              ELSE s.tracker - 1 END,
+         {nlat}, {nlon},
+         CASE WHEN {la} IS NOT NULL THEN {la} ELSE s.last_la END,
+         CASE WHEN {lo} IS NOT NULL THEN {lo} ELSE s.last_lo END,
+         CASE WHEN {elig} AND NOT {is_a} THEN {la} ELSE s.lw_la END,
+         CASE WHEN {elig} AND NOT {is_a} THEN {lo} ELSE s.lw_lo END,
+         s.lw_set OR ({elig} AND NOT {is_a}),
+         {sim},
+         {wrote}
+  FROM step s JOIN pk p
+    ON p.hex = s.hex AND p.session_id = s.session_id AND p.i = s.i + 1),
 counted AS (
-  SELECT *, CAST(row_number() OVER ({_DWIN}) AS INTEGER) AS update_seq FROM dedup)
+  SELECT st.hex, st.session_id, st.i AS update_seq,
+         p.ts, p.ts_sec, p.event_id, p.lat, p.lon
+  FROM step st JOIN pk p
+    ON p.hex = st.hex AND p.session_id = st.session_id AND p.i = st.i
+  WHERE st.wrote)
 """
+
 
 ORACLES = {
     "sink_mongo_trip": f"""
@@ -283,18 +333,18 @@ SELECT flight_id || '_' || CAST(session_id AS VARCHAR) AS _id,
 FROM assembled
 """,
     "filter_decimation": f"""
-WITH {_CTES},
-{_DECIM}
+WITH RECURSIVE {_CTES},
+{_decim_fold_ctes(CFG.decimation_factor, CFG.decimation_force_new_data)}
 SELECT hex, strftime(ts, '{TS_FMT_DUCK}') AS ts_str, update_seq,
        round(lat, 6) AS lat, round(lon, 6) AS lon
-FROM counted WHERE update_seq >= 3 AND (update_seq - 3) % 15 = 0
+FROM counted
 """,
     "sink_mongo_decimated": f"""
-WITH {_CTES},
-{_DECIM}
+WITH RECURSIVE {_CTES},
+{_decim_fold_ctes(CFG.decimation_factor, CFG.decimation_force_new_data)}
 SELECT hex AS flight_id, round(lat, 6) AS lat_value, round(lon, 6) AS lon_value,
        round(ts_sec, 6) AS sample_sec
-FROM counted WHERE update_seq >= 3 AND (update_seq - 3) % 15 = 0
+FROM counted
 """,
     "sink_kafka_alert": f"""
 WITH {_KIN},

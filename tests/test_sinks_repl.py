@@ -21,8 +21,12 @@ CFG = EngineConfig(remember_s=1000.0, min_trip_length_s=0.0, decimation_factor=3
 
 
 def _obs(spark, n=10):
+    # lat AND lon both move: the reference only ever decimation-writes once
+    # the sim has run, which needs >= 2 entries in BOTH axis histories
+    # (airstrik.py:578-579, 595-600)
     rows = [
-        ("a", BASE + 10 * i, "AAL1" if i == 0 else None, 35.7 + 0.01 * i, -78.7, 0.0, 500.0, 1)
+        ("a", BASE + 10 * i, "AAL1" if i == 0 else None,
+         35.7 + 0.01 * i, -78.7 - 0.001 * i, 0.0, 500.0, 1)
         for i in range(n)
     ]
     return obs_rows(spark, rows)
@@ -37,7 +41,46 @@ def test_decimation_every_nth(spark):
 def test_decimation_change_gate(spark):
     rows = [("a", BASE + i, None, 35.7, -78.7, 0.0, 500.0, 1) for i in range(9)]
     frozen = obs_rows(spark, rows)  # position never changes
-    assert decimate(frozen, CFG).count() == 0  # force_new_data suppresses all
+    assert decimate(frozen, CFG).count() == 0  # never 2 fixes -> never eligible
+
+
+def test_decimation_frozen_after_motion_writes_once(spark):
+    """Reference exactness (airstrik.py:612-625): after two moving fixes the
+    first eligible packet writes; endless identical re-sends then burn the
+    countdown but never pass the last_written change gate — ONE write total
+    (the pre-fold window form emitted every Nth repeat here)."""
+    cfg = EngineConfig(
+        remember_s=1000.0, min_trip_length_s=0.0,
+        decimation_factor=3, decimation_force_new_data=False,
+    )
+    rows = [
+        ("a", BASE + 0, None, 35.70, -78.70, 0.0, 500.0, 1),
+        ("a", BASE + 10, None, 35.71, -78.71, 0.0, 500.0, 1),
+    ] + [
+        ("a", BASE + 20 + i, None, 35.71, -78.71, 0.0, 500.0, 1)
+        for i in range(12)
+    ]
+    out = decimate(obs_rows(spark, rows), cfg).collect()
+    assert [r["update_seq"] for r in out] == [2]
+
+
+def test_decimation_unchanged_packets_burn_countdown(spark):
+    """force_new=True: an unchanged packet still decrements the reference's
+    tracker (airstrik.py:626), shifting later writes to PACKET cadence, not
+    unique-fix cadence."""
+    rows = [
+        # packets 1-3 move (write at packet 3), packet 4 repeats, 5-6 move
+        ("a", BASE + 0, None, 35.70, -78.70, 0.0, 500.0, 1),
+        ("a", BASE + 10, None, 35.71, -78.71, 0.0, 500.0, 1),
+        ("a", BASE + 20, None, 35.72, -78.72, 0.0, 500.0, 1),
+        ("a", BASE + 30, None, 35.72, -78.72, 0.0, 500.0, 1),  # repeat
+        ("a", BASE + 40, None, 35.73, -78.73, 0.0, 500.0, 1),
+        ("a", BASE + 50, None, 35.74, -78.74, 0.0, 500.0, 1),
+    ]
+    out = decimate(obs_rows(spark, rows), CFG).collect()
+    # n=3: write at packet 3 (tracker->2), packets 4,5 decrement, packet 6
+    # eligible + moved -> write.  Unique-fix counting would say packet 7.
+    assert [r["update_seq"] for r in out] == [3, 6]
 
 
 def test_decimation_phase_without_force_new(spark):

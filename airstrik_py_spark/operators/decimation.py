@@ -43,7 +43,11 @@ from airstrik_py_spark.config import EngineConfig
 
 def _decim_zero() -> F.Column:
     """Fold seed = the reference's fresh plane_history entry: tracker 0,
-    empty histories, empty last_written (airstrik.py:556-568)."""
+    empty histories, empty last_written (airstrik.py:556-568).  `writes`
+    carries the full emitted sample — the write uses lat_history[-1] /
+    lon_history[-1] (value, entry-ts) PAIRS (airstrik.py:602-604), i.e.
+    the last KNOWN position stamped with when it was first seen, not the
+    triggering packet's own possibly-null fields."""
     d_null = F.lit(None).cast("double")
     return F.struct(
         F.lit(0).alias("tracker"),
@@ -51,11 +55,15 @@ def _decim_zero() -> F.Column:
         F.lit(0).alias("n_lon"),
         d_null.alias("last_la"),
         d_null.alias("last_lo"),
+        d_null.alias("la_t"),
+        d_null.alias("lo_t"),
         d_null.alias("lw_la"),
         d_null.alias("lw_lo"),
         F.lit(False).alias("lw_set"),
         F.lit(False).alias("sim_ran"),
-        F.array().cast("array<int>").alias("writes"),
+        F.array().cast(
+            "array<struct<i:int,la:double,la_t:double,lo:double,lo_t:double>>"
+        ).alias("writes"),
         F.lit(0).alias("i"),
     )
 
@@ -86,13 +94,21 @@ def _decim_step(n: int, force_new: bool):
         #   D            otherwise -> no write, tracker stays <= 0
         # last_written updates on B/C/D (:625); ineligible packets burn the
         # countdown (:626)
+        # history heads AFTER this packet's appends — the reference's change
+        # gate compares lat_history[-1][0], not the raw packet field
+        # (airstrik.py:620-621), and a write emits the head (value, entry-ts)
+        # pairs (airstrik.py:602-604)
+        new_la = F.when(la.isNotNull(), la).otherwise(acc.getField("last_la"))
+        new_lo = F.when(lo.isNotNull(), lo).otherwise(acc.getField("last_lo"))
+        new_la_t = F.when(lat_new, p.getField("t")).otherwise(acc.getField("la_t"))
+        new_lo_t = F.when(lon_new, p.getField("t")).otherwise(acc.getField("lo_t"))
         is_a = eligible & ~sim_ran
         is_b = eligible & sim_ran & F.lit(not force_new) & ~acc.getField("lw_set")
         is_c = (
             eligible
             & sim_ran
             & acc.getField("lw_set")
-            & ((la != acc.getField("lw_la")) | (lo != acc.getField("lw_lo")))
+            & ((new_la != acc.getField("lw_la")) | (new_lo != acc.getField("lw_lo")))
         )
         wrote = is_b | is_c
         tracker = (
@@ -105,13 +121,29 @@ def _decim_step(n: int, force_new: bool):
             tracker.alias("tracker"),
             n_lat.alias("n_lat"),
             n_lon.alias("n_lon"),
-            F.when(la.isNotNull(), la).otherwise(acc.getField("last_la")).alias("last_la"),
-            F.when(lo.isNotNull(), lo).otherwise(acc.getField("last_lo")).alias("last_lo"),
-            F.when(eligible & ~is_a, la).otherwise(acc.getField("lw_la")).alias("lw_la"),
-            F.when(eligible & ~is_a, lo).otherwise(acc.getField("lw_lo")).alias("lw_lo"),
+            new_la.alias("last_la"),
+            new_lo.alias("last_lo"),
+            new_la_t.alias("la_t"),
+            new_lo_t.alias("lo_t"),
+            F.when(eligible & ~is_a, new_la).otherwise(acc.getField("lw_la")).alias("lw_la"),
+            F.when(eligible & ~is_a, new_lo).otherwise(acc.getField("lw_lo")).alias("lw_lo"),
             (acc.getField("lw_set") | (eligible & ~is_a)).alias("lw_set"),
             sim_ran.alias("sim_ran"),
-            F.when(wrote, F.concat(acc.getField("writes"), F.array(idx)))
+            F.when(
+                wrote,
+                F.concat(
+                    acc.getField("writes"),
+                    F.array(
+                        F.struct(
+                            idx.alias("i"),
+                            new_la.alias("la"),
+                            new_la_t.alias("la_t"),
+                            new_lo.alias("lo"),
+                            new_lo_t.alias("lo_t"),
+                        )
+                    ),
+                ),
+            )
             .otherwise(acc.getField("writes"))
             .alias("writes"),
             idx.alias("i"),
@@ -157,17 +189,19 @@ def decimate(df: DataFrame, cfg: EngineConfig) -> DataFrame:
         "w", F.aggregate("ps", _decim_zero(), _decim_step(n, cfg.decimation_force_new_data)).getField("writes")
     )
     out = folded.select(
-        "hex", "session_id", "ps", F.explode("w").alias("update_seq")
-    ).withColumn("p", F.element_at("ps", F.col("update_seq")))
+        "hex", "session_id", "ps", F.explode("w").alias("wr")
+    ).withColumn("p", F.element_at("ps", F.col("wr.i")))
     return out.select(
         "hex",
         F.col("p.ts").alias("ts"),
         F.col("p.t").alias("ts_sec"),
         F.col("p.e").alias("event_id"),
-        F.col("p.la").alias("lat"),
-        F.col("p.lo").alias("lon"),
+        F.col("wr.la").alias("lat"),
+        F.col("wr.la_t").alias("lat_sec"),
+        F.col("wr.lo").alias("lon"),
+        F.col("wr.lo_t").alias("lon_sec"),
         "session_id",
-        "update_seq",
+        F.col("wr.i").alias("update_seq"),
     )
 
 

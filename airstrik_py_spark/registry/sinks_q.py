@@ -102,8 +102,9 @@ def q_sink_mongo_decimated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         F.col("hex").alias("flight_id"),
         F.round("lat", 6).alias("lat_value"),
+        F.round("lat_sec", 6).alias("lat_sec"),
         F.round("lon", 6).alias("lon_value"),
-        F.round("ts_sec", 6).alias("sample_sec"),
+        F.round("lon_sec", 6).alias("lon_sec"),
     )
 
 
@@ -257,27 +258,28 @@ assembled AS (
 def _decim_fold_ctes(n: int, force_new: bool) -> str:
     """Operation-for-operation mirror of operators/decimation.py::
     _decim_step as a RECURSIVE CTE that advances one packet per step (the
-    CASE ladder reproduces airstrik.py:574-626 branch-for-branch).  A
+    CASE ladder reproduces airstrik.py:574-626 branch-for-branch,
+    including the history-head (value, entry-ts) pairs a write emits).  A
     list_reduce fold was the first attempt, but DuckDB 1.0.0's list_reduce
     corrupts struct accumulators that carry a list field (nondeterministic
     under threads, emits impossible indices) — the recursive CTE is the
     deterministic equivalent; depth = longest trip."""
     la, lo = "p.lat", "p.lon"
-    nlat = (
-        f"(s.n_lat + CASE WHEN {la} IS NOT NULL AND (s.n_lat = 0 OR {la} <> s.last_la) "
-        "THEN 1 ELSE 0 END)"
-    )
-    nlon = (
-        f"(s.n_lon + CASE WHEN {lo} IS NOT NULL AND (s.n_lon = 0 OR {lo} <> s.last_lo) "
-        "THEN 1 ELSE 0 END)"
-    )
+    lat_new = f"({la} IS NOT NULL AND (s.n_lat = 0 OR {la} <> s.last_la))"
+    lon_new = f"({lo} IS NOT NULL AND (s.n_lon = 0 OR {lo} <> s.last_lo))"
+    nlat = f"(s.n_lat + CASE WHEN {lat_new} THEN 1 ELSE 0 END)"
+    nlon = f"(s.n_lon + CASE WHEN {lon_new} THEN 1 ELSE 0 END)"
+    new_la = f"(CASE WHEN {la} IS NOT NULL THEN {la} ELSE s.last_la END)"
+    new_lo = f"(CASE WHEN {lo} IS NOT NULL THEN {lo} ELSE s.last_lo END)"
+    new_la_t = f"(CASE WHEN {lat_new} THEN p.ts_sec ELSE s.la_t END)"
+    new_lo_t = f"(CASE WHEN {lon_new} THEN p.ts_sec ELSE s.lo_t END)"
     sim = f"(s.sim_ran OR ({nlat} >= 2 AND {nlon} >= 2))"
     elig = f"(s.tracker <= 0 AND {nlat} > 1)"
     is_a = f"({elig} AND NOT {sim})"
     is_b = "false" if force_new else f"({elig} AND {sim} AND NOT s.lw_set)"
     is_c = (
         f"({elig} AND {sim} AND s.lw_set AND "
-        f"(coalesce({la} <> s.lw_la, false) OR coalesce({lo} <> s.lw_lo, false)))"
+        f"(coalesce({new_la} <> s.lw_la, false) OR coalesce({new_lo} <> s.lw_lo, false)))"
     )
     wrote = f"({is_b} OR {is_c})"
     return f"""
@@ -289,6 +291,7 @@ pk AS (
 step AS (
   SELECT hex, session_id, 0 AS i, 0 AS tracker, 0 AS n_lat, 0 AS n_lon,
          CAST(NULL AS DOUBLE) AS last_la, CAST(NULL AS DOUBLE) AS last_lo,
+         CAST(NULL AS DOUBLE) AS la_t, CAST(NULL AS DOUBLE) AS lo_t,
          CAST(NULL AS DOUBLE) AS lw_la, CAST(NULL AS DOUBLE) AS lw_lo,
          false AS lw_set, false AS sim_ran, false AS wrote
   FROM (SELECT DISTINCT hex, session_id FROM pk)
@@ -298,10 +301,9 @@ step AS (
               WHEN {elig} THEN s.tracker
               ELSE s.tracker - 1 END,
          {nlat}, {nlon},
-         CASE WHEN {la} IS NOT NULL THEN {la} ELSE s.last_la END,
-         CASE WHEN {lo} IS NOT NULL THEN {lo} ELSE s.last_lo END,
-         CASE WHEN {elig} AND NOT {is_a} THEN {la} ELSE s.lw_la END,
-         CASE WHEN {elig} AND NOT {is_a} THEN {lo} ELSE s.lw_lo END,
+         {new_la}, {new_lo}, {new_la_t}, {new_lo_t},
+         CASE WHEN {elig} AND NOT {is_a} THEN {new_la} ELSE s.lw_la END,
+         CASE WHEN {elig} AND NOT {is_a} THEN {new_lo} ELSE s.lw_lo END,
          s.lw_set OR ({elig} AND NOT {is_a}),
          {sim},
          {wrote}
@@ -309,7 +311,9 @@ step AS (
     ON p.hex = s.hex AND p.session_id = s.session_id AND p.i = s.i + 1),
 counted AS (
   SELECT st.hex, st.session_id, st.i AS update_seq,
-         p.ts, p.ts_sec, p.event_id, p.lat, p.lon
+         p.ts, p.ts_sec, p.event_id,
+         st.last_la AS lat, st.la_t AS lat_sec,
+         st.last_lo AS lon, st.lo_t AS lon_sec
   FROM step st JOIN pk p
     ON p.hex = st.hex AND p.session_id = st.session_id AND p.i = st.i
   WHERE st.wrote)
@@ -342,8 +346,8 @@ FROM counted
     "sink_mongo_decimated": f"""
 WITH RECURSIVE {_CTES},
 {_decim_fold_ctes(CFG.decimation_factor, CFG.decimation_force_new_data)}
-SELECT hex AS flight_id, round(lat, 6) AS lat_value, round(lon, 6) AS lon_value,
-       round(ts_sec, 6) AS sample_sec
+SELECT hex AS flight_id, round(lat, 6) AS lat_value, round(lat_sec, 6) AS lat_sec,
+       round(lon, 6) AS lon_value, round(lon_sec, 6) AS lon_sec
 FROM counted
 """,
     "sink_kafka_alert": f"""

@@ -113,3 +113,72 @@ def test_dedup_clusters_matches_union_find(spark, edges):
     )
     got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
     assert got == expected
+
+
+def _reference_decimation_sim(packets, n, force_new):
+    """Literal Python transcription of the reference's per-trip write loop
+    (airstrik.py:556-626) over (lat, lon) packets; returns 1-based packet
+    indices that insert a decimated sample."""
+    tracker, lw, writes = 0, None, []
+    lat_hist, lon_hist, sim_ran = [], [], False
+    for i, (ts, la, lo) in enumerate(packets, start=1):
+        if la is not None and (not lat_hist or lat_hist[-1][0] != la):
+            lat_hist.append((la, ts))
+        if lo is not None and (not lon_hist or lon_hist[-1][0] != lo):
+            lon_hist.append((lo, ts))
+        if min(len(lat_hist), len(lon_hist)) >= 2:
+            sim_ran = True  # calc_heading_history becomes non-empty
+        if tracker <= 0 and n != 0 and len(lat_hist) > 1:
+            if not sim_ran:
+                tracker = n - 1  # the "no calc heading lol" reset (:595-600)
+                continue
+            cur = (lat_hist[-1][0], lon_hist[-1][0])
+            if not force_new and lw is None:
+                writes.append((i, lat_hist[-1], lon_hist[-1]))
+                tracker = n - 1
+            elif lw is not None and lw != cur:
+                writes.append((i, lat_hist[-1], lon_hist[-1]))
+                tracker = n - 1
+            lw = cur
+        else:
+            tracker -= 1
+    return writes
+
+
+packet_strategy = st.lists(
+    st.tuples(
+        st.sampled_from([35.70, 35.71, 35.72, None]),  # lat, with dups + gaps
+        st.sampled_from([-78.70, -78.71]),
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(packets=packet_strategy, force_new=st.booleans(), n=st.sampled_from([2, 3]))
+def test_decimation_fold_matches_reference_sim(spark, packets, force_new, n):
+    from airstrik_py_spark.operators.decimation import decimate
+    from tests.conftest import obs_rows
+
+    cfg = EngineConfig(
+        remember_s=100000.0, min_trip_length_s=0.0,
+        decimation_factor=n, decimation_force_new_data=force_new,
+    )
+    rows = [
+        ("a", BASE + 10 * i, None, la, lo, 0.0, 500.0, 1)
+        for i, (la, lo) in enumerate(packets)
+    ]
+    got = sorted(
+        (r["update_seq"], (r["lat"], r["lat_sec"]), (r["lon"], r["lon_sec"]))
+        for r in decimate(obs_rows(spark, rows), cfg).collect()
+    )
+    # reference sees the position the packet carries; a null lat packet
+    # leaves lat_history unchanged (key absent in aircraft json); the write
+    # emits the history heads as (value, entry-ts) pairs
+    want = _reference_decimation_sim(
+        [(BASE + 10 * i, la, lo) for i, (la, lo) in enumerate(packets)],
+        n,
+        force_new,
+    )
+    assert got == want

@@ -20,13 +20,21 @@ Write-phase derivation (per plane, counting unique fixes 1, 2, 3, ...):
 
 Replication is EXACT as of r2 (a per-trip Column fold, not the earlier
 every-Nth window approximation): unchanged packets burn the reference's
-countdown (:626), the last-written change gate applies to every write
-after the first regardless of force_new (:619-624), writes require the
-sim to have run at least once (calc_heading non-empty, via the
-min(len(lat_history), len(lon_history)) >= 2 gate at :578-579 — a
-constant-longitude track never writes), and the missing-calc-heading
-reset branch (:595-600) is reproduced.  The DuckDB oracle mirrors the
-fold operation-for-operation (registry/sinks_q.py::_decim_fold_ctes).
+countdown (:626), writes require the sim to have run at least once
+(calc_heading non-empty, via the min(len(lat_history), len(lon_history))
+>= 2 gate at :578-579 — a constant-longitude track never writes), and
+the missing-calc-heading reset branch (:595-600) is reproduced.
+
+Replicated reference BUG (deliberate, same policy as the ±90-lon clamp):
+the "if new data" gate at :619-621 compares last_written['lat'] — the
+full (value, ts) PAIR stored at :625 — against the SCALAR
+lat_history[-1][0]; a tuple never equals a float in Python, so the gate
+is vacuously true and the reference writes on EVERY eligible packet once
+last_written is non-empty.  decimation_force_new_data therefore only
+delays the FIRST write (the :612 branch needs last_written empty); it
+never suppresses repeats.  The fold keeps just the lw_set flag — no
+position comparison.  The DuckDB oracle mirrors the fold
+operation-for-operation (registry/sinks_q.py::_decim_fold_ctes).
 
 decimation_factor = 0 is the documented "only the closest will be stored"
 mode (config.yaml:7): no per-update samples pass; callers store the
@@ -57,12 +65,11 @@ def _decim_zero() -> F.Column:
         d_null.alias("last_lo"),
         d_null.alias("la_t"),
         d_null.alias("lo_t"),
-        d_null.alias("lw_la"),
-        d_null.alias("lw_lo"),
         F.lit(False).alias("lw_set"),
         F.lit(False).alias("sim_ran"),
         F.array().cast(
-            "array<struct<i:int,la:double,la_t:double,lo:double,lo_t:double>>"
+            "array<struct<i:int,t:double,e:bigint,ts:timestamp,"
+            "la:double,la_t:double,lo:double,lo_t:double>>"
         ).alias("writes"),
         F.lit(0).alias("i"),
     )
@@ -94,22 +101,18 @@ def _decim_step(n: int, force_new: bool):
         #   D            otherwise -> no write, tracker stays <= 0
         # last_written updates on B/C/D (:625); ineligible packets burn the
         # countdown (:626)
-        # history heads AFTER this packet's appends — the reference's change
-        # gate compares lat_history[-1][0], not the raw packet field
-        # (airstrik.py:620-621), and a write emits the head (value, entry-ts)
-        # pairs (airstrik.py:602-604)
+        # history heads AFTER this packet's appends — a write emits the head
+        # (value, entry-ts) pairs (airstrik.py:602-604)
         new_la = F.when(la.isNotNull(), la).otherwise(acc.getField("last_la"))
         new_lo = F.when(lo.isNotNull(), lo).otherwise(acc.getField("last_lo"))
         new_la_t = F.when(lat_new, p.getField("t")).otherwise(acc.getField("la_t"))
         new_lo_t = F.when(lon_new, p.getField("t")).otherwise(acc.getField("lo_t"))
         is_a = eligible & ~sim_ran
         is_b = eligible & sim_ran & F.lit(not force_new) & ~acc.getField("lw_set")
-        is_c = (
-            eligible
-            & sim_ran
-            & acc.getField("lw_set")
-            & ((new_la != acc.getField("lw_la")) | (new_lo != acc.getField("lw_lo")))
-        )
+        # replicated reference bug: the :619-621 "if new data" comparison
+        # pits a (value, ts) tuple against a scalar — vacuously unequal — so
+        # once last_written is set EVERY eligible packet writes
+        is_c = eligible & sim_ran & acc.getField("lw_set")
         wrote = is_b | is_c
         tracker = (
             F.when(is_a | wrote, F.lit(n - 1))
@@ -125,8 +128,6 @@ def _decim_step(n: int, force_new: bool):
             new_lo.alias("last_lo"),
             new_la_t.alias("la_t"),
             new_lo_t.alias("lo_t"),
-            F.when(eligible & ~is_a, new_la).otherwise(acc.getField("lw_la")).alias("lw_la"),
-            F.when(eligible & ~is_a, new_lo).otherwise(acc.getField("lw_lo")).alias("lw_lo"),
             (acc.getField("lw_set") | (eligible & ~is_a)).alias("lw_set"),
             sim_ran.alias("sim_ran"),
             F.when(
@@ -136,6 +137,9 @@ def _decim_step(n: int, force_new: bool):
                     F.array(
                         F.struct(
                             idx.alias("i"),
+                            p.getField("t").alias("t"),
+                            p.getField("e").alias("e"),
+                            p.getField("ts").alias("ts"),
                             new_la.alias("la"),
                             new_la_t.alias("la_t"),
                             new_lo.alias("lo"),
@@ -156,10 +160,10 @@ def decimate(df: DataFrame, cfg: EngineConfig) -> DataFrame:
     """The reference's decimated live-write gate, replicated EXACTLY as a
     per-trip fold (airstrik.py:574-626): per-attribute history appends, the
     packet-level countdown, the missing-calc-heading reset, and the
-    last-written change gate — including the degenerate feeds the simple
-    every-Nth window form gets wrong (frozen positions under
-    force_new_data=False write once, unchanged packets still burn the
-    countdown).  `update_seq` = packet index within the trip (1-based).
+    VACUOUS "if new data" gate (the reference's tuple-vs-scalar comparison
+    bug — see module docstring) — so every eligible packet after the
+    first-write baseline emits, frozen or not.  `update_seq` = packet
+    index within the trip (1-based).
 
     Trip-scoped: closure deletes the reference's plane_history entry
     (airstrik.py:548), so all state restarts per session.  Scale contract:
@@ -185,17 +189,21 @@ def decimate(df: DataFrame, cfg: EngineConfig) -> DataFrame:
             )
         ).alias("ps")
     )
-    folded = packed.withColumn(
-        "w", F.aggregate("ps", _decim_zero(), _decim_step(n, cfg.decimation_force_new_data)).getField("writes")
+    folded = packed.select(
+        "hex",
+        "session_id",
+        F.aggregate(
+            "ps", _decim_zero(), _decim_step(n, cfg.decimation_force_new_data)
+        ).getField("writes").alias("w"),
     )
-    out = folded.select(
-        "hex", "session_id", "ps", F.explode("w").alias("wr")
-    ).withColumn("p", F.element_at("ps", F.col("wr.i")))
+    # the write struct captures everything the emitted row needs, so the
+    # trip array is dropped BEFORE the explode (no O(P*W) re-materialization)
+    out = folded.select("hex", "session_id", F.explode("w").alias("wr"))
     return out.select(
         "hex",
-        F.col("p.ts").alias("ts"),
-        F.col("p.t").alias("ts_sec"),
-        F.col("p.e").alias("event_id"),
+        F.col("wr.ts").alias("ts"),
+        F.col("wr.t").alias("ts_sec"),
+        F.col("wr.e").alias("event_id"),
         F.col("wr.la").alias("lat"),
         F.col("wr.la_t").alias("lat_sec"),
         F.col("wr.lo").alias("lon"),

@@ -75,16 +75,16 @@ def q_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: eval shingles LEFT SEMI-ish join the DISTINCT train-shingle set
     on the shingle key — an equi-join against a vocab-sized build side, so
     no doc x doc pair blowup exists at any scale (no DF cap needed, unlike
-    the pairwise jaccard join).  Split assignment reuses the deterministic
-    md5(doc_id) hash of split_train_eval."""
+    the pairwise jaccard join).  The split is text_q.split_expr applied
+    DIRECTLY to the shingle rows' doc_id — a pure expression, no join, and
+    the same single definition as split_train_eval."""
     from airstrik_py_spark.operators.dedup import shingles
+    from airstrik_py_spark.registry.text_q import split_expr
 
     pin_session(spark)
     docs = load_table(spark, sf_dir, "documents")
-    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
-    tagged = docs.withColumn("split", F.when(nib < "c", F.lit("train")).otherwise(F.lit("eval")))
-    sh = shingles(tagged.select("doc_id", "text"), 3).join(
-        tagged.select("doc_id", "split"), "doc_id"
+    sh = shingles(docs.select("doc_id", "text"), 3).withColumn(
+        "split", split_expr(F.col("doc_id"))
     )
     train_sh = sh.filter(F.col("split") == "train").select("shingle").distinct()
     eval_sh = sh.filter(F.col("split") == "eval")

@@ -259,10 +259,11 @@ def _decim_fold_ctes(n: int, force_new: bool) -> str:
     """Operation-for-operation mirror of operators/decimation.py::
     _decim_step as a RECURSIVE CTE that advances one packet per step (the
     CASE ladder reproduces airstrik.py:574-626 branch-for-branch,
-    including the history-head (value, entry-ts) pairs a write emits).  A
-    list_reduce fold was the first attempt, but DuckDB 1.0.0's list_reduce
-    corrupts struct accumulators that carry a list field (nondeterministic
-    under threads, emits impossible indices) — the recursive CTE is the
+    including the vacuous tuple-vs-scalar "if new data" gate and the
+    history-head (value, entry-ts) pairs a write emits).  A list_reduce
+    fold was the first attempt, but DuckDB 1.0.0's list_reduce corrupts
+    struct accumulators that carry a list field (nondeterministic under
+    threads, emits impossible indices) — the recursive CTE is the
     deterministic equivalent; depth = longest trip."""
     la, lo = "p.lat", "p.lon"
     lat_new = f"({la} IS NOT NULL AND (s.n_lat = 0 OR {la} <> s.last_la))"
@@ -274,13 +275,13 @@ def _decim_fold_ctes(n: int, force_new: bool) -> str:
     new_la_t = f"(CASE WHEN {lat_new} THEN p.ts_sec ELSE s.la_t END)"
     new_lo_t = f"(CASE WHEN {lon_new} THEN p.ts_sec ELSE s.lo_t END)"
     sim = f"(s.sim_ran OR ({nlat} >= 2 AND {nlon} >= 2))"
-    elig = f"(s.tracker <= 0 AND {nlat} > 1)"
+    elig = f"(s.tracker <= 0 AND {n} <> 0 AND {nlat} > 1)"
     is_a = f"({elig} AND NOT {sim})"
     is_b = "false" if force_new else f"({elig} AND {sim} AND NOT s.lw_set)"
-    is_c = (
-        f"({elig} AND {sim} AND s.lw_set AND "
-        f"(coalesce({new_la} <> s.lw_la, false) OR coalesce({new_lo} <> s.lw_lo, false)))"
-    )
+    # replicated reference bug (airstrik.py:619-621): (value, ts) tuple vs
+    # scalar is always unequal -> once last_written is set, every eligible
+    # packet writes
+    is_c = f"({elig} AND {sim} AND s.lw_set)"
     wrote = f"({is_b} OR {is_c})"
     return f"""
 pk AS (
@@ -292,7 +293,6 @@ step AS (
   SELECT hex, session_id, 0 AS i, 0 AS tracker, 0 AS n_lat, 0 AS n_lon,
          CAST(NULL AS DOUBLE) AS last_la, CAST(NULL AS DOUBLE) AS last_lo,
          CAST(NULL AS DOUBLE) AS la_t, CAST(NULL AS DOUBLE) AS lo_t,
-         CAST(NULL AS DOUBLE) AS lw_la, CAST(NULL AS DOUBLE) AS lw_lo,
          false AS lw_set, false AS sim_ran, false AS wrote
   FROM (SELECT DISTINCT hex, session_id FROM pk)
   UNION ALL
@@ -302,8 +302,6 @@ step AS (
               ELSE s.tracker - 1 END,
          {nlat}, {nlon},
          {new_la}, {new_lo}, {new_la_t}, {new_lo_t},
-         CASE WHEN {elig} AND NOT {is_a} THEN {new_la} ELSE s.lw_la END,
-         CASE WHEN {elig} AND NOT {is_a} THEN {new_lo} ELSE s.lw_lo END,
          s.lw_set OR ({elig} AND NOT {is_a}),
          {sim},
          {wrote}

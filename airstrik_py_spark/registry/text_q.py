@@ -166,6 +166,14 @@ def q_corpus_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def split_expr(doc_id_col: F.Column) -> F.Column:
+    """The deterministic train/eval split rule — ONE definition shared by
+    q_split_train_eval and the decontamination check (extras_q), so the
+    two can never silently diverge."""
+    nib = F.substring(F.md5(doc_id_col.cast("string")), 1, 1)
+    return F.when(nib < "c", F.lit("train")).otherwise(F.lit("eval"))
+
+
 def q_split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/eval split by content-free id hash: first hex
     nibble of md5(doc_id) < 'c' -> train (~75%).  Engine-agnostic and
@@ -173,11 +181,10 @@ def q_split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from a split (no RNG, no row order dependence).  Pure map stage."""
     pin_session(spark)
     d = load_table(spark, sf_dir, "documents")
-    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
     return d.select(
         "doc_id",
-        nib.alias("hash_nibble"),
-        F.when(nib < "c", F.lit("train")).otherwise(F.lit("eval")).alias("split"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("hash_nibble"),
+        split_expr(F.col("doc_id")).alias("split"),
     )
 
 

@@ -132,14 +132,16 @@ def _reference_decimation_sim(packets, n, force_new):
             if not sim_ran:
                 tracker = n - 1  # the "no calc heading lol" reset (:595-600)
                 continue
-            cur = (lat_hist[-1][0], lon_hist[-1][0])
             if not force_new and lw is None:
                 writes.append((i, lat_hist[-1], lon_hist[-1]))
                 tracker = n - 1
-            elif lw is not None and lw != cur:
+            elif lw is not None:
+                # the reference's "if new data" gate (airstrik.py:619-621)
+                # compares the stored (value, ts) PAIR to a scalar — always
+                # unequal in Python — so every eligible packet writes
                 writes.append((i, lat_hist[-1], lon_hist[-1]))
                 tracker = n - 1
-            lw = cur
+            lw = (lat_hist[-1][0], lon_hist[-1][0])
         else:
             tracker -= 1
     return writes

@@ -45,10 +45,10 @@ def test_decimation_change_gate(spark):
 
 
 def test_decimation_frozen_after_motion_writes_once(spark):
-    """Reference exactness (airstrik.py:612-625): after two moving fixes the
-    first eligible packet writes; endless identical re-sends then burn the
-    countdown but never pass the last_written change gate — ONE write total
-    (the pre-fold window form emitted every Nth repeat here)."""
+    """Reference exactness (airstrik.py:612-625): the "if new data" gate
+    compares a (value, ts) pair to a scalar — vacuously true — so once two
+    moving fixes baseline the state, EVERY eligible packet writes, frozen
+    or not (the packet countdown still spaces them every Nth)."""
     cfg = EngineConfig(
         remember_s=1000.0, min_trip_length_s=0.0,
         decimation_factor=3, decimation_force_new_data=False,
@@ -61,7 +61,11 @@ def test_decimation_frozen_after_motion_writes_once(spark):
         for i in range(12)
     ]
     out = decimate(obs_rows(spark, rows), cfg).collect()
-    assert [r["update_seq"] for r in out] == [2]
+    assert sorted(r["update_seq"] for r in out) == [2, 5, 8, 11, 14]
+    # frozen packets re-emit the LAST KNOWN position with its entry ts
+    last = max(out, key=lambda r: r["update_seq"])
+    assert (last["lat"], last["lon"]) == (35.71, -78.71)
+    assert last["lat_sec"] == BASE + 10
 
 
 def test_decimation_unchanged_packets_burn_countdown(spark):

@@ -1,0 +1,157 @@
+"""Corpus-preparation operators for LLM training-data pipelines over the
+`documents` table: repetition signals, source-balanced sampling, and
+concat-and-chunk sequence packing.
+
+These extend the reference's query surface (it has no document pipeline);
+they follow the same contract as the rest of the engine: pure Catalyst
+expressions wherever possible, every shuffle accounted for, and a DuckDB
+oracle mirror per query (registry/text_q.py).
+
+Scale notes (100 TB):
+  * repetition_signals — map-only, zero shuffle.  The per-doc top-term scan
+    is O(unique x total) tokens per document, bounded by document length,
+    never by corpus size.
+  * domain_balance — two tiny aggregates (per-source totals: one
+    map-side-combined shuffle on a low-cardinality key, then a 1-row
+    rollup) broadcast back onto the doc stream; the keep/drop decision is a
+    pure map.  The decision hash is content-free (doc_id), so a backfill
+    re-run keeps the identical sample.
+  * concat_chunk packing — the running offset is a window sum per shard.
+    Shards are independent (hash of doc_id), so parallelism = shard count;
+    in production shard per input file/partition so each window sort stays
+    in-memory.  The boundary math is integer-exact on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# concat-and-chunk packing: training sequence length (tokens) and shard
+# fan-out.  16 shards on the fixture; at corpus scale shard per input split.
+PACK_SEQ_LEN = 512
+SAMPLE_SALT = "bal|"
+PACK_SALT = "pack|"
+
+
+def repetition_signals(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition measurements, pure map stage: duplicate-word
+    fraction (1 - distinct/total), most-frequent-word share, and
+    most-frequent-2-gram share.  High values mark boilerplate / degenerate
+    generations that quality gates should drop."""
+    d = docs.withColumn("words", F.split("text", " "))
+    n = F.size("words")
+    uniq = F.array_distinct("words")
+    top_word = F.array_max(
+        F.transform(
+            uniq, lambda u: F.size(F.filter(F.col("words"), lambda w: w == u))
+        )
+    )
+    # sequence() runs BACKWARDS when stop < start -> explicit empty branch
+    grams = F.expr(
+        "CASE WHEN size(words) >= 2 THEN "
+        "transform(sequence(1, size(words) - 1), "
+        "i -> concat_ws('|', words[i-1], words[i])) "
+        "ELSE CAST(array() AS array<string>) END"
+    )
+    top_gram_frac = F.when(
+        F.size(grams) > 0,
+        F.round(
+            F.array_max(
+                F.transform(
+                    F.array_distinct(grams),
+                    lambda g: F.size(F.filter(grams, lambda x: x == g)),
+                )
+            ).cast("double")
+            / F.size(grams).cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(1.0 - F.size(uniq).cast("double") / n.cast("double"), 6).alias(
+            "dup_word_frac"
+        ),
+        F.round(top_word.cast("double") / n.cast("double"), 6).alias("top_word_frac"),
+        top_gram_frac.alias("top_2gram_frac"),
+    )
+
+
+def _hash_frac16(salt: str, id_col: Column) -> Column:
+    """Deterministic uniform-ish fraction in [0, 1): the first 16 bits of
+    md5(salt || id) over 2^16.  Content-free and engine-agnostic (the oracle
+    recomputes the same nibbles positionally), so sampling decisions are
+    reproducible across reruns, engines, and backfills."""
+    h4 = F.substring(F.md5(F.concat(F.lit(salt), id_col.cast("string"))), 1, 4)
+    return F.conv(h4, 16, 10).cast("long") / F.lit(65536.0)
+
+
+def domain_balance(docs: DataFrame) -> DataFrame:
+    """Source-balanced down-sampling plan: every source gets keep-rate
+    min(1, fair_share / its_tokens) where fair_share = total_tokens /
+    n_sources, and each doc keeps iff its salted hash-fraction < rate.
+    Output one row per doc with the decision — the standard domain-mixing
+    step before training-corpus assembly (over-represented crawls are
+    thinned, small curated sources ride through at rate 1)."""
+    d = docs.withColumn("n_tok", F.size(F.split("text", " ")))
+    per_src = d.groupBy("source").agg(F.sum("n_tok").alias("src_tokens"))
+    overall = per_src.agg(
+        F.sum("src_tokens").alias("all_tokens"), F.count("*").alias("n_sources")
+    )
+    rates = per_src.join(F.broadcast(overall)).select(
+        "source",
+        "src_tokens",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (F.col("all_tokens") / F.col("n_sources")) / F.col("src_tokens"),
+            ),
+            6,
+        ).alias("keep_rate"),
+    )
+    u = F.round(_hash_frac16(SAMPLE_SALT, F.col("doc_id")), 6)
+    return (
+        d.join(F.broadcast(rates), "source")
+        .withColumn("u", u)
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_tok").alias("n_tokens"),
+            "keep_rate",
+            "u",
+            (F.col("u") < F.col("keep_rate")).alias("kept"),
+        )
+    )
+
+
+def concat_chunk_pack(docs: DataFrame, seq_len: int = PACK_SEQ_LEN) -> DataFrame:
+    """GPT-style concat-and-chunk packing plan: within a shard, documents
+    concatenate in doc_id order and split into fixed `seq_len` token
+    sequences; a document may straddle a sequence boundary.  Emits each
+    doc's byte-exact placement: shard, running start offset, first/last
+    sequence index, and whether it was split across sequences.
+
+    This is the window-expressible packing (what GPT-2/3-lineage pipelines
+    do); greedy no-split bin packing is a per-shard fold — same shape as
+    operators/decimation.py — left as the documented alternative."""
+    d = docs.select(
+        "doc_id",
+        F.substring(
+            F.md5(F.concat(F.lit(PACK_SALT), F.col("doc_id").cast("string"))), 1, 1
+        ).alias("shard"),
+        F.size(F.split("text", " ")).alias("n_tok"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    start = F.sum("n_tok").over(w) - F.col("n_tok")
+    first_seq = F.floor(start / F.lit(seq_len))
+    last_seq = F.floor((start + F.col("n_tok") - 1) / F.lit(seq_len))
+    return d.select(
+        "doc_id",
+        "shard",
+        F.col("n_tok").alias("n_tokens"),
+        start.alias("start_off"),
+        first_seq.alias("first_seq"),
+        last_seq.alias("last_seq"),
+        (last_seq > first_seq).alias("split_across"),
+    )

@@ -354,6 +354,50 @@ def ann_ivf_kmeans(
     )
 
 
+KNN_GRAPH_K = 3
+KNN_GRAPH_PROBE = 1
+
+
+def knn_graph(
+    emb: DataFrame, k: int = KNN_GRAPH_K, probe_hamming: int = KNN_GRAPH_PROBE
+) -> DataFrame:
+    """Approximate k-NN graph over the WHOLE corpus (every vector is a
+    source): SRP-signature bucketing with Hamming-1 multi-probe (9 masks),
+    exact cosine re-rank, top-`k` edges per source.  The building block for
+    SemDeDup-style semantic dedup and graph clustering.
+
+    Scale contract: the probe fan-out is a constant 9x on the source side
+    and the join is an equi-join on the integer signature, so total work is
+    sum over buckets of 9 * |bucket|^2 — bucket occupancy, never N^2.
+    Sources whose probed buckets hold no other vector simply emit no edges
+    (an honest property of LSH graphs; raise probe_hamming to densify)."""
+    from pyspark.sql import Window
+
+    base = _with_vec(emb).withColumn("sig", srp_signature(F.col("vec")))
+    masks = srp_probe_masks(probe_hamming)
+    probes = base.select(
+        F.col("vec_id").alias("src_id"), F.col("vec").alias("qv"), "sig"
+    ).withColumn(
+        "bucket",
+        F.explode(F.array(*[F.col("sig").bitwiseXOR(F.lit(m)) for m in masks])),
+    ).drop("sig")
+    c = base.select(
+        F.col("vec_id").alias("dst_id"), F.col("vec").alias("cv"),
+        F.col("sig").alias("bucket"),
+    )
+    scored = (
+        probes.join(c, "bucket")
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 4))
+    )
+    w = Window.partitionBy("src_id").orderBy(F.col("cos").desc(), F.col("dst_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src_id", "dst_id", "cos", "rank")
+    )
+
+
 def ann_ivf_label(emb: DataFrame, n_queries: int, k: int) -> DataFrame:
     """IVF-style ANN with the fixture `label` as the coarse cell: probe only
     the query's cell, exact re-rank inside."""

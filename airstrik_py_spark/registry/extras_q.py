@@ -35,6 +35,7 @@ from airstrik_py_spark.registry.similarity_q import (
     q_ann_ivf_kmeans,
     q_ann_ivf_label,
     q_embedding_label_centroids,
+    q_knn_graph_bucketed,
 )
 from airstrik_py_spark.registry.sinks_q import q_ddl_drop_reset
 from airstrik_py_spark.registry.text_q import (
@@ -42,8 +43,12 @@ from airstrik_py_spark.registry.text_q import (
     q_corpus_vocab_topk,
     q_multimodal_framesample,
     q_multimodal_resize_plan,
+    q_pack_concat_chunks,
+    q_pipeline_corpus_manifest,
+    q_sample_domain_balance,
     q_split_train_eval,
     q_text_quality_gates,
+    q_text_repetition,
 )
 
 def q_join_bucketed_coloc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -163,6 +168,12 @@ QUERIES = {
     "embedding_label_centroids": q_embedding_label_centroids,
     "join_bucketed_coloc": q_join_bucketed_coloc,
     "eval_contamination": q_eval_contamination,
+    # round-3 additions (same most-valuable-first rule)
+    "pipeline_corpus_manifest": q_pipeline_corpus_manifest,
+    "knn_graph_bucketed": q_knn_graph_bucketed,
+    "pack_concat_chunks": q_pack_concat_chunks,
+    "text_repetition": q_text_repetition,
+    "sample_domain_balance": q_sample_domain_balance,
     "ann_ivf_label": q_ann_ivf_label,
     "ddl_drop_reset": q_ddl_drop_reset,
 }

@@ -113,6 +113,14 @@ def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_graph_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-corpus approximate k-NN graph (SemDeDup building block) —
+    operators/similarity.py::knn_graph: SRP buckets + Hamming-1 probes,
+    exact cosine re-rank, top-3 edges per source vector."""
+    pin_session(spark)
+    return SIM.knn_graph(load_table(spark, sf_dir, "embeddings"))
+
+
 QUERIES = {
     "ann_bruteforce_cosine": q_ann_bruteforce_cosine,
     "ann_lsh_srp": q_ann_lsh_srp,
@@ -164,6 +172,19 @@ SELECT q.vec_id AS query_id, q.cell AS cell, c.vec_id AS neighbor_id, {_COS} AS 
 FROM probes q JOIN a{SIM.KMEANS_ITERS} c
   ON q.cell = c.cell AND q.vec_id <> c.vec_id
 QUALIFY rank <= {TOP_K}
+""",
+    "knn_graph_bucketed": f"""
+WITH {_E},
+sigd AS (SELECT vec_id, v, ({_SIG}) AS sig FROM e),
+probes AS (
+  SELECT vec_id, v,
+         unnest(list_transform([{", ".join(str(m) for m in SIM.srp_probe_masks(SIM.KNN_GRAPH_PROBE))}],
+                m -> xor(sig, m))) AS bucket
+  FROM sigd)
+SELECT q.vec_id AS src_id, c.vec_id AS dst_id, {_COS} AS cos,
+       CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY {_COS} DESC, c.vec_id) AS INTEGER) AS rank
+FROM probes q JOIN sigd c ON q.bucket = c.sig AND q.vec_id <> c.vec_id
+QUALIFY rank <= {SIM.KNN_GRAPH_K}
 """,
     "embedding_label_centroids": f"""
 WITH {_E},

@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from airstrik_py_spark.operators.corpus import PACK_SALT, PACK_SEQ_LEN, SAMPLE_SALT
 from airstrik_py_spark.operators.multimodal import (
     attach_fake_media,
     extract_features,
@@ -104,13 +105,11 @@ GATE_MAX_AVG_LEN = 10.0
 GATE_MAX_DUP3 = 0.5
 
 
-def q_text_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher/C4-style hard quality gates, pure Catalyst: word-count range,
-    mean-word-length range, stopword presence, and the Gopher duplicate
-    word-3-gram fraction (1 - distinct/total), AND-folded into `keep`.
-    At 100 TB this is a single narrow map stage — no shuffle at all."""
-    pin_session(spark)
-    d = load_table(spark, sf_dir, "documents").withColumn("words", F.split("text", " "))
+def _gate_exprs():
+    """The quality-gate Column expressions (against a frame holding `text`
+    and `words`), shared by q_text_quality_gates and the composed
+    pipeline_corpus_manifest so the two can never silently diverge.
+    Returns (n_tok, dup3, g_words, g_avg, g_stop, g_dup)."""
     n_tok = F.size("words")
     avg_len = (F.length("text") - (n_tok - 1).cast("double")) / n_tok.cast("double")
     # guarded like dedup._shingle_array: sequence() runs BACKWARDS when
@@ -134,6 +133,17 @@ def q_text_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g_stop = F.size(F.filter("words", lambda w: (w == STOPWORDS[0]) | (w == STOPWORDS[1]))) > 0
     g_dup = dup3 <= GATE_MAX_DUP3
+    return n_tok, dup3, g_words, g_avg, g_stop, g_dup
+
+
+def q_text_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style hard quality gates, pure Catalyst: word-count range,
+    mean-word-length range, stopword presence, and the Gopher duplicate
+    word-3-gram fraction (1 - distinct/total), AND-folded into `keep`.
+    At 100 TB this is a single narrow map stage — no shuffle at all."""
+    pin_session(spark)
+    d = load_table(spark, sf_dir, "documents").withColumn("words", F.split("text", " "))
+    _n_tok, dup3, g_words, g_avg, g_stop, g_dup = _gate_exprs()
     return d.select(
         "doc_id",
         g_words.alias("gate_word_count"),
@@ -226,6 +236,74 @@ def q_multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_plan(feats.select("doc_id", "width", "height"))
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals (duplicate-word / top-word / top-2-gram
+    shares) — operators/corpus.py::repetition_signals over documents."""
+    from airstrik_py_spark.operators.corpus import repetition_signals
+
+    pin_session(spark)
+    return repetition_signals(load_table(spark, sf_dir, "documents"))
+
+
+def q_sample_domain_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-balanced sampling plan — operators/corpus.py::domain_balance:
+    per-source keep rates toward a uniform token mix, content-free hash
+    keep/drop decision per doc."""
+    from airstrik_py_spark.operators.corpus import domain_balance
+
+    pin_session(spark)
+    return domain_balance(load_table(spark, sf_dir, "documents"))
+
+
+def q_pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence-packing plan —
+    operators/corpus.py::concat_chunk_pack with the default 512-token
+    sequences over 16 md5 shards."""
+    from airstrik_py_spark.operators.corpus import concat_chunk_pack
+
+    pin_session(spark)
+    return concat_chunk_pack(load_table(spark, sf_dir, "documents"))
+
+
+def q_pipeline_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-corpus pipeline in ONE query: quality gates
+    (_gate_exprs) -> exact dedup among the quality-kept docs (min doc_id
+    per md5 digest wins) -> deterministic train/eval split (split_expr) ->
+    per-(split, source) manifest rollup with kept doc/token counts.
+
+    Shape: one narrow map stage (gates + digest + split are all
+    expressions), ONE hash-exchange for the per-digest window, one
+    map-side-combined rollup on the tiny (split, source) key.  The window
+    partitions by (digest, keep_q) so the canonical-pick never re-ranks
+    rejected docs into the kept set."""
+    pin_session(spark)
+    d = load_table(spark, sf_dir, "documents").withColumn("words", F.split("text", " "))
+    n_tok, _dup3, g_words, g_avg, g_stop, g_dup = _gate_exprs()
+    d = (
+        d.withColumn("n_tok", n_tok)
+        .withColumn("keep_q", g_words & g_avg & g_stop & g_dup)
+        .withColumn("digest", F.md5("text"))
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("digest", "keep_q").orderBy("doc_id")
+    )
+    d = d.withColumn("kept", F.col("keep_q") & (rn == 1))
+    return (
+        d.withColumn("split", split_expr(F.col("doc_id")))
+        .groupBy("split", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("keep_q").cast("int")).alias("n_quality"),
+            F.sum(F.col("kept").cast("int")).alias("n_kept"),
+            F.sum(F.when(F.col("kept"), F.col("n_tok")).otherwise(F.lit(0))).alias(
+                "tokens_kept"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "text_langid": q_text_langid,
     "text_quality": q_text_quality,
@@ -252,6 +330,33 @@ _BYTE0 = (
 )
 _BYTE1 = (
     _NIB.format(c="substr(md5(text), 3, 1)") + " * 16 + " + _NIB.format(c="substr(md5(text), 4, 1)")
+)
+
+# Quality-gate CTEs shared by text_quality_gates and the composed
+# pipeline_corpus_manifest — ONE SQL definition, like _gate_exprs Spark-side.
+_GATES_CTES = """
+d AS (SELECT doc_id, source, text, string_split(text, ' ') AS words FROM documents),
+g AS (
+  SELECT doc_id, source, text, words,
+         len(words) AS n_tok,
+         round((length(text) - CAST(len(words) - 1 AS DOUBLE)) / CAST(len(words) AS DOUBLE), 6) AS avg_len,
+         len(list_filter(words, w -> w IN ('the', 'a'))) > 0 AS has_stop,
+         CASE WHEN len(words) >= 3
+              THEN list_transform(range(1, len(words) - 1),
+                   i -> words[i] || '|' || words[i+1] || '|' || words[i+2])
+              ELSE [] END AS grams
+  FROM d),
+m AS (
+  SELECT doc_id, source, text, n_tok, avg_len, has_stop,
+         CASE WHEN len(grams) > 0
+              THEN round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE), 6)
+              ELSE 0.0 END AS dup3
+  FROM g)"""
+
+# 16-bit hash fraction mirror of operators/corpus.py::_hash_frac16 — the
+# first four md5 nibbles positionally (h bound in the enclosing CTE)
+_U16 = " + ".join(
+    f"({_NIB.format(c=f'substr(h, {i + 1}, 1)')}) * {16 ** (3 - i)}" for i in range(4)
 )
 
 ORACLES = {
@@ -295,23 +400,7 @@ SELECT doc_id,
 FROM t
 """,
     "text_quality_gates": f"""
-WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents),
-g AS (
-  SELECT doc_id,
-         len(words) AS n_tok,
-         round((length(text) - CAST(len(words) - 1 AS DOUBLE)) / CAST(len(words) AS DOUBLE), 6) AS avg_len,
-         len(list_filter(words, w -> w IN ('the', 'a'))) > 0 AS has_stop,
-         CASE WHEN len(words) >= 3
-              THEN list_transform(range(1, len(words) - 1),
-                   i -> words[i] || '|' || words[i+1] || '|' || words[i+2])
-              ELSE [] END AS grams
-  FROM d),
-m AS (
-  SELECT doc_id, n_tok, avg_len, has_stop,
-         CASE WHEN len(grams) > 0
-              THEN round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE), 6)
-              ELSE 0.0 END AS dup3
-  FROM g)
+WITH {_GATES_CTES}
 SELECT doc_id,
        (n_tok >= {GATE_MIN_WORDS} AND n_tok <= {GATE_MAX_WORDS}) AS gate_word_count,
        (avg_len >= {GATE_MIN_AVG_LEN} AND avg_len <= {GATE_MAX_AVG_LEN}) AS gate_avg_word_len,
@@ -381,5 +470,83 @@ SELECT doc_id,
                  THEN greatest(1, (h2 * 32) // greatest(w, h2)) ELSE h2 END AS INTEGER) AS target_h,
        greatest(w, h2) > 32 AS scaled
 FROM d
+""",
+    "text_repetition": """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+m AS (SELECT doc_id, words,
+             len(words) AS n,
+             list_distinct(words) AS uniq,
+             CASE WHEN len(words) >= 2
+                  THEN list_transform(range(1, len(words)),
+                       i -> words[i] || '|' || words[i+1])
+                  ELSE [] END AS grams
+      FROM d)
+SELECT doc_id,
+       CAST(n AS INTEGER) AS n_tokens,
+       round(1.0 - CAST(len(uniq) AS DOUBLE) / CAST(n AS DOUBLE), 6) AS dup_word_frac,
+       round(CAST(list_max(list_transform(uniq, u -> len(list_filter(words, w -> w = u)))) AS DOUBLE)
+             / CAST(n AS DOUBLE), 6) AS top_word_frac,
+       CASE WHEN len(grams) > 0
+            THEN round(CAST(list_max(list_transform(list_distinct(grams),
+                       g -> len(list_filter(grams, x -> x = g)))) AS DOUBLE)
+                 / CAST(len(grams) AS DOUBLE), 6)
+            ELSE 0.0 END AS top_2gram_frac
+FROM m
+""",
+    "sample_domain_balance": f"""
+WITH d AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok FROM documents),
+s AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS src_tokens FROM d GROUP BY source),
+o AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS all_tokens, count(*) AS n_sources FROM s),
+r AS (SELECT source,
+             round(least(1.0, (all_tokens / n_sources) / src_tokens), 6) AS keep_rate
+      FROM s CROSS JOIN o),
+h AS (SELECT d.doc_id, d.source, d.n_tok, r.keep_rate,
+             md5('{{salt}}' || CAST(d.doc_id AS VARCHAR)) AS h
+      FROM d JOIN r USING (source)),
+u AS (SELECT doc_id, source, n_tok, keep_rate,
+             round(({{u16}}) / 65536.0, 6) AS u
+      FROM h)
+SELECT doc_id, source, CAST(n_tok AS INTEGER) AS n_tokens, keep_rate, u,
+       u < keep_rate AS kept
+FROM u
+""".format(salt=SAMPLE_SALT, u16=_U16),
+    "pack_concat_chunks": f"""
+WITH d AS (SELECT doc_id,
+                  substr(md5('{PACK_SALT}' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+                  len(string_split(text, ' ')) AS n_tok
+           FROM documents),
+w AS (SELECT doc_id, shard, n_tok,
+             CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) - n_tok AS BIGINT) AS start_off
+      FROM d)
+SELECT doc_id, shard, CAST(n_tok AS INTEGER) AS n_tokens, start_off,
+       CAST(floor(start_off / {PACK_SEQ_LEN}) AS BIGINT) AS first_seq,
+       CAST(floor((start_off + n_tok - 1) / {PACK_SEQ_LEN}) AS BIGINT) AS last_seq,
+       floor((start_off + n_tok - 1) / {PACK_SEQ_LEN}) > floor(start_off / {PACK_SEQ_LEN}) AS split_across
+FROM w
+""",
+    "pipeline_corpus_manifest": f"""
+WITH {_GATES_CTES},
+q AS (
+  SELECT doc_id, source, text, n_tok,
+         ((n_tok >= {GATE_MIN_WORDS} AND n_tok <= {GATE_MAX_WORDS})
+          AND (avg_len >= {GATE_MIN_AVG_LEN} AND avg_len <= {GATE_MAX_AVG_LEN})
+          AND has_stop AND dup3 <= {GATE_MAX_DUP3}) AS keep_q
+  FROM m),
+r AS (
+  SELECT doc_id, source, n_tok, keep_q,
+         (keep_q AND row_number() OVER (PARTITION BY md5(text), keep_q ORDER BY doc_id) = 1) AS kept
+  FROM q),
+t AS (
+  SELECT source, n_tok, keep_q, kept,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+              THEN 'train' ELSE 'eval' END AS split
+  FROM r)
+SELECT split, source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN keep_q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN kept THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_kept
+FROM t
+GROUP BY split, source
 """,
 }

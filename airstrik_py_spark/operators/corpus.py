@@ -125,6 +125,79 @@ def domain_balance(docs: DataFrame) -> DataFrame:
     )
 
 
+def _pack_base(docs: DataFrame) -> DataFrame:
+    """(doc_id, shard, n_tok) with the md5 packing shard — shared by both
+    packing strategies."""
+    return docs.select(
+        "doc_id",
+        F.substring(
+            F.md5(F.concat(F.lit(PACK_SALT), F.col("doc_id").cast("string"))), 1, 1
+        ).alias("shard"),
+        F.size(F.split("text", " ")).alias("n_tok"),
+    )
+
+
+def greedy_bin_pack(docs: DataFrame, cap: int = PACK_SEQ_LEN) -> DataFrame:
+    """Greedy NO-SPLIT bin packing (next-fit): within a shard, docs in
+    doc_id order go into the current bin while they fit; a doc that would
+    overflow opens a new bin.  Oversized docs (> cap tokens) sit alone in
+    their own bin (truncation is the caller's policy).  Emits each doc's
+    (bin_idx, bin_off) placement — the packing used when documents must not
+    straddle sequence boundaries (e.g. masked-LM or instruction tuning).
+
+    Sequential state, so it runs as the engine's standard per-group fold
+    (collect sorted array + F.aggregate, the operators/decimation.py
+    shape): ONE shuffle on shard, state bounded per shard, shards
+    independent — in production shard per input split.  The DuckDB oracle
+    replays the same fold as a recursive CTE."""
+    packed = _pack_base(docs).groupBy("shard").agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "n_tok"))).alias("ds")
+    )
+    zero = F.struct(
+        F.lit(0).cast("long").alias("bin"),
+        F.lit(0).cast("long").alias("fill"),
+        F.array()
+        .cast("array<struct<d:bigint,b:bigint,o:bigint,n:int>>")
+        .alias("writes"),
+    )
+
+    def step(acc, p):
+        n = p.getField("n_tok").cast("long")
+        new_bin = (acc.getField("fill") > 0) & ((acc.getField("fill") + n) > cap)
+        bin_ = acc.getField("bin") + F.when(new_bin, F.lit(1)).otherwise(F.lit(0)).cast(
+            "long"
+        )
+        off = F.when(new_bin, F.lit(0).cast("long")).otherwise(acc.getField("fill"))
+        fill = F.when(new_bin, n).otherwise(acc.getField("fill") + n)
+        return F.struct(
+            bin_.alias("bin"),
+            fill.alias("fill"),
+            F.concat(
+                acc.getField("writes"),
+                F.array(
+                    F.struct(
+                        p.getField("doc_id").alias("d"),
+                        bin_.alias("b"),
+                        off.alias("o"),
+                        p.getField("n_tok").alias("n"),
+                    )
+                ),
+            ).alias("writes"),
+        )
+
+    folded = packed.select(
+        "shard", F.aggregate("ds", zero, step).getField("writes").alias("w")
+    )
+    out = folded.select("shard", F.explode("w").alias("wr"))
+    return out.select(
+        F.col("wr.d").alias("doc_id"),
+        "shard",
+        F.col("wr.n").alias("n_tokens"),
+        F.col("wr.b").alias("bin_idx"),
+        F.col("wr.o").alias("bin_off"),
+    )
+
+
 def concat_chunk_pack(docs: DataFrame, seq_len: int = PACK_SEQ_LEN) -> DataFrame:
     """GPT-style concat-and-chunk packing plan: within a shard, documents
     concatenate in doc_id order and split into fixed `seq_len` token
@@ -133,15 +206,8 @@ def concat_chunk_pack(docs: DataFrame, seq_len: int = PACK_SEQ_LEN) -> DataFrame
     sequence index, and whether it was split across sequences.
 
     This is the window-expressible packing (what GPT-2/3-lineage pipelines
-    do); greedy no-split bin packing is a per-shard fold — same shape as
-    operators/decimation.py — left as the documented alternative."""
-    d = docs.select(
-        "doc_id",
-        F.substring(
-            F.md5(F.concat(F.lit(PACK_SALT), F.col("doc_id").cast("string"))), 1, 1
-        ).alias("shard"),
-        F.size(F.split("text", " ")).alias("n_tok"),
-    )
+    do); greedy_bin_pack is the no-split alternative."""
+    d = _pack_base(docs)
     w = Window.partitionBy("shard").orderBy("doc_id")
     start = F.sum("n_tok").over(w) - F.col("n_tok")
     first_seq = F.floor(start / F.lit(seq_len))

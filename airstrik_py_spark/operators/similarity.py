@@ -398,6 +398,40 @@ def knn_graph(
     )
 
 
+SEM_THRESHOLD = 0.4
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = SEM_THRESHOLD,
+    k: int = KNN_GRAPH_K,
+    probe_hamming: int = KNN_GRAPH_PROBE,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate clustering: the bucketed kNN
+    graph's edges above `threshold` cosine feed connected components
+    (operators/dedup.py::dedup_clusters min-label propagation); each
+    cluster's minimum vec_id is the canonical survivor.  Output: (vec_id,
+    cluster_id, is_canonical) for every vector in some near-dup pair —
+    the embedding-space analogue of the text dedup suite's cluster step.
+
+    Scale: inherits knn_graph's bucket-equi-join contract (never N^2) and
+    dedup_clusters' diameter-bounded rounds; near-dup components are
+    star-ish so propagation converges in 2-3 rounds."""
+    from airstrik_py_spark.operators.dedup import dedup_clusters
+
+    edges = (
+        knn_graph(emb, k, probe_hamming)
+        .filter(F.col("cos") >= F.lit(threshold))
+        .select(F.col("src_id").alias("doc_a"), F.col("dst_id").alias("doc_b"))
+    )
+    cl = dedup_clusters(edges)
+    return cl.select(
+        F.col("doc_id").alias("vec_id"),
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
 def ann_ivf_label(emb: DataFrame, n_queries: int, k: int) -> DataFrame:
     """IVF-style ANN with the fixture `label` as the coarse cell: probe only
     the query's cell, exact re-rank inside."""

@@ -34,6 +34,7 @@ from airstrik_py_spark.registry.dedup_q import q_dedup_clusters
 from airstrik_py_spark.registry.similarity_q import (
     q_ann_ivf_kmeans,
     q_ann_ivf_label,
+    q_dedup_semantic,
     q_embedding_label_centroids,
     q_knn_graph_bucketed,
 )
@@ -44,6 +45,7 @@ from airstrik_py_spark.registry.text_q import (
     q_multimodal_framesample,
     q_multimodal_resize_plan,
     q_pack_concat_chunks,
+    q_pack_greedy_bins,
     q_pipeline_corpus_manifest,
     q_sample_domain_balance,
     q_split_train_eval,
@@ -171,7 +173,9 @@ QUERIES = {
     # round-3 additions (same most-valuable-first rule)
     "pipeline_corpus_manifest": q_pipeline_corpus_manifest,
     "knn_graph_bucketed": q_knn_graph_bucketed,
+    "dedup_semantic": q_dedup_semantic,
     "pack_concat_chunks": q_pack_concat_chunks,
+    "pack_greedy_bins": q_pack_greedy_bins,
     "text_repetition": q_text_repetition,
     "sample_domain_balance": q_sample_domain_balance,
     "ann_ivf_label": q_ann_ivf_label,

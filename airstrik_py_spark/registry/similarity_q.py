@@ -121,6 +121,30 @@ def q_knn_graph_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.knn_graph(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: kNN-graph edges >= cosine threshold -> connected
+    components -> min-vec_id canonical — operators/similarity.py::
+    semantic_dedup."""
+    pin_session(spark)
+    return SIM.semantic_dedup(load_table(spark, sf_dir, "embeddings"))
+
+
+# kNN-graph CTEs shared by knn_graph_bucketed and dedup_semantic — one SQL
+# definition, like the Spark side's knn_graph reuse.
+_KNN_CTES = f"""{_E},
+sigd AS (SELECT vec_id, v, ({_SIG}) AS sig FROM e),
+probes AS (
+  SELECT vec_id, v,
+         unnest(list_transform([{", ".join(str(m) for m in SIM.srp_probe_masks(SIM.KNN_GRAPH_PROBE))}],
+                m -> xor(sig, m))) AS bucket
+  FROM sigd),
+knn AS (
+  SELECT q.vec_id AS src_id, c.vec_id AS dst_id, {_COS} AS cos,
+         CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY {_COS} DESC, c.vec_id) AS INTEGER) AS rank
+  FROM probes q JOIN sigd c ON q.bucket = c.sig AND q.vec_id <> c.vec_id
+  QUALIFY rank <= {SIM.KNN_GRAPH_K})"""
+
+
 QUERIES = {
     "ann_bruteforce_cosine": q_ann_bruteforce_cosine,
     "ann_lsh_srp": q_ann_lsh_srp,
@@ -174,17 +198,23 @@ FROM probes q JOIN a{SIM.KMEANS_ITERS} c
 QUALIFY rank <= {TOP_K}
 """,
     "knn_graph_bucketed": f"""
-WITH {_E},
-sigd AS (SELECT vec_id, v, ({_SIG}) AS sig FROM e),
-probes AS (
-  SELECT vec_id, v,
-         unnest(list_transform([{", ".join(str(m) for m in SIM.srp_probe_masks(SIM.KNN_GRAPH_PROBE))}],
-                m -> xor(sig, m))) AS bucket
-  FROM sigd)
-SELECT q.vec_id AS src_id, c.vec_id AS dst_id, {_COS} AS cos,
-       CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY {_COS} DESC, c.vec_id) AS INTEGER) AS rank
-FROM probes q JOIN sigd c ON q.bucket = c.sig AND q.vec_id <> c.vec_id
-QUALIFY rank <= {SIM.KNN_GRAPH_K}
+WITH {_KNN_CTES}
+SELECT src_id, dst_id, cos, rank FROM knn
+""",
+    "dedup_semantic": f"""
+WITH RECURSIVE {_KNN_CTES},
+pe AS (
+  SELECT src_id AS src, dst_id AS dst FROM knn WHERE cos >= {SIM.SEM_THRESHOLD}
+  UNION
+  SELECT dst_id AS src, src_id AS dst FROM knn WHERE cos >= {SIM.SEM_THRESHOLD}),
+reach AS (
+  SELECT src, dst FROM pe
+  UNION
+  SELECT r.src, p.dst FROM reach r JOIN pe p ON r.dst = p.src)
+SELECT src AS vec_id,
+       least(src, min(dst)) AS cluster_id,
+       least(src, min(dst)) = src AS is_canonical
+FROM reach GROUP BY src
 """,
     "embedding_label_centroids": f"""
 WITH {_E},

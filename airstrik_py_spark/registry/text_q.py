@@ -265,6 +265,16 @@ def q_pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return concat_chunk_pack(load_table(spark, sf_dir, "documents"))
 
 
+def q_pack_greedy_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy no-split (next-fit) bin packing —
+    operators/corpus.py::greedy_bin_pack: per-shard sequential fold, docs
+    never straddle a bin boundary."""
+    from airstrik_py_spark.operators.corpus import greedy_bin_pack
+
+    pin_session(spark)
+    return greedy_bin_pack(load_table(spark, sf_dir, "documents"))
+
+
 def q_pipeline_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-corpus pipeline in ONE query: quality gates
     (_gate_exprs) -> exact dedup among the quality-kept docs (min doc_id
@@ -523,6 +533,38 @@ SELECT doc_id, shard, CAST(n_tok AS INTEGER) AS n_tokens, start_off,
        CAST(floor((start_off + n_tok - 1) / {PACK_SEQ_LEN}) AS BIGINT) AS last_seq,
        floor((start_off + n_tok - 1) / {PACK_SEQ_LEN}) > floor(start_off / {PACK_SEQ_LEN}) AS split_across
 FROM w
+""",
+    # recursive-CTE replay of the greedy fold (same machinery as the
+    # decimation oracle — DuckDB list_reduce corrupts struct accumulators
+    # with list fields, so folds step one row per iteration)
+    "pack_greedy_bins": f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id,
+         substr(md5('{PACK_SALT}' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+         len(string_split(text, ' ')) AS n_tok,
+         row_number() OVER (
+           PARTITION BY substr(md5('{PACK_SALT}' || CAST(doc_id AS VARCHAR)), 1, 1)
+           ORDER BY doc_id) AS i
+  FROM documents),
+step AS (
+  SELECT shard, CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS bin,
+         CAST(0 AS BIGINT) AS fill, CAST(NULL AS BIGINT) AS doc_id,
+         CAST(NULL AS BIGINT) AS bin_off, CAST(NULL AS BIGINT) AS n_tok
+  FROM (SELECT DISTINCT shard FROM base)
+  UNION ALL
+  SELECT s.shard, s.i + 1,
+         CASE WHEN s.fill > 0 AND s.fill + b.n_tok > {PACK_SEQ_LEN}
+              THEN s.bin + 1 ELSE s.bin END,
+         CASE WHEN s.fill > 0 AND s.fill + b.n_tok > {PACK_SEQ_LEN}
+              THEN CAST(b.n_tok AS BIGINT) ELSE s.fill + b.n_tok END,
+         b.doc_id,
+         CASE WHEN s.fill > 0 AND s.fill + b.n_tok > {PACK_SEQ_LEN}
+              THEN CAST(0 AS BIGINT) ELSE s.fill END,
+         CAST(b.n_tok AS BIGINT)
+  FROM step s JOIN base b ON b.shard = s.shard AND b.i = s.i + 1)
+SELECT doc_id, shard, CAST(n_tok AS INTEGER) AS n_tokens,
+       bin AS bin_idx, bin_off
+FROM step WHERE doc_id IS NOT NULL
 """,
     "pipeline_corpus_manifest": f"""
 WITH {_GATES_CTES},

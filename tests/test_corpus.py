@@ -113,6 +113,66 @@ def test_knn_graph_stays_in_cluster_and_ranks(spark):
         assert cos == sorted(cos, reverse=True)
 
 
+def test_greedy_bins_never_straddle(spark):
+    from airstrik_py_spark.operators.corpus import greedy_bin_pack
+
+    rows = [(i, " ".join(["tok"] * (3 + (i * 5) % 11))) for i in range(40)]
+    rows.append((99, " ".join(["big"] * 30)))  # oversized: alone in its bin
+    out = greedy_bin_pack(docs_df(spark, rows), cap=16).collect()
+    assert len(out) == 41
+    by_shard = {}
+    for r in sorted(out, key=lambda r: (r["shard"], r["doc_id"])):
+        by_shard.setdefault(r["shard"], []).append(r)
+    for docs in by_shard.values():
+        fill = {}
+        last_bin = 0
+        for r in docs:
+            # next-fit: bins only move forward, offsets are the running fill
+            assert r["bin_idx"] >= last_bin
+            last_bin = r["bin_idx"]
+            assert r["bin_off"] == fill.get(r["bin_idx"], 0)
+            fill[r["bin_idx"]] = r["bin_off"] + r["n_tokens"]
+        for b, f in fill.items():
+            docs_in_b = [r for r in docs if r["bin_idx"] == b]
+            # a bin exceeds cap only when a single oversized doc owns it
+            assert f <= 16 or len(docs_in_b) == 1
+
+
+def test_greedy_bins_hand_case(spark):
+    from airstrik_py_spark.operators.corpus import greedy_bin_pack
+
+    # single doc -> shard irrelevant; 3 docs of 6 tokens, cap 16:
+    # docs 1,2 share bin 0 (offsets 0,6), doc 3 overflows -> bin 1
+    base = 0
+    ids = []
+    while len(ids) < 3:  # find three doc_ids landing in the SAME shard
+        if _shard_of(base) == _shard_of(0):
+            ids.append(base)
+        base += 1
+    rows = [(i, " ".join(["w"] * 6)) for i in ids]
+    out = sorted(
+        greedy_bin_pack(docs_df(spark, rows), cap=16).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert [(r["bin_idx"], r["bin_off"]) for r in out] == [(0, 0), (0, 6), (1, 0)]
+
+
+def test_semantic_dedup_clusters_min_canonical(spark):
+    from airstrik_py_spark.operators.similarity import semantic_dedup
+
+    # near-identical vectors 0-4 (one cluster), 20-22 (another, antipodal),
+    # plus isolated noise-free singletons that must NOT appear
+    rows = [(i, [1.0 + 0.001 * i] + [0.5] * 63, 0) for i in range(5)]
+    rows += [(20 + i, [-1.0 - 0.001 * i] + [-0.5] * 63, 1) for i in range(3)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = semantic_dedup(emb, threshold=0.9)
+    rows_out = {r["vec_id"]: r for r in out.collect()}
+    assert set(rows_out) == {0, 1, 2, 3, 4, 20, 21, 22}
+    for vid, r in rows_out.items():
+        assert r["cluster_id"] == (0 if vid < 5 else 20)
+        assert r["is_canonical"] == (vid in (0, 20))
+
+
 def test_manifest_counts_consistent(spark):
     from airstrik_py_spark.registry.text_q import q_pipeline_corpus_manifest
     from airstrik_py_spark.sources.tables import load_table

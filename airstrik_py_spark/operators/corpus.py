@@ -33,6 +33,10 @@ PACK_SEQ_LEN = 512
 SAMPLE_SALT = "bal|"
 PACK_SALT = "pack|"
 
+# unigram-LM scoring: per-token log-probs quantized to integer micro-units
+# so per-doc sums are addition-order-free (exact across engines)
+LM_MICRO = 1_000_000
+
 
 def repetition_signals(docs: DataFrame) -> DataFrame:
     """Gopher-style repetition measurements, pure map stage: duplicate-word
@@ -122,6 +126,86 @@ def domain_balance(docs: DataFrame) -> DataFrame:
             "u",
             (F.col("u") < F.col("keep_rate")).alias("kept"),
         )
+    )
+
+
+def lm_logprob(docs: DataFrame) -> DataFrame:
+    """CCNet-style unigram language-model quality score: train a unigram LM
+    on the corpus itself (token count / total tokens), then score each
+    document by its mean per-token log10 probability.  Low scores mark
+    gibberish / OOV-heavy documents; the standard perplexity-bucket filter
+    before LLM training runs on exactly this statistic.
+
+    Exactness contract: each token's log-prob is quantized to integer
+    micro-units (round(log10(p) * 1e6) as BIGINT) BEFORE the per-doc sum,
+    so the aggregate is integer addition — order-free, bit-identical on
+    both engines regardless of partitioning.
+
+    Scale (100 TB): token counting is the word-count shape (explode + one
+    map-side-combined groupBy); the trained model (vocab x count) is
+    orders of magnitude smaller than the corpus — broadcast it back onto
+    the token stream, leaving ONE shuffle on doc_id for the per-doc sum.
+    A 10^7-type vocab is ~100 MB — still broadcastable; beyond that the
+    score join falls back to a shuffle join on the Zipf-skewed token key,
+    where AQE skew splitting (tests/test_skew.py) applies."""
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    counts = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    model = counts.join(F.broadcast(total)).select(
+        "token",
+        F.round(
+            F.log10(F.col("cnt").cast("double") / F.col("total").cast("double"))
+            * F.lit(LM_MICRO),
+            0,
+        )
+        .cast("long")
+        .alias("lp_micro"),
+    )
+    return (
+        tok.join(F.broadcast(model), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.sum("lp_micro") / (F.count("*") * F.lit(float(LM_MICRO))), 6
+            ).alias("avg_logprob10"),
+        )
+    )
+
+
+def length_histogram(docs: DataFrame) -> DataFrame:
+    """Power-of-two token-length histogram with cumulative document share —
+    the length-distribution profile that sizes packing (PACK_SEQ_LEN),
+    truncation policy, and length-gated filtering.  Buckets are
+    floor(log2(n_tok)) computed INTEGER-ONLY (binary-string length - 1):
+    float log2 can land a power of two on either side of the boundary and
+    the two engines need not agree, so no libm in the bucket decision.
+
+    Scale: a pure map stage into a <=64-row aggregate; the cumulative
+    window runs on that tiny result.  Zero data-sized state anywhere."""
+    d = docs.select(
+        F.expr("length(bin(size(split(text, ' ')))) - 1").alias("bucket"),
+        F.size(F.split("text", " ")).alias("n_tok"),
+    )
+    g = d.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens")
+    )
+    cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    alldocs = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return g.select(
+        "bucket",
+        F.expr("shiftleft(1, bucket)").alias("lo_tokens"),
+        F.expr("shiftleft(1, bucket + 1) - 1").alias("hi_tokens"),
+        "n_docs",
+        "n_tokens",
+        F.sum("n_docs").over(cum).alias("cum_docs"),
+        F.round(
+            F.sum("n_docs").over(cum).cast("double")
+            / F.sum("n_docs").over(alldocs).cast("double"),
+            6,
+        ).alias("cum_doc_frac"),
     )
 
 

@@ -42,6 +42,7 @@ from airstrik_py_spark.registry.sinks_q import q_ddl_drop_reset
 from airstrik_py_spark.registry.text_q import (
     q_corpus_stats_rollup,
     q_corpus_vocab_topk,
+    q_doc_length_histogram,
     q_multimodal_framesample,
     q_multimodal_resize_plan,
     q_pack_concat_chunks,
@@ -49,6 +50,7 @@ from airstrik_py_spark.registry.text_q import (
     q_pipeline_corpus_manifest,
     q_sample_domain_balance,
     q_split_train_eval,
+    q_text_lm_score,
     q_text_quality_gates,
     q_text_repetition,
 )
@@ -115,7 +117,47 @@ def q_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout plan over (ts, user_id) —
+    operators/bucketing.py::zorder_plan: integer min-max binning to 16 bits
+    per axis, bit-interleaved key, 1024 file buckets."""
+    from airstrik_py_spark.operators.bucketing import zorder_plan
+
+    pin_session(spark)
+    return zorder_plan(load_table(spark, sf_dir, "events"))
+
+
+def _zorder_oracle() -> str:
+    from airstrik_py_spark.operators.bucketing import (
+        ZORDER_BITS,
+        ZORDER_FILE_SHIFT,
+        zorder_interleave_sql,
+    )
+
+    scale = (1 << ZORDER_BITS) - 1
+    z = zorder_interleave_sql("ts_bin", "uid_bin", dialect="duckdb")
+    return f"""
+WITH b AS (SELECT min(epoch_us(ts)) AS ts_min, max(epoch_us(ts)) AS ts_max,
+                  CAST(min(user_id) AS BIGINT) AS uid_min,
+                  CAST(max(user_id) AS BIGINT) AS uid_max
+           FROM events),
+d AS (SELECT event_id,
+             CASE WHEN ts_max > ts_min
+                  THEN ((epoch_us(ts) - ts_min) * {scale}) // (ts_max - ts_min)
+                  ELSE CAST(0 AS BIGINT) END AS ts_bin,
+             CASE WHEN uid_max > uid_min
+                  THEN ((CAST(user_id AS BIGINT) - uid_min) * {scale}) // (uid_max - uid_min)
+                  ELSE CAST(0 AS BIGINT) END AS uid_bin
+      FROM events CROSS JOIN b)
+SELECT event_id, ts_bin, uid_bin,
+       {z} AS zkey,
+       {z} // {1 << ZORDER_FILE_SHIFT} AS file_id
+FROM d
+"""
+
+
 ORACLES = {
+    "layout_zorder": _zorder_oracle(),
     "eval_contamination": """
 WITH dwords AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
 sh AS (
@@ -174,8 +216,11 @@ QUERIES = {
     "pipeline_corpus_manifest": q_pipeline_corpus_manifest,
     "knn_graph_bucketed": q_knn_graph_bucketed,
     "dedup_semantic": q_dedup_semantic,
+    "text_lm_score": q_text_lm_score,
     "pack_concat_chunks": q_pack_concat_chunks,
     "pack_greedy_bins": q_pack_greedy_bins,
+    "layout_zorder": q_layout_zorder,
+    "doc_length_histogram": q_doc_length_histogram,
     "text_repetition": q_text_repetition,
     "sample_domain_balance": q_sample_domain_balance,
     "ann_ivf_label": q_ann_ivf_label,

@@ -275,6 +275,27 @@ def q_pack_greedy_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return greedy_bin_pack(load_table(spark, sf_dir, "documents"))
 
 
+def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram-LM quality score —
+    operators/corpus.py::lm_logprob: corpus-trained unigram model broadcast
+    onto the token stream, per-doc mean log10 prob in exact integer
+    micro-units."""
+    from airstrik_py_spark.operators.corpus import lm_logprob
+
+    pin_session(spark)
+    return lm_logprob(load_table(spark, sf_dir, "documents"))
+
+
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two token-length histogram with cumulative doc share —
+    operators/corpus.py::length_histogram: integer-only bucket decision
+    (binary-string length, no float log2)."""
+    from airstrik_py_spark.operators.corpus import length_histogram
+
+    pin_session(spark)
+    return length_histogram(load_table(spark, sf_dir, "documents"))
+
+
 def q_pipeline_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-corpus pipeline in ONE query: quality gates
     (_gate_exprs) -> exact dedup among the quality-kept docs (min doc_id
@@ -565,6 +586,38 @@ step AS (
 SELECT doc_id, shard, CAST(n_tok AS INTEGER) AS n_tokens,
        bin AS bin_idx, bin_off
 FROM step WHERE doc_id IS NOT NULL
+""",
+    "text_lm_score": """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+counts AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts),
+model AS (
+  SELECT token,
+         CAST(round(log10(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)) * 1000000, 0) AS BIGINT) AS lp_micro
+  FROM counts CROSS JOIN tot),
+s AS (
+  SELECT doc_id, count(*) AS n, CAST(sum(lp_micro) AS BIGINT) AS slp
+  FROM tok JOIN model USING (token)
+  GROUP BY doc_id)
+SELECT doc_id, n AS n_tokens, round(slp / (n * 1000000.0), 6) AS avg_logprob10
+FROM s
+""",
+    "doc_length_histogram": """
+WITH d AS (SELECT length(bin(len(string_split(text, ' ')))) - 1 AS bucket,
+                  len(string_split(text, ' ')) AS n_tok
+           FROM documents),
+g AS (SELECT bucket, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      FROM d GROUP BY bucket)
+SELECT CAST(bucket AS INTEGER) AS bucket,
+       CAST(1 << bucket AS INTEGER) AS lo_tokens,
+       CAST((1 << (bucket + 1)) - 1 AS INTEGER) AS hi_tokens,
+       n_docs, n_tokens,
+       CAST(sum(n_docs) OVER (ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_docs,
+       round(CAST(sum(n_docs) OVER (ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / CAST(sum(n_docs) OVER () AS DOUBLE), 6) AS cum_doc_frac
+FROM g
 """,
     "pipeline_corpus_manifest": f"""
 WITH {_GATES_CTES},

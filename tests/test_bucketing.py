@@ -55,3 +55,62 @@ def test_day_partition_pruning(spark, tmp_path):
     plan = rd._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "day" in plan.split("PartitionFilters")[1][:80]
     assert rd.count() == df.filter(F.col("day") == "2026-01-03").count()
+
+
+def test_zorder_interleave_and_binning(spark):
+    from datetime import datetime, timezone
+
+    from airstrik_py_spark.operators.bucketing import zorder_plan
+
+    def ts(us):
+        return datetime.fromtimestamp(us / 1e6, tz=timezone.utc)
+
+    # ts spans [0, 65535] us, user_id spans [0, 65535]: bins == raw values
+    rows = [
+        (0, ts(0), 0),          # zkey 0
+        (1, ts(65535), 65535),  # all 32 bits set
+        (2, ts(3), 1),          # a=0b11 -> bits 0,2; b=0b1 -> bit 1 => 0b111
+        (3, ts(0), 65535),      # odd bits only
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id int"
+    )
+    out = {r["event_id"]: r for r in zorder_plan(ev).collect()}
+    assert (out[0]["ts_bin"], out[0]["uid_bin"], out[0]["zkey"]) == (0, 0, 0)
+    assert out[1]["zkey"] == (1 << 32) - 1
+    assert out[2]["zkey"] == 0b111
+    odd_mask = sum(1 << (2 * i + 1) for i in range(16))
+    assert out[3]["zkey"] == odd_mask
+    # file buckets cover [0, 1024)
+    assert out[1]["file_id"] == ((1 << 32) - 1) >> 22
+    assert out[0]["file_id"] == 0
+
+
+def test_zorder_locality_beats_linear_sort(spark):
+    """The point of the curve: sorting by zkey packs rows close in BOTH
+    dimensions into the same file, so a 2-D box query touches fewer files
+    than under a single-column sort with the same file count."""
+    from datetime import datetime, timezone
+
+    from airstrik_py_spark.operators.bucketing import zorder_plan
+
+    def ts(us):
+        return datetime.fromtimestamp(us / 1e6, tz=timezone.utc)
+
+    n = 4096
+    rows = [(i, ts((i * 2654435761) % 65536), (i * 40503) % 65536) for i in range(n)]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id int")
+    plan = {r["event_id"]: r for r in zorder_plan(ev).collect()}
+    n_files = 64
+    rows_per_file = n // n_files
+    by_z = sorted(plan.values(), key=lambda r: (r["zkey"], r["event_id"]))
+    by_ts = sorted(plan.values(), key=lambda r: (r["ts_bin"], r["event_id"]))
+    # box predicate: middle quarter of each dimension
+    lo, hi = 16384, 32768
+    def files_touched(order):
+        return len({
+            i // rows_per_file
+            for i, r in enumerate(order)
+            if lo <= r["ts_bin"] < hi and lo <= r["uid_bin"] < hi
+        })
+    assert files_touched(by_z) < files_touched(by_ts)

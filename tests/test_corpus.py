@@ -173,6 +173,41 @@ def test_semantic_dedup_clusters_min_canonical(spark):
         assert r["is_canonical"] == (vid in (0, 20))
 
 
+def test_lm_logprob_hand_case(spark):
+    import math
+
+    from airstrik_py_spark.operators.corpus import lm_logprob
+
+    # corpus: 'a a b' + 'b c' -> counts a:2 b:2 c:1, total 5
+    out = lm_logprob(docs_df(spark, [(0, "a a b"), (1, "b c")])).collect()
+    by_id = {r["doc_id"]: r for r in out}
+
+    def micro(p):
+        return round(math.log10(p) * 1e6)
+
+    exp0 = round((2 * micro(2 / 5) + micro(2 / 5)) / (3 * 1e6), 6)
+    exp1 = round((micro(2 / 5) + micro(1 / 5)) / (2 * 1e6), 6)
+    assert by_id[0]["n_tokens"] == 3 and by_id[0]["avg_logprob10"] == exp0
+    assert by_id[1]["n_tokens"] == 2 and by_id[1]["avg_logprob10"] == exp1
+    # rarer tokens -> lower score
+    assert by_id[1]["avg_logprob10"] < by_id[0]["avg_logprob10"]
+
+
+def test_length_histogram_hand_case(spark):
+    from airstrik_py_spark.operators.corpus import length_histogram
+
+    # token counts: 1, 3, 4, 7 -> buckets 0 (n=1), 1 (n=2: 3), 2 (n=2: 4,7)
+    rows = [(0, "w"), (1, "w w w"), (2, "w w w w"), (3, " ".join(["w"] * 7))]
+    out = {r["bucket"]: r for r in length_histogram(docs_df(spark, rows)).collect()}
+    assert set(out) == {0, 1, 2}
+    assert (out[0]["lo_tokens"], out[0]["hi_tokens"], out[0]["n_docs"]) == (1, 1, 1)
+    assert (out[1]["lo_tokens"], out[1]["hi_tokens"], out[1]["n_docs"]) == (2, 3, 1)
+    assert (out[2]["lo_tokens"], out[2]["hi_tokens"], out[2]["n_docs"]) == (4, 7, 2)
+    assert out[2]["n_tokens"] == 11
+    assert [out[b]["cum_docs"] for b in (0, 1, 2)] == [1, 2, 4]
+    assert out[2]["cum_doc_frac"] == 1.0
+
+
 def test_manifest_counts_consistent(spark):
     from airstrik_py_spark.registry.text_q import q_pipeline_corpus_manifest
     from airstrik_py_spark.sources.tables import load_table

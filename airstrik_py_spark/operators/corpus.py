@@ -209,6 +209,149 @@ def length_histogram(docs: DataFrame) -> DataFrame:
     )
 
 
+# TF-IDF: terms surfaced per document; sliding-window chunking geometry;
+# per-source quality-selection budget
+TFIDF_K = 3
+CHUNK_LEN = 16
+CHUNK_STRIDE = 12
+SELECT_PER_SOURCE = 10
+SELECT_SALT = "sel|"
+
+
+def tfidf_topk(docs: DataFrame, k: int = TFIDF_K) -> DataFrame:
+    """Top-k distinguishing terms per document by TF-IDF — the classic
+    keyword-extraction / topic-tagging statistic over a training corpus.
+
+    Exactness contract: idf = log10(n_docs / df) is quantized to integer
+    micro-units per TOKEN (one rounding, in the tiny model table); the
+    per-(doc, token) score is then the INTEGER product tf * idf_micro, so
+    ranking and ties are exact integer comparisons on both engines
+    (token asc breaks score ties).
+
+    Scale (100 TB): term frequencies are one explode + map-side-combined
+    groupBy on (doc_id, token); document frequencies aggregate the ALREADY
+    per-doc-distinct tf table (never the raw token stream).  The idf model
+    is vocab-sized — broadcast back, same regime as lm_logprob.  The top-k
+    window partitions on doc_id: maximal key cardinality, skew-free."""
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    idf = df_t.join(F.broadcast(n_docs)).select(
+        "token",
+        F.round(
+            F.log10(F.col("n_docs").cast("double") / F.col("df").cast("double"))
+            * F.lit(LM_MICRO),
+            0,
+        )
+        .cast("long")
+        .alias("idf_micro"),
+    )
+    scored = tf.join(F.broadcast(idf), "token").select(
+        "doc_id", "token", "tf", (F.col("tf") * F.col("idf_micro")).alias("tfidf_micro")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf_micro").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", F.col("rank").cast("int").alias("rank"),
+                "token", "tf", "tfidf_micro")
+    )
+
+
+def chunk_sliding(
+    docs: DataFrame, chunk: int = CHUNK_LEN, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """Sliding-window token chunking with overlap (chunk=16, stride=12 on
+    the fixture; 512/384-shaped in production) — the context-window
+    preparation step for RAG indexing and long-document training, where
+    each document becomes ceil-overlapping windows so no token span is
+    lost at a boundary.
+
+    All geometry is integer: n_chunks = 1 + ceil((n_tok - chunk)/stride)
+    via (n - chunk + stride - 1) div stride, starts at idx*stride, last
+    chunk clipped to the document end.  Pure map + explode — ZERO
+    shuffles; output size = (1 + overlap_factor) × input, the expected
+    cost of overlap, not a join blow-up."""
+    d = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("words"),
+        F.size(F.split("text", " ")).alias("n_tok"),
+    )
+    d = d.withColumn(
+        "n_chunks",
+        F.expr(
+            f"CASE WHEN n_tok <= {chunk} THEN 1 "
+            f"ELSE 1 + (n_tok - {chunk} + {stride - 1}) div {stride} END"
+        ),
+    )
+    e = d.select(
+        "doc_id",
+        "words",
+        "n_tok",
+        F.explode(F.expr("sequence(0, n_chunks - 1)")).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * stride
+    n_chunk = F.least(F.lit(chunk), F.col("n_tok") - start)
+    return e.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        start.cast("int").alias("start_tok"),
+        n_chunk.cast("int").alias("n_chunk_tok"),
+        F.array_join(F.slice("words", start + 1, n_chunk), " ").alias("chunk_text"),
+    )
+
+
+def quality_topk_per_source(
+    docs: DataFrame, k: int = SELECT_PER_SOURCE, salt_buckets: int = 8
+) -> DataFrame:
+    """Per-source quality-budget selection: keep each source's top-k
+    documents by the engine's composite quality score (text_q quality
+    formula), ties broken by doc_id — the "select the best B docs per
+    domain" step of curriculum / quality-weighted corpus construction.
+
+    Runs the scale-safe TWO-PHASE top-k: phase 1 takes top-k within
+    (source, md5-salt bucket) so no single window ever sorts a whole
+    source; phase 2 ranks the ≤ salt_buckets×k survivors per source.
+    Global top-k survives any partition-wise pruning to per-partition
+    top-k, so the result — and the DuckDB oracle, which uses the plain
+    single-window formulation — is identical to the unsalted query.
+    Ranking compares score_micro (the 6-dp-rounded score in integer
+    micro-units), never raw doubles."""
+    words = F.split("text", " ")
+    n_tok = F.size(words)
+    n_stop = F.size(F.filter(words, lambda w: (w == "the") | (w == "a")))
+    avg_len = (F.length("text") - (n_tok - 1).cast("double")) / n_tok.cast("double")
+    stop_ratio = n_stop.cast("double") / n_tok.cast("double")
+    score = F.round(avg_len * 0.1 + (1.0 - stop_ratio) * 0.9, 6)
+    scored = docs.select(
+        "source",
+        "doc_id",
+        score.alias("quality_score"),
+        F.round(score * F.lit(1_000_000), 0).cast("long").alias("score_micro"),
+        F.expr(
+            f"CAST(conv(substring(md5(concat('{SELECT_SALT}', CAST(doc_id AS STRING))), 1, 2), 16, 10) AS INT) % {salt_buckets}"
+        ).alias("salt"),
+    )
+    w1 = Window.partitionBy("source", "salt").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id")
+    )
+    partial = scored.withColumn("r1", F.row_number().over(w1)).filter(
+        F.col("r1") <= k
+    )
+    w2 = Window.partitionBy("source").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id")
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("source", F.col("rank").cast("int").alias("rank"),
+                "doc_id", "quality_score")
+    )
+
+
 def _pack_base(docs: DataFrame) -> DataFrame:
     """(doc_id, shard, n_tok) with the md5 packing shard — shared by both
     packing strategies."""

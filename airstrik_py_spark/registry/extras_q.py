@@ -40,9 +40,12 @@ from airstrik_py_spark.registry.similarity_q import (
 )
 from airstrik_py_spark.registry.sinks_q import q_ddl_drop_reset
 from airstrik_py_spark.registry.text_q import (
+    q_chunk_sliding,
     q_corpus_stats_rollup,
     q_corpus_vocab_topk,
     q_doc_length_histogram,
+    q_select_quality_topk,
+    q_tfidf_topk,
     q_multimodal_framesample,
     q_multimodal_resize_plan,
     q_pack_concat_chunks,
@@ -221,6 +224,9 @@ QUERIES = {
     "pack_greedy_bins": q_pack_greedy_bins,
     "layout_zorder": q_layout_zorder,
     "doc_length_histogram": q_doc_length_histogram,
+    "tfidf_topk": q_tfidf_topk,
+    "chunk_sliding": q_chunk_sliding,
+    "select_quality_topk": q_select_quality_topk,
     "text_repetition": q_text_repetition,
     "sample_domain_balance": q_sample_domain_balance,
     "ann_ivf_label": q_ann_ivf_label,

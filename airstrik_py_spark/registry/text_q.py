@@ -296,6 +296,34 @@ def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return length_histogram(load_table(spark, sf_dir, "documents"))
 
 
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — operators/corpus.py::tfidf_topk:
+    integer micro-unit idf broadcast onto the per-doc tf table, exact
+    integer ranking."""
+    from airstrik_py_spark.operators.corpus import tfidf_topk
+
+    pin_session(spark)
+    return tfidf_topk(load_table(spark, sf_dir, "documents"))
+
+
+def q_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunks with overlap —
+    operators/corpus.py::chunk_sliding: integer geometry, zero shuffles."""
+    from airstrik_py_spark.operators.corpus import chunk_sliding
+
+    pin_session(spark)
+    return chunk_sliding(load_table(spark, sf_dir, "documents"))
+
+
+def q_select_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-budget selection (two-phase salted top-k) —
+    operators/corpus.py::quality_topk_per_source."""
+    from airstrik_py_spark.operators.corpus import quality_topk_per_source
+
+    pin_session(spark)
+    return quality_topk_per_source(load_table(spark, sf_dir, "documents"))
+
+
 def q_pipeline_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-corpus pipeline in ONE query: quality gates
     (_gate_exprs) -> exact dedup among the quality-kept docs (min doc_id
@@ -618,6 +646,66 @@ SELECT CAST(bucket AS INTEGER) AS bucket,
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
              / CAST(sum(n_docs) OVER () AS DOUBLE), 6) AS cum_doc_frac
 FROM g
+""",
+    "tfidf_topk": """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, token),
+dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+idf AS (
+  SELECT token,
+         CAST(round(log10(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) * 1000000, 0) AS BIGINT) AS idf_micro
+  FROM dfq CROSS JOIN nd),
+scored AS (
+  SELECT doc_id, token, tf, tf * idf_micro AS tfidf_micro
+  FROM tf JOIN idf USING (token))
+SELECT doc_id,
+       CAST(row_number() OVER w AS INTEGER) AS rank,
+       token, tf, tfidf_micro
+FROM scored
+WINDOW w AS (PARTITION BY doc_id ORDER BY tfidf_micro DESC, token)
+QUALIFY row_number() OVER w <= 3
+""",
+    "chunk_sliding": """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS words,
+                  len(string_split(text, ' ')) AS n_tok
+           FROM documents),
+c AS (SELECT doc_id, words, n_tok,
+             CASE WHEN n_tok <= 16 THEN 1
+                  ELSE 1 + (n_tok - 16 + 11) // 12 END AS n_chunks
+      FROM d),
+e AS (SELECT doc_id, words, n_tok,
+             unnest(range(0, n_chunks)) AS chunk_idx
+      FROM c)
+SELECT doc_id,
+       CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       CAST(chunk_idx * 12 AS INTEGER) AS start_tok,
+       CAST(least(16, n_tok - chunk_idx * 12) AS INTEGER) AS n_chunk_tok,
+       array_to_string(
+         list_slice(words, chunk_idx * 12 + 1,
+                    chunk_idx * 12 + least(16, n_tok - chunk_idx * 12)),
+         ' ') AS chunk_text
+FROM e
+""",
+    "select_quality_topk": """
+WITH d AS (SELECT doc_id, source, text, string_split(text, ' ') AS words FROM documents),
+m AS (
+  SELECT doc_id, source,
+         (length(text) - CAST(len(words) - 1 AS DOUBLE)) / CAST(len(words) AS DOUBLE) AS avg_len,
+         CAST(len(list_filter(words, w -> w IN ('the', 'a'))) AS DOUBLE)
+           / CAST(len(words) AS DOUBLE) AS stop_ratio
+  FROM d),
+q AS (
+  SELECT doc_id, source,
+         round(avg_len * 0.1 + (1.0 - stop_ratio) * 0.9, 6) AS quality_score,
+         CAST(round(round(avg_len * 0.1 + (1.0 - stop_ratio) * 0.9, 6) * 1000000, 0) AS BIGINT) AS score_micro
+  FROM m)
+SELECT source,
+       CAST(row_number() OVER w AS INTEGER) AS rank,
+       doc_id, quality_score
+FROM q
+WINDOW w AS (PARTITION BY source ORDER BY score_micro DESC, doc_id)
+QUALIFY row_number() OVER w <= 10
 """,
     "pipeline_corpus_manifest": f"""
 WITH {_GATES_CTES},

@@ -208,6 +208,90 @@ def test_length_histogram_hand_case(spark):
     assert out[2]["cum_doc_frac"] == 1.0
 
 
+def test_tfidf_topk_hand_case(spark):
+    import math
+
+    from airstrik_py_spark.operators.corpus import tfidf_topk
+
+    # 3 docs; 'c' appears only in doc 2 -> highest idf there; 'a' in all
+    # docs -> idf 0 -> tfidf 0 everywhere
+    rows = [(0, "a a b"), (1, "a b b"), (2, "a c c c")]
+    out = tfidf_topk(docs_df(spark, rows), k=2).collect()
+    by = {(r["doc_id"], r["rank"]): r for r in out}
+    idf_b = round(math.log10(3 / 2) * 1e6)
+    idf_c = round(math.log10(3 / 1) * 1e6)
+    # doc 2: c (tf=3) wins with 3*idf_c; then a (tfidf 0)
+    assert by[(2, 1)]["token"] == "c" and by[(2, 1)]["tfidf_micro"] == 3 * idf_c
+    assert by[(2, 2)]["token"] == "a" and by[(2, 2)]["tfidf_micro"] == 0
+    # doc 1: b tf=2 -> 2*idf_b beats a's 0
+    assert by[(1, 1)]["token"] == "b" and by[(1, 1)]["tfidf_micro"] == 2 * idf_b
+    # doc 0: b tf=1
+    assert by[(0, 1)]["token"] == "b" and by[(0, 1)]["tfidf_micro"] == idf_b
+    # k=2 cap holds
+    assert all(r["rank"] <= 2 for r in out)
+
+
+def test_chunk_sliding_geometry(spark):
+    from airstrik_py_spark.operators.corpus import chunk_sliding
+
+    # 40 tokens, chunk 16 stride 12 -> chunks at 0,12,24 (last = 16 tok)
+    # 41 tokens -> extra chunk at 36 with 5 tokens; 5 tokens -> 1 chunk
+    toks = lambda n: " ".join(f"t{i}" for i in range(n))
+    rows = [(0, toks(40)), (1, toks(41)), (2, toks(5))]
+    out = chunk_sliding(docs_df(spark, rows)).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert [(c["start_tok"], c["n_chunk_tok"]) for c in sorted(by_doc[0], key=lambda c: c["chunk_idx"])] == [
+        (0, 16), (12, 16), (24, 16)]
+    assert [(c["start_tok"], c["n_chunk_tok"]) for c in sorted(by_doc[1], key=lambda c: c["chunk_idx"])] == [
+        (0, 16), (12, 16), (24, 16), (36, 5)]
+    assert [(c["start_tok"], c["n_chunk_tok"]) for c in by_doc[2]] == [(0, 5)]
+    # chunk text is the exact token slice
+    c1 = next(c for c in by_doc[1] if c["chunk_idx"] == 3)
+    assert c1["chunk_text"] == "t36 t37 t38 t39 t40"
+    # every token of doc 0 is covered by some chunk
+    covered = set()
+    for c in by_doc[0]:
+        covered.update(range(c["start_tok"], c["start_tok"] + c["n_chunk_tok"]))
+    assert covered == set(range(40))
+
+
+def test_quality_topk_matches_unsalted(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from airstrik_py_spark.operators.corpus import quality_topk_per_source
+    from airstrik_py_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    got = quality_topk_per_source(docs, k=4).collect()
+    # unsalted single-window reference on the same engine
+    from airstrik_py_spark.registry.text_q import q_text_quality  # noqa: F401
+    words = F.split("text", " ")
+    n_tok = F.size(words)
+    n_stop = F.size(F.filter(words, lambda w: (w == "the") | (w == "a")))
+    avg_len = (F.length("text") - (n_tok - 1).cast("double")) / n_tok.cast("double")
+    stop_ratio = n_stop.cast("double") / n_tok.cast("double")
+    score = F.round(avg_len * 0.1 + (1.0 - stop_ratio) * 0.9, 6)
+    ref = (
+        docs.select(
+            "source", "doc_id",
+            F.round(score * F.lit(1_000_000), 0).cast("long").alias("sm"))
+        .withColumn("rank", F.row_number().over(
+            Window.partitionBy("source").orderBy(F.col("sm").desc(), "doc_id")))
+        .filter(F.col("rank") <= 4)
+        .collect()
+    )
+    assert {(r["source"], r["rank"], r["doc_id"]) for r in got} == {
+        (r["source"], r["rank"], r["doc_id"]) for r in ref}
+    # each source contributes at most k rows and ranks are 1..k contiguous
+    per = {}
+    for r in got:
+        per.setdefault(r["source"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 4 for v in per.values())
+
+
 def test_manifest_counts_consistent(spark):
     from airstrik_py_spark.registry.text_q import q_pipeline_corpus_manifest
     from airstrik_py_spark.sources.tables import load_table

@@ -209,6 +209,30 @@ def length_histogram(docs: DataFrame) -> DataFrame:
     )
 
 
+def lm_perplexity_buckets(docs: DataFrame, buckets: int = 3) -> DataFrame:
+    """CCNet's head/middle/tail split: rank documents by unigram-LM score
+    (lm_logprob) and assign equal-count perplexity buckets — 1 = head
+    (most fluent), `buckets` = tail.  The standard quality-tiering step
+    that decides which slice of a crawl enters training and at what
+    sampling weight.
+
+    Ordering is (avg_logprob10 DESC, doc_id): the score is the same
+    6-dp-rounded double on both engines, and doc_id makes the total order
+    unique, so ntile assigns identically.  The global ntile window is a
+    single-partition sort of (doc_id, score) pairs — fine to ~10^8 docs;
+    at corpus scale swap to precomputed score thresholds
+    (approx_percentile on the score column, broadcast back as a pure
+    map), trading exact equal counts for a fixed two-pass plan."""
+    scored = lm_logprob(docs)
+    w = Window.orderBy(F.col("avg_logprob10").desc(), F.col("doc_id"))
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "avg_logprob10",
+        F.ntile(buckets).over(w).cast("int").alias("ppl_bucket"),
+    )
+
+
 # TF-IDF: terms surfaced per document; sliding-window chunking geometry;
 # per-source quality-selection budget
 TFIDF_K = 3

@@ -432,6 +432,55 @@ def semantic_dedup(
     )
 
 
+# micro-unit quantization for the per-dimension moment sums (exact integer
+# aggregation, order-free across engines)
+DIM_MICRO = 1_000_000
+
+
+def embedding_dim_stats(emb: DataFrame) -> DataFrame:
+    """Per-dimension moment statistics over the embedding column — the
+    whitening / normalization profile (mean to center, variance to scale,
+    min/max for clipping) computed before training retrieval indexes or
+    PQ codebooks.
+
+    Exactness contract: each coordinate is quantized to integer
+    micro-units FIRST; sum and sum-of-squares are then exact BIGINT
+    aggregates (order-free), and mean/variance derive from those exact
+    integers with the same IEEE double ops on both engines.  BIGINT holds
+    sum(vq^2) up to ~9·10^18: with |v| <= ~4 (vq^2 <= 1.6·10^13) that is
+    ~5·10^5 rows per dimension — beyond that swap the two sums to
+    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), same shape.
+
+    Scale (100 TB): posexplode fans out ×dim, but the aggregate is
+    map-side combined into `dim` (=64) partials per task — the shuffle
+    carries tasks×dim rows, not rows×dim.  One exchange, 64-row result."""
+    v = _with_vec(emb).select(
+        F.posexplode(F.col("vec")).alias("dim", "val")
+    )
+    vq = F.round(F.col("val") * F.lit(DIM_MICRO), 0).cast("long")
+    g = v.select("dim", vq.alias("vq")).groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum("vq").alias("sum_q"),
+        F.sum(F.col("vq") * F.col("vq")).alias("sumsq_q"),
+        F.min("vq").alias("min_micro"),
+        F.max("vq").alias("max_micro"),
+    )
+    n_d = F.col("n").cast("double")
+    mean_d = F.col("sum_q").cast("double") / n_d
+    return g.select(
+        F.col("dim").cast("int").alias("dim"),
+        "n",
+        F.round(mean_d / F.lit(float(DIM_MICRO)), 6).alias("mean"),
+        F.round(
+            (F.col("sumsq_q").cast("double") / n_d - mean_d * mean_d)
+            / F.lit(float(DIM_MICRO) ** 2),
+            6,
+        ).alias("variance"),
+        "min_micro",
+        "max_micro",
+    )
+
+
 def ann_ivf_label(emb: DataFrame, n_queries: int, k: int) -> DataFrame:
     """IVF-style ANN with the fixture `label` as the coarse cell: probe only
     the query's cell, exact re-rank inside."""

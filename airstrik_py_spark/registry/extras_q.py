@@ -35,6 +35,7 @@ from airstrik_py_spark.registry.similarity_q import (
     q_ann_ivf_kmeans,
     q_ann_ivf_label,
     q_dedup_semantic,
+    q_embedding_dim_stats,
     q_embedding_label_centroids,
     q_knn_graph_bucketed,
 )
@@ -44,6 +45,7 @@ from airstrik_py_spark.registry.text_q import (
     q_corpus_stats_rollup,
     q_corpus_vocab_topk,
     q_doc_length_histogram,
+    q_lm_perplexity_buckets,
     q_select_quality_topk,
     q_tfidf_topk,
     q_multimodal_framesample,
@@ -227,6 +229,8 @@ QUERIES = {
     "tfidf_topk": q_tfidf_topk,
     "chunk_sliding": q_chunk_sliding,
     "select_quality_topk": q_select_quality_topk,
+    "lm_perplexity_buckets": q_lm_perplexity_buckets,
+    "embedding_dim_stats": q_embedding_dim_stats,
     "text_repetition": q_text_repetition,
     "sample_domain_balance": q_sample_domain_balance,
     "ann_ivf_label": q_ann_ivf_label,

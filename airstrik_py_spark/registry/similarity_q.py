@@ -113,6 +113,14 @@ def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension whitening profile (mean/variance/min/max) —
+    operators/similarity.py::embedding_dim_stats: micro-quantized exact
+    integer moment sums, one map-side-combined exchange into 64 rows."""
+    pin_session(spark)
+    return SIM.embedding_dim_stats(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_knn_graph_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-corpus approximate k-NN graph (SemDeDup building block) —
     operators/similarity.py::knn_graph: SRP buckets + Hamming-1 probes,
@@ -215,6 +223,24 @@ SELECT src AS vec_id,
        least(src, min(dst)) AS cluster_id,
        least(src, min(dst)) = src AS is_canonical
 FROM reach GROUP BY src
+""",
+    "embedding_dim_stats": f"""
+WITH idx AS (SELECT embedding, unnest(range(0, len(embedding))) AS dim FROM embeddings),
+v AS (SELECT CAST(dim AS INTEGER) AS dim,
+             CAST(round(CAST(embedding[dim + 1] AS DOUBLE) * {SIM.DIM_MICRO}, 0) AS BIGINT) AS vq
+      FROM idx),
+g AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(vq) AS BIGINT) AS sum_q,
+             CAST(sum(vq * vq) AS BIGINT) AS sumsq_q,
+             min(vq) AS min_micro, max(vq) AS max_micro
+      FROM v GROUP BY dim)
+SELECT dim, n,
+       round((CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE)) / {float(SIM.DIM_MICRO)!r}, 6) AS mean,
+       round((CAST(sumsq_q AS DOUBLE) / CAST(n AS DOUBLE)
+              - (CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE)))
+             / {float(SIM.DIM_MICRO) ** 2!r}, 6) AS variance,
+       min_micro, max_micro
+FROM g
 """,
     "embedding_label_centroids": f"""
 WITH {_E},

@@ -296,6 +296,16 @@ def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return length_histogram(load_table(spark, sf_dir, "documents"))
 
 
+def q_lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity tiers —
+    operators/corpus.py::lm_perplexity_buckets: ntile(3) over the
+    deterministic (score DESC, doc_id) total order."""
+    from airstrik_py_spark.operators.corpus import lm_perplexity_buckets
+
+    pin_session(spark)
+    return lm_perplexity_buckets(load_table(spark, sf_dir, "documents"))
+
+
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document — operators/corpus.py::tfidf_topk:
     integer micro-unit idf broadcast onto the per-doc tf table, exact
@@ -646,6 +656,22 @@ SELECT CAST(bucket AS INTEGER) AS bucket,
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
              / CAST(sum(n_docs) OVER () AS DOUBLE), 6) AS cum_doc_frac
 FROM g
+""",
+    "lm_perplexity_buckets": """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+counts AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts),
+model AS (
+  SELECT token,
+         CAST(round(log10(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)) * 1000000, 0) AS BIGINT) AS lp_micro
+  FROM counts CROSS JOIN tot),
+s AS (
+  SELECT doc_id, count(*) AS n, CAST(sum(lp_micro) AS BIGINT) AS slp
+  FROM tok JOIN model USING (token)
+  GROUP BY doc_id)
+SELECT doc_id, n AS n_tokens, round(slp / (n * 1000000.0), 6) AS avg_logprob10,
+       CAST(ntile(3) OVER (ORDER BY round(slp / (n * 1000000.0), 6) DESC, doc_id) AS INTEGER) AS ppl_bucket
+FROM s
 """,
     "tfidf_topk": """
 WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),

@@ -292,6 +292,49 @@ def test_quality_topk_matches_unsalted(spark):
     assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 4 for v in per.values())
 
 
+def test_lm_perplexity_buckets_order_and_counts(spark):
+    from airstrik_py_spark.operators.corpus import lm_perplexity_buckets
+
+    # 6 docs with strictly decreasing fluency: common tokens first
+    rows = [
+        (0, "a a a a"), (1, "a a a b"), (2, "a a b b"),
+        (3, "a b b c"), (4, "b b c c"), (5, "b c c d"),
+    ]
+    out = lm_perplexity_buckets(docs_df(spark, rows)).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # equal-count tiers of 2 over 6 docs
+    from collections import Counter
+    assert Counter(r["ppl_bucket"] for r in out) == {1: 2, 2: 2, 3: 2}
+    # bucket is monotone non-increasing in score
+    ordered = sorted(out, key=lambda r: (-r["avg_logprob10"], r["doc_id"]))
+    assert [r["ppl_bucket"] for r in ordered] == sorted(
+        r["ppl_bucket"] for r in out
+    )
+    assert by_id[0]["ppl_bucket"] == 1  # most fluent doc is head
+
+
+def test_embedding_dim_stats_hand_case(spark):
+    from airstrik_py_spark.operators.similarity import embedding_dim_stats
+
+    rows = [
+        (0, [1.0, -2.0], 0),
+        (1, [3.0, 2.0], 0),
+        (2, [5.0, 0.0], 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r["dim"]: r for r in embedding_dim_stats(emb).collect()}
+    assert set(out) == {0, 1}
+    d0, d1 = out[0], out[1]
+    assert d0["n"] == 3 and d0["mean"] == 3.0
+    # var over [1,3,5] (population) = 8/3
+    assert d0["variance"] == round(8 / 3, 6)
+    assert (d0["min_micro"], d0["max_micro"]) == (1_000_000, 5_000_000)
+    assert d1["mean"] == 0.0 and d1["variance"] == round(8 / 3, 6)
+    assert (d1["min_micro"], d1["max_micro"]) == (-2_000_000, 2_000_000)
+
+
 def test_manifest_counts_consistent(spark):
     from airstrik_py_spark.registry.text_q import q_pipeline_corpus_manifest
     from airstrik_py_spark.sources.tables import load_table

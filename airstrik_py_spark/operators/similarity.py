@@ -436,6 +436,100 @@ def semantic_dedup(
 # aggregation, order-free across engines)
 DIM_MICRO = 1_000_000
 
+# product quantization: 8 subspaces x 8 dims, 4 centroids each, 2 Lloyd
+# iterations (fixture-sized; production: 16-64 subspaces, 256 centroids)
+PQ_SUB = 8
+PQ_SUB_DIM = 8
+PQ_K = 4
+PQ_ITERS = 2
+
+
+def _pq_long(emb: DataFrame) -> DataFrame:
+    """(vec_id, sub, subv): each vector split into PQ_SUB contiguous
+    subvectors — the long form that lets ONE dataframe run all subspace
+    k-means fits at once (keys (sub, cid) instead of 8 separate jobs)."""
+    return (
+        _with_vec(emb)
+        .select(
+            "vec_id",
+            "vec",
+            F.explode(F.sequence(F.lit(0), F.lit(PQ_SUB - 1))).alias("sub"),
+        )
+        .withColumn(
+            "subv", F.expr(f"slice(vec, sub * {PQ_SUB_DIM} + 1, {PQ_SUB_DIM})")
+        )
+        .drop("vec")
+    )
+
+
+def _pq_assign(sv: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid per (row, sub) with zero shuffle on the vector
+    side: the (sub, cid, cvec) table — PQ_SUB*PQ_K rows — collapses to one
+    broadcast array of structs; per row we filter to the row's subspace
+    and take array_min over struct(dist, cid) (ties to lowest cid, the
+    oracle's ORDER BY dist, cid)."""
+    carr = cents.agg(F.collect_list(F.struct("sub", "cid", "cvec")).alias("cs"))
+    best = F.array_min(
+        F.transform(
+            F.filter(F.col("cs"), lambda c: c.getField("sub") == F.col("sub")),
+            lambda c: F.struct(
+                _sq_dist(F.col("subv"), c.getField("cvec")).alias("d"),
+                c.getField("cid").alias("cid"),
+            ),
+        )
+    )
+    return (
+        sv.join(F.broadcast(carr))
+        .withColumn("best", best)
+        .select(
+            "vec_id",
+            "sub",
+            "subv",
+            F.col("best.cid").alias("cid"),
+            F.col("best.d").alias("dist"),
+        )
+    )
+
+
+def _pq_update(assigned: DataFrame) -> DataFrame:
+    aggs = [
+        F.round(F.avg(F.get(F.col("subv"), F.lit(i))), 6).alias(f"_c{i}")
+        for i in range(PQ_SUB_DIM)
+    ]
+    g = assigned.groupBy("sub", "cid").agg(*aggs)
+    return g.select(
+        "sub", "cid",
+        F.array(*[F.col(f"_c{i}") for i in range(PQ_SUB_DIM)]).alias("cvec"),
+    )
+
+
+def pq_codes(emb: DataFrame) -> DataFrame:
+    """Product-quantization encoding: train PQ_SUB independent per-subspace
+    k-means codebooks (deterministic init = lowest vec_ids, PQ_ITERS Lloyd
+    rounds) and emit each vector's code + squared quantization error per
+    subspace.  PQ is how 100 TB of float32 embeddings become ~1-2 bytes
+    per subvector for ANN serving (IVF-PQ): 64 dims x 4 B -> 8 codes.
+
+    Scale: all subspaces train in ONE long-form dataframe — per Lloyd
+    round one broadcast join (codebook is PQ_SUB*PQ_K rows) and one
+    map-side-combined groupBy on (sub, cid) (<= 32 groups).  The vector
+    side never shuffles; lineage localCheckpoints per round like
+    kmeans_fit.  Same deterministic-argmin contract as the IVF quantizer
+    (distances rounded 6 dp before the struct-min, ties to lowest cid)."""
+    sv = _pq_long(emb)
+    cents = sv.filter(F.col("vec_id") < PQ_K).select(
+        "sub", F.col("vec_id").cast("int").alias("cid"), F.col("subv").alias("cvec")
+    )
+    for _ in range(PQ_ITERS):
+        cents = _pq_update(_pq_assign(sv, cents)).localCheckpoint()
+    final = _pq_assign(sv, cents)
+    return final.select(
+        "vec_id",
+        F.col("sub").cast("int").alias("sub"),
+        F.col("cid").cast("int").alias("code"),
+        F.col("dist").alias("sq_err"),
+    )
+
 
 def embedding_dim_stats(emb: DataFrame) -> DataFrame:
     """Per-dimension moment statistics over the embedding column — the

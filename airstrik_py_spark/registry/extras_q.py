@@ -37,6 +37,7 @@ from airstrik_py_spark.registry.similarity_q import (
     q_dedup_semantic,
     q_embedding_dim_stats,
     q_embedding_label_centroids,
+    q_pq_codes,
     q_knn_graph_bucketed,
 )
 from airstrik_py_spark.registry.sinks_q import q_ddl_drop_reset
@@ -231,6 +232,7 @@ QUERIES = {
     "select_quality_topk": q_select_quality_topk,
     "lm_perplexity_buckets": q_lm_perplexity_buckets,
     "embedding_dim_stats": q_embedding_dim_stats,
+    "pq_codes": q_pq_codes,
     "text_repetition": q_text_repetition,
     "sample_domain_balance": q_sample_domain_balance,
     "ann_ivf_label": q_ann_ivf_label,

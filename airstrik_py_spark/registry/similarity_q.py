@@ -113,6 +113,52 @@ def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes + per-subspace squared error —
+    operators/similarity.py::pq_codes: 8 subspace codebooks trained in one
+    long-form Lloyd loop (broadcast codebook, <=32-group updates)."""
+    pin_session(spark)
+    return SIM.pq_codes(load_table(spark, sf_dir, "embeddings"))
+
+
+def _pq_oracle() -> str:
+    """Unrolled per-subspace Lloyd mirror of pq_codes — same shape as the
+    ann_ivf_kmeans oracle but keyed (sub, cid) with list_slice subvectors."""
+    sd = SIM.PQ_SUB_DIM
+    avg_list = ", ".join(f"round(avg(s[{i}]), 6)" for i in range(1, sd + 1))
+    dist = "round(list_dot_product(d, d), 6)"
+
+    def assign_from(cent: str) -> str:
+        return f"""(SELECT vec_id, sub, s, cid, {dist} AS dist
+  FROM (SELECT q.vec_id, q.sub, q.s, c.cid,
+               list_transform(range(1, {sd + 1}), i -> q.s[i] - c.cvec[i]) AS d
+        FROM sv q JOIN {cent} c ON q.sub = c.sub) t)"""
+
+    parts = [
+        f"""sv AS (SELECT vec_id, sub,
+             list_slice(v, sub * {sd} + 1, sub * {sd} + {sd}) AS s
+      FROM (SELECT vec_id, v, unnest(range(0, {SIM.PQ_SUB})) AS sub FROM e))""",
+        f"c0 AS (SELECT sub, CAST(vec_id AS INT) AS cid, s AS cvec FROM sv WHERE vec_id < {SIM.PQ_K})",
+    ]
+    for it in range(SIM.PQ_ITERS):
+        parts.append(
+            f"""a{it} AS (SELECT vec_id, sub, s, cid FROM {assign_from(f"c{it}")}
+  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) = 1)"""
+        )
+        parts.append(
+            f"c{it + 1} AS (SELECT sub, cid, [{avg_list}] AS cvec FROM a{it} GROUP BY sub, cid)"
+        )
+    final_cent = f"c{SIM.PQ_ITERS}"
+    joined = ",\n".join(parts)
+    return f"""
+WITH {_E},
+{joined}
+SELECT vec_id, CAST(sub AS INTEGER) AS sub, cid AS code, dist AS sq_err
+FROM {assign_from(final_cent)}
+QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) = 1
+"""
+
+
 def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension whitening profile (mean/variance/min/max) —
     operators/similarity.py::embedding_dim_stats: micro-quantized exact
@@ -224,6 +270,7 @@ SELECT src AS vec_id,
        least(src, min(dst)) = src AS is_canonical
 FROM reach GROUP BY src
 """,
+    "pq_codes": _pq_oracle(),
     "embedding_dim_stats": f"""
 WITH idx AS (SELECT embedding, unnest(range(0, len(embedding))) AS dim FROM embeddings),
 v AS (SELECT CAST(dim AS INTEGER) AS dim,

@@ -174,3 +174,42 @@ def test_dedup_clusters_long_chain_converges(spark):
     out = {r["doc_id"]: r["cluster_id"] for r in D.dedup_clusters(pairs).collect()}
     assert set(out.values()) == {10}
     assert len(out) == 10
+
+
+def test_pq_codes_reconstructs_prototypes(spark):
+    """Vectors built from 4 per-subspace prototypes (vec 0-3 ARE the
+    prototypes, so init centroids start converged): every vector must get
+    its prototype's code in every subspace with zero quantization error."""
+    import random
+
+    rng = random.Random(7)
+    protos = [[float(p + 1) * (1 + (d % 3)) for d in range(64)] for p in range(4)]
+    rows = [(i, protos[i], None) for i in range(4)]
+    assign = {}
+    for i in range(4, 16):
+        p = rng.randrange(4)
+        assign[i] = p
+        rows.append((i, protos[p], None))
+    emb = spark.createDataFrame(
+        [(i, v, 0) for i, v, _ in rows], "vec_id long, embedding array<float>, label int"
+    )
+    out = SIM.pq_codes(emb).collect()
+    assert len(out) == 16 * SIM.PQ_SUB
+    for r in out:
+        expect = r["vec_id"] if r["vec_id"] < 4 else assign[r["vec_id"]]
+        assert r["code"] == expect, (r["vec_id"], r["sub"], r["code"])
+        assert r["sq_err"] == 0.0
+
+
+def test_pq_codes_shape_and_bounds(spark):
+    from airstrik_py_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n = emb.count()
+    out = SIM.pq_codes(emb)
+    rows = out.collect()
+    assert len(rows) == n * SIM.PQ_SUB
+    assert all(0 <= r["code"] < SIM.PQ_K for r in rows)
+    assert all(r["sq_err"] >= 0.0 for r in rows)
+    # every vector gets exactly one code per subspace
+    assert out.groupBy("vec_id").count().filter(F.col("count") != SIM.PQ_SUB).count() == 0

@@ -503,6 +503,19 @@ def _pq_update(assigned: DataFrame) -> DataFrame:
     )
 
 
+def pq_fit(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Train the PQ codebooks and encode: returns (assignment, codebook) —
+    assignment (vec_id, sub, cid, dist) from the final Lloyd round,
+    codebook (sub, cid, cvec)."""
+    sv = _pq_long(emb)
+    cents = sv.filter(F.col("vec_id") < PQ_K).select(
+        "sub", F.col("vec_id").cast("int").alias("cid"), F.col("subv").alias("cvec")
+    )
+    for _ in range(PQ_ITERS):
+        cents = _pq_update(_pq_assign(sv, cents)).localCheckpoint()
+    return _pq_assign(sv, cents), cents
+
+
 def pq_codes(emb: DataFrame) -> DataFrame:
     """Product-quantization encoding: train PQ_SUB independent per-subspace
     k-means codebooks (deterministic init = lowest vec_ids, PQ_ITERS Lloyd
@@ -516,18 +529,62 @@ def pq_codes(emb: DataFrame) -> DataFrame:
     side never shuffles; lineage localCheckpoints per round like
     kmeans_fit.  Same deterministic-argmin contract as the IVF quantizer
     (distances rounded 6 dp before the struct-min, ties to lowest cid)."""
-    sv = _pq_long(emb)
-    cents = sv.filter(F.col("vec_id") < PQ_K).select(
-        "sub", F.col("vec_id").cast("int").alias("cid"), F.col("subv").alias("cvec")
-    )
-    for _ in range(PQ_ITERS):
-        cents = _pq_update(_pq_assign(sv, cents)).localCheckpoint()
-    final = _pq_assign(sv, cents)
+    final = pq_fit(emb)[0]
     return final.select(
         "vec_id",
         F.col("sub").cast("int").alias("sub"),
         F.col("cid").cast("int").alias("code"),
         F.col("dist").alias("sq_err"),
+    )
+
+
+def ann_pq_adc(emb: DataFrame, n_queries: int, k: int) -> DataFrame:
+    """PQ serving path: asymmetric distance computation (ADC) top-k.  The
+    database side is ONLY the 8 one-byte codes per vector; each query
+    precomputes a (sub, cid) -> squared-distance lookup table against the
+    codebook, and a vector's estimated distance is the SUM of 8 table
+    lookups — the query never touches a database float.
+
+    Exactness: each LUT entry is quantized to integer micro-units, so the
+    8-way sum is exact integer addition (order-free across engines); ties
+    break on neighbor_id.
+
+    Scale (100 TB): the LUT is queries × PQ_SUB × PQ_K rows — broadcast.
+    The codes⋈LUT join fans out ×queries like the brute-force baseline's
+    O(Q×N), but each joined row carries ONE BIGINT instead of a 64-float
+    vector (~50× less shuffle bytes into the (query, vec) partial-agg
+    sum), which is exactly why PQ is the serving format.  In production
+    the IVF cell filter (ann_ivf_kmeans) prunes N first; composing the
+    two is a filter on `codes` before this join."""
+    from pyspark.sql import Window
+
+    assigned, cents = pq_fit(emb)
+    codes = assigned.select("vec_id", "sub", "cid")
+    ql = _pq_long(emb.filter(F.col("vec_id") < n_queries)).select(
+        F.col("vec_id").alias("query_id"), "sub", F.col("subv").alias("qsub")
+    )
+    lut = ql.join(F.broadcast(cents), "sub").select(
+        "query_id",
+        "sub",
+        "cid",
+        F.round(_sq_dist(F.col("qsub"), F.col("cvec")) * F.lit(float(DIM_MICRO)), 0)
+        .cast("long")
+        .alias("dmicro"),
+    )
+    est = (
+        codes.join(F.broadcast(lut), ["sub", "cid"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("dmicro").alias("est_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("est_micro").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        est.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "est_micro",
+                F.col("rank").cast("int").alias("rank"))
     )
 
 

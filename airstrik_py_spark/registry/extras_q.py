@@ -36,6 +36,7 @@ from airstrik_py_spark.registry.similarity_q import (
     q_ann_ivf_label,
     q_dedup_semantic,
     q_embedding_dim_stats,
+    q_ann_pq_adc,
     q_embedding_label_centroids,
     q_pq_codes,
     q_knn_graph_bucketed,
@@ -233,6 +234,7 @@ QUERIES = {
     "lm_perplexity_buckets": q_lm_perplexity_buckets,
     "embedding_dim_stats": q_embedding_dim_stats,
     "pq_codes": q_pq_codes,
+    "ann_pq_adc": q_ann_pq_adc,
     "text_repetition": q_text_repetition,
     "sample_domain_balance": q_sample_domain_balance,
     "ann_ivf_label": q_ann_ivf_label,

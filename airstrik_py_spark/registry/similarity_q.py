@@ -121,19 +121,31 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.pq_codes(load_table(spark, sf_dir, "embeddings"))
 
 
-def _pq_oracle() -> str:
-    """Unrolled per-subspace Lloyd mirror of pq_codes — same shape as the
-    ann_ivf_kmeans oracle but keyed (sub, cid) with list_slice subvectors."""
-    sd = SIM.PQ_SUB_DIM
-    avg_list = ", ".join(f"round(avg(s[{i}]), 6)" for i in range(1, sd + 1))
-    dist = "round(list_dot_product(d, d), 6)"
+def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k (codes-only database side) —
+    operators/similarity.py::ann_pq_adc: broadcast per-query LUT,
+    integer micro-unit distance sums."""
+    pin_session(spark)
+    return SIM.ann_pq_adc(load_table(spark, sf_dir, "embeddings"), N_QUERIES, TOP_K)
 
-    def assign_from(cent: str) -> str:
-        return f"""(SELECT vec_id, sub, s, cid, {dist} AS dist
+
+_PQ_DIST = "round(list_dot_product(d, d), 6)"
+
+
+def _pq_assign_sql(cent: str) -> str:
+    sd = SIM.PQ_SUB_DIM
+    return f"""(SELECT vec_id, sub, s, cid, {_PQ_DIST} AS dist
   FROM (SELECT q.vec_id, q.sub, q.s, c.cid,
                list_transform(range(1, {sd + 1}), i -> q.s[i] - c.cvec[i]) AS d
         FROM sv q JOIN {cent} c ON q.sub = c.sub) t)"""
 
+
+def _pq_ctes() -> tuple[str, str]:
+    """Shared unrolled per-subspace Lloyd CTE block (same shape as the
+    ann_ivf_kmeans oracle but keyed (sub, cid) with list_slice
+    subvectors): returns (cte_block, final_centroid_name)."""
+    sd = SIM.PQ_SUB_DIM
+    avg_list = ", ".join(f"round(avg(s[{i}]), 6)" for i in range(1, sd + 1))
     parts = [
         f"""sv AS (SELECT vec_id, sub,
              list_slice(v, sub * {sd} + 1, sub * {sd} + {sd}) AS s
@@ -142,20 +154,52 @@ def _pq_oracle() -> str:
     ]
     for it in range(SIM.PQ_ITERS):
         parts.append(
-            f"""a{it} AS (SELECT vec_id, sub, s, cid FROM {assign_from(f"c{it}")}
+            f"""a{it} AS (SELECT vec_id, sub, s, cid FROM {_pq_assign_sql(f"c{it}")}
   QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) = 1)"""
         )
         parts.append(
             f"c{it + 1} AS (SELECT sub, cid, [{avg_list}] AS cvec FROM a{it} GROUP BY sub, cid)"
         )
-    final_cent = f"c{SIM.PQ_ITERS}"
-    joined = ",\n".join(parts)
+    return ",\n".join(parts), f"c{SIM.PQ_ITERS}"
+
+
+def _pq_oracle() -> str:
+    ctes, final_cent = _pq_ctes()
     return f"""
 WITH {_E},
-{joined}
+{ctes}
 SELECT vec_id, CAST(sub AS INTEGER) AS sub, cid AS code, dist AS sq_err
-FROM {assign_from(final_cent)}
+FROM {_pq_assign_sql(final_cent)}
 QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) = 1
+"""
+
+
+def _pq_adc_oracle() -> str:
+    sd = SIM.PQ_SUB_DIM
+    ctes, final_cent = _pq_ctes()
+    return f"""
+WITH {_E},
+{ctes},
+codes AS (
+  SELECT vec_id, sub, cid FROM {_pq_assign_sql(final_cent)}
+  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) = 1),
+lut AS (
+  SELECT query_id, sub, cid,
+         CAST(round({_PQ_DIST} * {SIM.DIM_MICRO}, 0) AS BIGINT) AS dmicro
+  FROM (SELECT q.vec_id AS query_id, q.sub, c.cid,
+               list_transform(range(1, {sd + 1}), i -> q.s[i] - c.cvec[i]) AS d
+        FROM sv q JOIN {final_cent} c ON q.sub = c.sub
+        WHERE q.vec_id < {N_QUERIES}) t),
+est AS (
+  SELECT l.query_id, k.vec_id AS neighbor_id, CAST(sum(l.dmicro) AS BIGINT) AS est_micro
+  FROM codes k JOIN lut l ON k.sub = l.sub AND k.cid = l.cid
+  WHERE k.vec_id != l.query_id
+  GROUP BY l.query_id, k.vec_id)
+SELECT query_id, neighbor_id, est_micro,
+       CAST(row_number() OVER w AS INTEGER) AS rank
+FROM est
+WINDOW w AS (PARTITION BY query_id ORDER BY est_micro, neighbor_id)
+QUALIFY row_number() OVER w <= {TOP_K}
 """
 
 
@@ -271,6 +315,7 @@ SELECT src AS vec_id,
 FROM reach GROUP BY src
 """,
     "pq_codes": _pq_oracle(),
+    "ann_pq_adc": _pq_adc_oracle(),
     "embedding_dim_stats": f"""
 WITH idx AS (SELECT embedding, unnest(range(0, len(embedding))) AS dim FROM embeddings),
 v AS (SELECT CAST(dim AS INTEGER) AS dim,

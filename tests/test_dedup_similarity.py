@@ -213,3 +213,23 @@ def test_pq_codes_shape_and_bounds(spark):
     assert all(r["sq_err"] >= 0.0 for r in rows)
     # every vector gets exactly one code per subspace
     assert out.groupBy("vec_id").count().filter(F.col("count") != SIM.PQ_SUB).count() == 0
+
+
+def test_ann_pq_adc_exact_on_prototype_data(spark):
+    """On prototype-built vectors PQ reconstruction is exact, so ADC
+    estimated distances equal true distances: same-prototype vectors are
+    at estimated distance 0 and rank first."""
+    protos = [[float(p + 1) * (1 + (d % 3)) for d in range(64)] for p in range(4)]
+    # vecs 0-3 = prototypes; 4-7 repeat prototypes 0-3
+    rows = [(i, protos[i % 4], 0) for i in range(8)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = SIM.ann_pq_adc(emb, n_queries=2, k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q in (0, 1):
+        ranked = sorted(by_q[q], key=lambda r: r["rank"])
+        # the same-prototype twin (vec q+4) is at estimated distance 0
+        assert ranked[0]["neighbor_id"] == q + 4 and ranked[0]["est_micro"] == 0
+        assert len(ranked) == 3
+        assert all(a["est_micro"] <= b["est_micro"] for a, b in zip(ranked, ranked[1:]))

@@ -41,6 +41,27 @@ def main() -> None:
     r_srp = recall_vs_brute(srp, brute)
     r_ivf = recall_vs_brute(ivf, brute)
     r_km = recall_vs_brute(ivf_km, brute)
+
+    # PQ-ADC ranks by estimated L2, so its baseline is the EXACT-L2 top-k
+    # (isolates quantization loss from the cosine-vs-L2 metric gap)
+    from pyspark.sql import Window
+
+    base = emb.withColumn(
+        "vec", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    q = base.select(F.col("vec_id").alias("query_id"), F.col("vec").alias("qv"))
+    c = base.select(F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("cv"))
+    wl2 = Window.partitionBy("query_id").orderBy("d", "neighbor_id")
+    brute_l2 = (
+        q.join(c, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("d", SIM._sq_dist(F.col("qv"), F.col("cv")))
+        .withColumn("rank", F.row_number().over(wl2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id")
+        .cache()
+    )
+    adc = SIM.ann_pq_adc(emb, n_queries=n, k=k)
+    r_adc = recall_vs_brute(adc, brute_l2)
     srp_cand = emb.withColumn(
         "b", SIM.srp_signature(F.transform("embedding", lambda x: x.cast("double")))
     ).groupBy("b").count()
@@ -61,7 +82,10 @@ def main() -> None:
             f"| IVF (trained k-means, {SIM.KMEANS_CELLS} cells x "
             f"{SIM.KMEANS_ITERS} Lloyd iters, nprobe={SIM.KMEANS_PROBES}) "
             f"| {r_km:.3f} | {SIM.KMEANS_PROBES} cells "
-            f"(~{SIM.KMEANS_PROBES / SIM.KMEANS_CELLS:.0%} of N) |\n\n"
+            f"(~{SIM.KMEANS_PROBES / SIM.KMEANS_CELLS:.0%} of N) |\n"
+            f"| PQ-ADC ({SIM.PQ_SUB}x{SIM.PQ_SUB_DIM} dims, {SIM.PQ_K} "
+            f"centroids/sub) vs exact-L2 top-k | {r_adc:.3f} | all N, but "
+            f"codes only ({SIM.PQ_SUB} B/vec vs 256 B float) |\n\n"
             "The fixture vectors are ISOTROPIC random (measured top-5 cosine\n"
             "~0.32, nearest-neighbor label agreement 7%) — the worst case for\n"
             "any LSH family: recall scales ~linearly with the candidate\n"
@@ -72,11 +96,18 @@ def main() -> None:
             "0.64 at 4% candidates with single-probe).  The probe fan-out is\n"
             "a constant 93x on the query side only; the join stays an\n"
             "equi-join on the integer signature, so at 10^9 vectors the\n"
-            "cost is bucket occupancy, never N^2.\n"
+            "cost is bucket occupancy, never N^2.\n\n"
+            f"PQ-ADC's {SIM.PQ_K}-centroid/subspace fixture codebook is a\n"
+            f"{SIM.PQ_SUB * 2}-bit code — a deliberately tiny demonstrator\n"
+            "(the oracle unrolls every Lloyd round, so codebook size is\n"
+            "capped for SQL length, not by the operator).  Production PQ\n"
+            "uses 256 centroids/subspace (8 bits, 64-bit codes); recall\n"
+            "rises with codebook bits while the ADC join shape — broadcast\n"
+            "LUT, integer sums, codes-only shuffle — is unchanged.\n"
         )
     print(
         f"recall@{k}: srp={r_srp:.3f} ivf={r_ivf:.3f} kmeans={r_km:.3f} "
-        f"(N={n}); wrote RECALL.md"
+        f"adc-vs-L2={r_adc:.3f} (N={n}); wrote RECALL.md"
     )
 
 

@@ -1,0 +1,113 @@
+"""Event-stream analytics over the `events` table: retention cohorts,
+ordered funnel conversion, and semi-structured props extraction.
+
+These are the engine-breadth operators a product-analytics consumer of the
+same store would run; they follow the house contract — pure Catalyst, every
+shuffle accounted for, DuckDB oracle per query (registry/extras_q.py).
+
+Scale notes (100 TB of events ≈ 10^12 rows over ~10^9 users):
+  * retention_cohorts — two aggregates keyed on user_id (the second rides
+    the first's exchange) and a final rollup on (cohort_day, offset) —
+    ~30×90 keys, map-side combined.  countDistinct over users is exact by
+    contract here; the documented scale swap is approx_count_distinct.
+  * funnel_conversion — three user-keyed conditional-min aggregates, each
+    reusing the SAME hash exchange on user_id (subset clustering), then a
+    4-row summary.  No sort, no window over the full stream.
+  * props_extract — pure map (get_json_object) into a per-type aggregate
+    on a tiny key space.  JSON parsing is JVM-side codegen, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Classic D-N retention: cohort = each user's first active day;
+    for every (cohort_day, day_offset) count the distinct users active
+    that many days after their first day, plus the retention rate against
+    the cohort size."""
+    first = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    act = events.select("user_id", F.to_date("ts").alias("day")).distinct()
+    j = act.join(first, "user_id")
+    per = j.groupBy(
+        "cohort_day", F.datediff("day", "cohort_day").alias("day_offset")
+    ).agg(F.countDistinct("user_id").alias("n_users"))
+    size = first.groupBy("cohort_day").agg(
+        F.count("*").alias("cohort_size")
+    )
+    return per.join(F.broadcast(size), "cohort_day").select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        F.col("day_offset").cast("int").alias("day_offset"),
+        "n_users",
+        "cohort_size",
+        F.round(
+            F.col("n_users").cast("double") / F.col("cohort_size").cast("double"), 6
+        ).alias("retention"),
+    )
+
+
+def funnel_conversion(events: DataFrame) -> DataFrame:
+    """Ordered funnel over FUNNEL_STAGES with strict first-occurrence
+    subsequence semantics: stage i counts a user iff some stage-i event
+    happens strictly after the user's recorded stage-(i-1) time (t_i =
+    min event time of stage i after t_{i-1}).  Emits one row per stage
+    with the user count and conversion rates vs the previous stage and
+    the funnel entry."""
+    ts_sec = (F.unix_micros("ts").cast("double") / F.lit(1e6))
+    base = events.select("user_id", "event_type", ts_sec.alias("sec"))
+    cur = base.filter(F.col("event_type") == FUNNEL_STAGES[0]).groupBy(
+        "user_id"
+    ).agg(F.min("sec").alias("t"))
+    stage_counts = [cur.count()]
+    for stage in FUNNEL_STAGES[1:]:
+        nxt = (
+            base.filter(F.col("event_type") == stage)
+            .join(cur, "user_id")
+            .filter(F.col("sec") > F.col("t"))
+            .groupBy("user_id")
+            .agg(F.min("sec").alias("t"))
+        )
+        stage_counts.append(nxt.count())
+        cur = nxt
+    spark = events.sparkSession
+    rows = []
+    for i, (stage, n) in enumerate(zip(FUNNEL_STAGES, stage_counts)):
+        prev = stage_counts[i - 1] if i else stage_counts[0]
+        rows.append(
+            (
+                i + 1,
+                stage,
+                n,
+                round(n / prev, 6) if prev else None,
+                round(n / stage_counts[0], 6) if stage_counts[0] else None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "stage int, event_type string, n_users bigint, "
+        "conv_from_prev double, conv_from_entry double",
+    )
+
+
+def props_extract(events: DataFrame) -> DataFrame:
+    """Semi-structured extraction: pull the integer `k` out of the JSON
+    `props` column (JVM-side get_json_object, no UDF) and aggregate it
+    per event_type — the schema-on-read pattern for sparse event
+    payloads."""
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

@@ -124,6 +124,33 @@ def q_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D-N retention cohorts — operators/events.py::retention_cohorts."""
+    from airstrik_py_spark.operators.events import retention_cohorts
+
+    pin_session(spark)
+    return retention_cohorts(load_table(spark, sf_dir, "events"))
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view->click->purchase funnel —
+    operators/events.py::funnel_conversion (strict first-occurrence
+    subsequence semantics)."""
+    from airstrik_py_spark.operators.events import funnel_conversion
+
+    pin_session(spark)
+    return funnel_conversion(load_table(spark, sf_dir, "events"))
+
+
+def q_events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON props extraction + per-type rollup —
+    operators/events.py::props_extract."""
+    from airstrik_py_spark.operators.events import props_extract
+
+    pin_session(spark)
+    return props_extract(load_table(spark, sf_dir, "events"))
+
+
 def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) layout plan over (ts, user_id) —
     operators/bucketing.py::zorder_plan: integer min-max binning to 16 bits
@@ -165,6 +192,57 @@ FROM d
 
 ORACLES = {
     "layout_zorder": _zorder_oracle(),
+    "events_retention": """
+WITH first AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+               FROM events GROUP BY user_id),
+act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+per AS (
+  SELECT cohort_day, CAST(date_diff('day', cohort_day, day) AS INTEGER) AS day_offset,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM act JOIN first USING (user_id)
+  GROUP BY cohort_day, day_offset),
+size_t AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
+           FROM first GROUP BY cohort_day)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day, day_offset, n_users,
+       cohort_size,
+       round(CAST(n_users AS DOUBLE) / CAST(cohort_size AS DOUBLE), 6) AS retention
+FROM per JOIN size_t USING (cohort_day)
+""",
+    "events_funnel": """
+WITH base AS (SELECT user_id, event_type,
+                     CAST(epoch_us(ts) AS DOUBLE) / 1e6 AS sec
+              FROM events),
+s1 AS (SELECT user_id, min(sec) AS t FROM base WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT b.user_id, min(b.sec) AS t
+       FROM base b JOIN s1 ON b.user_id = s1.user_id
+       WHERE b.event_type = 'click' AND b.sec > s1.t GROUP BY b.user_id),
+s3 AS (SELECT b.user_id, min(b.sec) AS t
+       FROM base b JOIN s2 ON b.user_id = s2.user_id
+       WHERE b.event_type = 'purchase' AND b.sec > s2.t GROUP BY b.user_id),
+n AS (SELECT (SELECT count(*) FROM s1) AS n1,
+             (SELECT count(*) FROM s2) AS n2,
+             (SELECT count(*) FROM s3) AS n3)
+SELECT * FROM (
+  SELECT 1 AS stage, 'view' AS event_type, CAST(n1 AS BIGINT) AS n_users,
+         round(CAST(n1 AS DOUBLE) / n1, 6) AS conv_from_prev,
+         round(CAST(n1 AS DOUBLE) / n1, 6) AS conv_from_entry FROM n
+  UNION ALL
+  SELECT 2, 'click', CAST(n2 AS BIGINT),
+         round(CAST(n2 AS DOUBLE) / n1, 6), round(CAST(n2 AS DOUBLE) / n1, 6) FROM n
+  UNION ALL
+  SELECT 3, 'purchase', CAST(n3 AS BIGINT),
+         round(CAST(n3 AS DOUBLE) / n2, 6), round(CAST(n3 AS DOUBLE) / n1, 6) FROM n)
+""",
+    "events_props_extract": """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(k) AS BIGINT) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       min(k) AS min_k, max(k) AS max_k
+FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events)
+GROUP BY event_type
+""",
     "eval_contamination": """
 WITH dwords AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
 sh AS (
@@ -235,6 +313,9 @@ QUERIES = {
     "embedding_dim_stats": q_embedding_dim_stats,
     "pq_codes": q_pq_codes,
     "ann_pq_adc": q_ann_pq_adc,
+    "events_retention": q_events_retention,
+    "events_funnel": q_events_funnel,
+    "events_props_extract": q_events_props_extract,
     "text_repetition": q_text_repetition,
     "sample_domain_balance": q_sample_domain_balance,
     "ann_ivf_label": q_ann_ivf_label,

@@ -1,0 +1,77 @@
+"""Event-analytics operators: retention cohorts, ordered funnel,
+props extraction."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from airstrik_py_spark.operators.events import (
+    funnel_conversion,
+    props_extract,
+    retention_cohorts,
+)
+
+
+def _ev(spark, rows):
+    """(event_id, day, user_id, event_type[, props]) -> events frame."""
+    out = []
+    for r in rows:
+        eid, day, uid, et, *p = r
+        ts = datetime(2024, 1, day, 12, 0, eid % 60, tzinfo=timezone.utc)
+        out.append((eid, ts.replace(tzinfo=None), uid, et, 1.0, p[0] if p else None))
+    return spark.createDataFrame(
+        out,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_retention_cohorts_hand_case(spark):
+    # users 1,2 start day 1; user 1 returns day 3; user 3 starts day 2
+    rows = [
+        (0, 1, 1, "view"), (1, 1, 2, "view"), (2, 3, 1, "click"),
+        (3, 2, 3, "view"), (4, 2, 3, "click"),
+    ]
+    out = {(r["cohort_day"], r["day_offset"]): r
+           for r in retention_cohorts(_ev(spark, rows)).collect()}
+    d1 = out[("2024-01-01", 0)]
+    assert d1["n_users"] == 2 and d1["cohort_size"] == 2 and d1["retention"] == 1.0
+    d13 = out[("2024-01-01", 2)]
+    assert d13["n_users"] == 1 and d13["retention"] == 0.5
+    d2 = out[("2024-01-02", 0)]
+    assert d2["n_users"] == 1 and d2["cohort_size"] == 1
+    # same-day multiple events count once
+    assert len(out) == 3
+
+
+def test_funnel_requires_order(spark):
+    # user 1: view->click->purchase in order (converts all stages)
+    # user 2: click BEFORE view, never after -> does not convert stage 2
+    # user 3: view then purchase (skips click) -> stops at stage 1
+    rows = [
+        (0, 1, 1, "view"), (10, 2, 1, "click"), (20, 3, 1, "purchase"),
+        (1, 1, 2, "click"), (11, 2, 2, "view"),
+        (2, 1, 3, "view"), (12, 2, 3, "purchase"),
+    ]
+    out = {r["stage"]: r for r in funnel_conversion(_ev(spark, rows)).collect()}
+    assert out[1]["n_users"] == 3
+    assert out[2]["n_users"] == 1 and out[2]["event_type"] == "click"
+    assert out[3]["n_users"] == 1
+    assert out[2]["conv_from_prev"] == round(1 / 3, 6)
+    assert out[3]["conv_from_prev"] == 1.0
+    assert out[3]["conv_from_entry"] == round(1 / 3, 6)
+
+
+def test_props_extract_null_and_values(spark):
+    rows = [
+        (0, 1, 1, "view", '{"k": 5}'),
+        (1, 1, 2, "view", '{"k": 7}'),
+        (2, 1, 3, "view", '{"other": 1}'),
+        (3, 1, 4, "click", None),
+    ]
+    out = {r["event_type"]: r for r in props_extract(_ev(spark, rows)).collect()}
+    v = out["view"]
+    assert (v["n_events"], v["n_with_k"], v["sum_k"]) == (3, 2, 12)
+    assert (v["min_k"], v["max_k"]) == (5, 7)
+    c = out["click"]
+    assert (c["n_events"], c["n_with_k"], c["sum_k"]) == (1, 0, None)

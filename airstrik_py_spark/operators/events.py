@@ -94,6 +94,64 @@ def funnel_conversion(events: DataFrame) -> DataFrame:
     )
 
 
+RANGE_WINDOW_US = 300_000_000  # 5 minutes, integer microseconds
+
+
+def preceding_window_counts(events: DataFrame) -> DataFrame:
+    """Range join done the scale-safe way: for every `error` event, count
+    the same user's click/view events in the strictly-preceding 5-minute
+    window.
+
+    A naive `a.join(b, (b.ts >= a.ts - 5m) & (b.ts < a.ts))` is a
+    BroadcastNestedLoopJoin — O(N*M) and the classic Spark range-join
+    trap.  Instead both sides bin time into window-sized integer buckets
+    (all arithmetic in integer microseconds — no float in the bucket
+    decision), the probe side explodes each error into its 2 candidate
+    bins (window length == bin width, so [t-W, t) spans at most 2), and
+    the join becomes an EQUI-join on (user_id, time_bin) with the exact
+    window predicate as a post-filter.  tests/test_events.py pins the
+    no-BNLJ plan.
+
+    Scale (100 TB): join key cardinality = users × bins — maximal,
+    skew-free; per-key fan-out is the window occupancy, never N.  The
+    2× probe-side explode is the entire overhead."""
+    us = F.unix_micros("ts")
+    err = events.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", us.alias("e_us")
+    )
+    oth = events.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("o_user"),
+        us.alias("o_us"),
+        F.expr(f"unix_micros(ts) div {RANGE_WINDOW_US}").alias("bin"),
+    )
+    probe = err.withColumn(
+        "bin",
+        F.explode(
+            F.array(
+                F.expr(f"e_us div {RANGE_WINDOW_US} - 1"),
+                F.expr(f"e_us div {RANGE_WINDOW_US}"),
+            )
+        ),
+    )
+    hits = (
+        probe.join(
+            oth,
+            (probe.user_id == oth.o_user) & (probe.bin == oth.bin),
+        )
+        .filter(
+            (F.col("o_us") >= F.col("e_us") - RANGE_WINDOW_US)
+            & (F.col("o_us") < F.col("e_us"))
+        )
+        .groupBy("event_id")
+        .agg(F.count("*").alias("n_preceding"))
+    )
+    return err.join(hits, "event_id", "left").select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.col("n_preceding"), F.lit(0).cast("long")).alias("n_preceding"),
+    )
+
+
 def props_extract(events: DataFrame) -> DataFrame:
     """Semi-structured extraction: pull the integer `k` out of the JSON
     `props` column (JVM-side get_json_object, no UDF) and aggregate it

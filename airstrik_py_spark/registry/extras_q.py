@@ -142,6 +142,16 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_conversion(load_table(spark, sf_dir, "events"))
 
 
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned range join (no BNLJ): per error event, same-user click/view
+    count in the preceding 5 min —
+    operators/events.py::preceding_window_counts."""
+    from airstrik_py_spark.operators.events import preceding_window_counts
+
+    pin_session(spark)
+    return preceding_window_counts(load_table(spark, sf_dir, "events"))
+
+
 def q_events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON props extraction + per-type rollup —
     operators/events.py::props_extract."""
@@ -233,6 +243,18 @@ SELECT * FROM (
   SELECT 3, 'purchase', CAST(n3 AS BIGINT),
          round(CAST(n3 AS DOUBLE) / n2, 6), round(CAST(n3 AS DOUBLE) / n1, 6) FROM n)
 """,
+    "events_range_join": """
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+           WHERE event_type = 'error'),
+o AS (SELECT user_id, epoch_us(ts) AS us FROM events
+      WHERE event_type IN ('click', 'view'))
+SELECT e.event_id, e.user_id,
+       CAST(count(o.us) AS BIGINT) AS n_preceding
+FROM e LEFT JOIN o
+  ON e.user_id = o.user_id
+ AND o.us >= e.us - 300000000 AND o.us < e.us
+GROUP BY e.event_id, e.user_id
+""",
     "events_props_extract": """
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_events,
@@ -316,6 +338,7 @@ QUERIES = {
     "events_retention": q_events_retention,
     "events_funnel": q_events_funnel,
     "events_props_extract": q_events_props_extract,
+    "events_range_join": q_events_range_join,
     "text_repetition": q_text_repetition,
     "sample_domain_balance": q_sample_domain_balance,
     "ann_ivf_label": q_ann_ivf_label,

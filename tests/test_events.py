@@ -75,3 +75,37 @@ def test_props_extract_null_and_values(spark):
     assert (v["min_k"], v["max_k"]) == (5, 7)
     c = out["click"]
     assert (c["n_events"], c["n_with_k"], c["sum_k"]) == (1, 0, None)
+
+
+def test_range_join_window_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from airstrik_py_spark.operators.events import preceding_window_counts
+
+    # error at 12:00:30 (day 2); clicks at 11:55:45 (in window, 285s before),
+    # 11:55:25 (out, 305s before), 12:00:30 (out, not strictly before),
+    # other user's click in-window (out), view in window (in)
+    base = datetime(2024, 1, 2, 12, 0, 30)
+    def ev(eid, uid, et, dt_s):
+        from datetime import timedelta
+        return (eid, base + timedelta(seconds=dt_s), uid, et, 1.0, None)
+    rows = [
+        ev(0, 1, "error", 0),
+        ev(1, 1, "click", -285),
+        ev(2, 1, "click", -305),
+        ev(3, 1, "click", 0),
+        ev(4, 2, "click", -10),
+        ev(5, 1, "view", -1),
+        ev(6, 2, "error", -400),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r["event_id"]: r["n_preceding"] for r in preceding_window_counts(df).collect()}
+    assert out == {0: 2, 6: 0}
+    # the plan must be an equi-join, never a nested-loop range join
+    plan = preceding_window_counts(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

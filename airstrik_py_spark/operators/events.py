@@ -133,9 +133,11 @@ def preceding_window_counts(events: DataFrame) -> DataFrame:
             )
         ),
     )
+    # shuffled-hash, not sort-merge: neither side benefits from a sort and
+    # the build side is the smaller filtered stream
     hits = (
         probe.join(
-            oth,
+            oth.hint("shuffle_hash"),
             (probe.user_id == oth.o_user) & (probe.bin == oth.bin),
         )
         .filter(
@@ -145,7 +147,7 @@ def preceding_window_counts(events: DataFrame) -> DataFrame:
         .groupBy("event_id")
         .agg(F.count("*").alias("n_preceding"))
     )
-    return err.join(hits, "event_id", "left").select(
+    return err.join(hits.hint("shuffle_hash"), "event_id", "left").select(
         "event_id",
         "user_id",
         F.coalesce(F.col("n_preceding"), F.lit(0).cast("long")).alias("n_preceding"),

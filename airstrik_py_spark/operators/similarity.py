@@ -632,6 +632,80 @@ def embedding_dim_stats(emb: DataFrame) -> DataFrame:
     )
 
 
+def ann_ivf_pq(
+    emb: DataFrame,
+    n_queries: int,
+    k: int,
+    n_cells: int = KMEANS_CELLS,
+    iters: int = KMEANS_ITERS,
+    dim: int = SRP_DIM,
+    probes: int = KMEANS_PROBES,
+) -> DataFrame:
+    """The full FAISS-style IVF-PQ serving architecture composed from the
+    engine's own pieces: the trained k-means coarse quantizer
+    (ann_ivf_kmeans) prunes candidates to `probes` cells per query, and
+    inside the probed cells distances are estimated from PQ codes alone
+    (ann_pq_adc's broadcast-LUT integer sums) — no database float is ever
+    touched at query time.
+
+    Scale (100 TB): candidate count = probes/n_cells of N (the IVF
+    knob) × 8 B of codes per candidate (the PQ knob).  Both joins are
+    equi-joins — cell for the probe, (query, sub, cid) for the LUT — so
+    the whole query is broadcast + hash work over a pruned, compressed
+    stream: the reason a 10^9-vector index serves from RAM."""
+    from pyspark.sql import Window
+
+    cells, cents = kmeans_fit(emb, n_cells, iters, dim)
+    assigned, pq_cents = pq_fit(emb)
+    codes = assigned.select("vec_id", "sub", "cid").join(
+        cells.select("vec_id", "cell"), "vec_id"
+    )
+    carr = cents.agg(F.collect_list(F.struct("cell", "cvec")).alias("cs"))
+    ranked = F.array_sort(
+        F.transform(
+            F.col("cs"),
+            lambda cc: F.struct(
+                _sq_dist(F.col("qv"), cc.getField("cvec")).alias("d"),
+                cc.getField("cell").alias("cell"),
+            ),
+        )
+    )
+    q = (
+        cells.filter(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("query_id"), F.col("vec").alias("qv"))
+        .join(F.broadcast(carr))
+        .withColumn("probe", F.explode(F.slice(ranked, 1, probes)))
+        .select("query_id", "qv", F.col("probe.cell").alias("cell"))
+    )
+    ql = _pq_long(
+        emb.filter(F.col("vec_id") < n_queries)
+    ).select(F.col("vec_id").alias("query_id"), "sub", F.col("subv").alias("qsub"))
+    lut = ql.join(F.broadcast(pq_cents), "sub").select(
+        "query_id",
+        "sub",
+        "cid",
+        F.round(_sq_dist(F.col("qsub"), F.col("cvec")) * F.lit(float(DIM_MICRO)), 0)
+        .cast("long")
+        .alias("dmicro"),
+    )
+    cand = q.select("query_id", "cell").join(codes.hint("shuffle_hash"), "cell")
+    est = (
+        cand.filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(lut), ["query_id", "sub", "cid"])
+        .groupBy("query_id", "cell", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("dmicro").alias("est_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("est_micro").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        est.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cell", "neighbor_id", "est_micro",
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def ann_ivf_label(emb: DataFrame, n_queries: int, k: int) -> DataFrame:
     """IVF-style ANN with the fixture `label` as the coarse cell: probe only
     the query's cell, exact re-rank inside."""

@@ -36,6 +36,7 @@ from airstrik_py_spark.registry.similarity_q import (
     q_ann_ivf_label,
     q_dedup_semantic,
     q_embedding_dim_stats,
+    q_ann_ivf_pq,
     q_ann_pq_adc,
     q_embedding_label_centroids,
     q_pq_codes,
@@ -335,6 +336,7 @@ QUERIES = {
     "embedding_dim_stats": q_embedding_dim_stats,
     "pq_codes": q_pq_codes,
     "ann_pq_adc": q_ann_pq_adc,
+    "ann_ivf_pq": q_ann_ivf_pq,
     "events_retention": q_events_retention,
     "events_funnel": q_events_funnel,
     "events_props_extract": q_events_props_extract,

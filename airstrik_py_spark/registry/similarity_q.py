@@ -140,27 +140,29 @@ def _pq_assign_sql(cent: str) -> str:
         FROM sv q JOIN {cent} c ON q.sub = c.sub) t)"""
 
 
-def _pq_ctes() -> tuple[str, str]:
+def _pq_ctes(p: str = "") -> tuple[str, str]:
     """Shared unrolled per-subspace Lloyd CTE block (same shape as the
     ann_ivf_kmeans oracle but keyed (sub, cid) with list_slice
-    subvectors): returns (cte_block, final_centroid_name)."""
+    subvectors): returns (cte_block, final_centroid_name).  `p` prefixes
+    the centroid/assignment CTE names so the block can coexist with the
+    full-dim k-means CTEs (which also use c0/a0...) in one query."""
     sd = SIM.PQ_SUB_DIM
     avg_list = ", ".join(f"round(avg(s[{i}]), 6)" for i in range(1, sd + 1))
     parts = [
         f"""sv AS (SELECT vec_id, sub,
              list_slice(v, sub * {sd} + 1, sub * {sd} + {sd}) AS s
       FROM (SELECT vec_id, v, unnest(range(0, {SIM.PQ_SUB})) AS sub FROM e))""",
-        f"c0 AS (SELECT sub, CAST(vec_id AS INT) AS cid, s AS cvec FROM sv WHERE vec_id < {SIM.PQ_K})",
+        f"{p}c0 AS (SELECT sub, CAST(vec_id AS INT) AS cid, s AS cvec FROM sv WHERE vec_id < {SIM.PQ_K})",
     ]
     for it in range(SIM.PQ_ITERS):
         parts.append(
-            f"""a{it} AS (SELECT vec_id, sub, s, cid FROM {_pq_assign_sql(f"c{it}")}
+            f"""{p}a{it} AS (SELECT vec_id, sub, s, cid FROM {_pq_assign_sql(f"{p}c{it}")}
   QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) = 1)"""
         )
         parts.append(
-            f"c{it + 1} AS (SELECT sub, cid, [{avg_list}] AS cvec FROM a{it} GROUP BY sub, cid)"
+            f"{p}c{it + 1} AS (SELECT sub, cid, [{avg_list}] AS cvec FROM {p}a{it} GROUP BY sub, cid)"
         )
-    return ",\n".join(parts), f"c{SIM.PQ_ITERS}"
+    return ",\n".join(parts), f"{p}c{SIM.PQ_ITERS}"
 
 
 def _pq_oracle() -> str:
@@ -196,6 +198,53 @@ est AS (
   WHERE k.vec_id != l.query_id
   GROUP BY l.query_id, k.vec_id)
 SELECT query_id, neighbor_id, est_micro,
+       CAST(row_number() OVER w AS INTEGER) AS rank
+FROM est
+WINDOW w AS (PARTITION BY query_id ORDER BY est_micro, neighbor_id)
+QUALIFY row_number() OVER w <= {TOP_K}
+"""
+
+
+def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF-PQ serving query (trained coarse quantizer prunes
+    cells, PQ codes estimate distances inside) —
+    operators/similarity.py::ann_ivf_pq."""
+    pin_session(spark)
+    return SIM.ann_ivf_pq(load_table(spark, sf_dir, "embeddings"), N_QUERIES, TOP_K)
+
+
+def _ivf_pq_oracle() -> str:
+    pq_ctes, pq_final = _pq_ctes(p="p")
+    km = _kmeans_ctes(SIM.KMEANS_CELLS, SIM.KMEANS_ITERS, SIM.SRP_DIM)
+    it = SIM.KMEANS_ITERS
+    return f"""
+WITH {_E},
+{km},
+{pq_ctes},
+codesx AS (
+  SELECT f.vec_id, f.sub, f.cid, iv.cell
+  FROM (SELECT vec_id, sub, cid FROM {_pq_assign_sql(pq_final)}
+        QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) = 1) f
+  JOIN a{it} iv ON f.vec_id = iv.vec_id),
+probes AS (
+  SELECT vec_id AS query_id, cell FROM s{it}
+  WHERE vec_id < {N_QUERIES}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) <= {SIM.KMEANS_PROBES}),
+lut AS (
+  SELECT query_id, sub, cid,
+         CAST(round({_PQ_DIST} * {SIM.DIM_MICRO}, 0) AS BIGINT) AS dmicro
+  FROM (SELECT q.vec_id AS query_id, q.sub, c.cid,
+               list_transform(range(1, {SIM.PQ_SUB_DIM + 1}), i -> q.s[i] - c.cvec[i]) AS d
+        FROM sv q JOIN {pq_final} c ON q.sub = c.sub
+        WHERE q.vec_id < {N_QUERIES}) t),
+est AS (
+  SELECT p.query_id, p.cell, k.vec_id AS neighbor_id,
+         CAST(sum(l.dmicro) AS BIGINT) AS est_micro
+  FROM probes p
+  JOIN codesx k ON k.cell = p.cell AND k.vec_id != p.query_id
+  JOIN lut l ON l.query_id = p.query_id AND l.sub = k.sub AND l.cid = k.cid
+  GROUP BY p.query_id, p.cell, k.vec_id)
+SELECT query_id, cell, neighbor_id, est_micro,
        CAST(row_number() OVER w AS INTEGER) AS rank
 FROM est
 WINDOW w AS (PARTITION BY query_id ORDER BY est_micro, neighbor_id)
@@ -316,6 +365,7 @@ FROM reach GROUP BY src
 """,
     "pq_codes": _pq_oracle(),
     "ann_pq_adc": _pq_adc_oracle(),
+    "ann_ivf_pq": _ivf_pq_oracle(),
     "embedding_dim_stats": f"""
 WITH idx AS (SELECT embedding, unnest(range(0, len(embedding))) AS dim FROM embeddings),
 v AS (SELECT CAST(dim AS INTEGER) AS dim,

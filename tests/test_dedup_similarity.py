@@ -233,3 +233,24 @@ def test_ann_pq_adc_exact_on_prototype_data(spark):
         assert ranked[0]["neighbor_id"] == q + 4 and ranked[0]["est_micro"] == 0
         assert len(ranked) == 3
         assert all(a["est_micro"] <= b["est_micro"] for a, b in zip(ranked, ranked[1:]))
+
+
+def test_ann_ivf_pq_subset_of_probed_cells(spark):
+    """IVF-PQ candidates must come only from the query's probed cells: on a
+    64-dim two-cluster fixture with 1 probe, each query sees only its own
+    cluster's members."""
+    rows = []
+    for i in range(8):
+        base = 1.0 if i % 2 == 0 else 9.0
+        rows.append((i, [base + 0.01 * i * ((d % 5) - 2) for d in range(64)], i % 2))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = SIM.ann_ivf_pq(emb, n_queries=2, k=3, n_cells=2, iters=2, probes=1).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # clustered fixture: query 0 (even cluster) sees only even neighbors
+    # with 1 probe; query 1 only odd
+    assert by_q[0] <= {2, 4, 6}
+    assert by_q[1] <= {3, 5, 7}
+    for r in out:
+        assert r["est_micro"] >= 0 and 1 <= r["rank"] <= 3

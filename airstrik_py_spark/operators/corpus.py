@@ -472,3 +472,77 @@ def concat_chunk_pack(docs: DataFrame, seq_len: int = PACK_SEQ_LEN) -> DataFrame
         last_seq.alias("last_seq"),
         (last_seq > first_seq).alias("split_across"),
     )
+
+
+LENGTH_PCTS = (0.5, 0.9, 0.99)
+MIX_ALPHA = 0.5
+SHUFFLE_BUCKETS = 64
+SHUFFLE_SALT = "shuf|"
+
+
+def length_percentiles(docs: DataFrame) -> DataFrame:
+    """Per-language exact length percentiles (p50/p90/p99 of n_chars) —
+    the distribution snapshot a data card reports next to the histogram.
+
+    Uses the EXACT `percentile` aggregate (linear interpolation, the same
+    definition as DuckDB's quantile_cont) so the oracle matches to the
+    rounding digit.  Exact percentile sorts per group — fine for the
+    per-language rollup here; the documented 100 TB swap is
+    approx_percentile (t-digest, mergeable map-side) when group row counts
+    exceed executor memory."""
+    g = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        *[
+            F.round(
+                F.percentile(F.col("n_chars"), F.lit(p)), 6
+            ).alias(f"p{int(p * 100)}_chars")
+            for p in LENGTH_PCTS
+        ],
+    )
+    return g
+
+
+def mixture_weights(docs: DataFrame, alpha: float = MIX_ALPHA) -> DataFrame:
+    """Temperature-scaled source mixture weights: w_src ∝ tokens_src^alpha,
+    normalized — the multinomial sampling-temperature recipe from
+    multilingual / multi-corpus LM training (alpha < 1 upsamples small
+    sources).  One low-cardinality aggregate, then the normalizer joins
+    back as a broadcast scalar — no window over a single partition, so the
+    shape survives any source count."""
+    per = docs.withColumn("n_tok", F.size(F.split("text", " "))).groupBy(
+        "source"
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
+    per = per.withColumn("w_raw", F.pow(F.col("n_tokens").cast("double"), alpha))
+    total = per.agg(F.sum("w_raw").alias("w_total"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .withColumn("mix_weight", F.round(F.col("w_raw") / F.col("w_total"), 6))
+        .select("source", "n_docs", "n_tokens", "mix_weight")
+    )
+
+
+def shuffle_layout(docs: DataFrame, buckets: int = SHUFFLE_BUCKETS) -> DataFrame:
+    """Deterministic global training-order shuffle, bucket-parallel: order
+    key = md5(salt || doc_id); bucket = first 16 hash bits mod `buckets`;
+    rank = row_number within the bucket by (hash, doc_id).  Global order is
+    (bucket, rank) — a reader streams buckets in index order and gets the
+    same permutation every epoch/backfill.
+
+    This is the scale-correct form of ORDER BY random(): each bucket's sort
+    is independent (parallelism = bucket count, like a terasort range
+    shuffle), there is NO single-partition global window, and the key is
+    content-free so re-runs are idempotent."""
+    h = F.md5(F.concat(F.lit(SHUFFLE_SALT), F.col("doc_id").cast("string")))
+    bucket = (F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % buckets).alias(
+        "bucket"
+    )
+    d = docs.select("doc_id", h.alias("h"), bucket)
+    w = Window.partitionBy("bucket").orderBy("h", "doc_id")
+    return d.select(
+        "doc_id",
+        "bucket",
+        F.row_number().over(w).alias("rank_in_bucket"),
+    )

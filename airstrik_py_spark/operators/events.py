@@ -154,6 +154,54 @@ def preceding_window_counts(events: DataFrame) -> DataFrame:
     )
 
 
+SESSION_GAP_S = 1800
+
+
+def sessionize_events(events: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFrame:
+    """Generic gap-based sessionization of the event stream: per user, a new
+    session starts when the gap to the previous event is STRICTLY greater
+    than ``gap_s`` (same open boundary as the flight sessionizer,
+    sessions.with_session_id / airstrik.py:482).  Emits one row per session
+    with exact microsecond bounds — integer arithmetic end-to-end so the
+    oracle hash-matches bit-for-bit.
+
+    Shape: one hash exchange on user_id feeding BOTH the lag window and the
+    session rollup (subset clustering — the groupBy(user_id, session_n)
+    rides the window's partitioning).  At 10^12 events / 10^9 users the
+    per-key row count is the only sort cost; no global sort, no second
+    shuffle.  Streaming equivalent: F.session_window (streaming/pipeline.py)
+    — the batch form here is the replay/backfill path.
+    """
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    new = (
+        F.when(
+            F.lag("us").over(w).isNull()
+            | ((F.col("us") - F.lag("us").over(w)) > gap_s * 1_000_000),
+            1,
+        )
+        .otherwise(0)
+    )
+    rows = (
+        events.select("event_id", "user_id", us.alias("us"))
+        .withColumn("is_new", new)
+        .withColumn(
+            "session_n",
+            F.sum("is_new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return rows.groupBy("user_id", "session_n").agg(
+        F.count("*").alias("n_events"),
+        F.min("us").alias("start_us"),
+        F.max("us").alias("end_us"),
+        (F.max("us") - F.min("us")).alias("duration_us"),
+    )
+
+
 def props_extract(events: DataFrame) -> DataFrame:
     """Semi-structured extraction: pull the integer `k` out of the JSON
     `props` column (JVM-side get_json_object, no UDF) and aggregate it

@@ -172,6 +172,69 @@ def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder_plan(load_table(spark, sf_dir, "events"))
 
 
+def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-3-gram coverage (Lee et al. substring-dup signal)
+    — operators/cleaning.py::dup_ngram_coverage."""
+    from airstrik_py_spark.operators.cleaning import dup_ngram_coverage
+
+    pin_session(spark)
+    return dup_ngram_coverage(load_table(spark, sf_dir, "documents"), 3)
+
+
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII scrubbing — operators/cleaning.py::pii_redact over a
+    deterministic PII-bearing composition of the fixture text (the corpus
+    itself is digit-free, see synth_contact_text)."""
+    from airstrik_py_spark.operators.cleaning import pii_redact, synth_contact_text
+
+    pin_session(spark)
+    out = pii_redact(synth_contact_text(load_table(spark, sf_dir, "documents")))
+    return out.select(
+        "doc_id",
+        "n_emails",
+        "n_ips",
+        "n_phones",
+        F.md5("redacted").alias("redacted_md5"),
+        "redacted_len",
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based event sessionization (30 min, strict-> boundary like the
+    flight sessionizer) — operators/events.py::sessionize_events."""
+    from airstrik_py_spark.operators.events import sessionize_events
+
+    pin_session(spark)
+    return sessionize_events(load_table(spark, sf_dir, "events"))
+
+
+def q_doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language exact p50/p90/p99 length percentiles —
+    operators/corpus.py::length_percentiles."""
+    from airstrik_py_spark.operators.corpus import length_percentiles
+
+    pin_session(spark)
+    return length_percentiles(load_table(spark, sf_dir, "documents"))
+
+
+def q_mixture_weights_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha=0.5) source mixture weights —
+    operators/corpus.py::mixture_weights."""
+    from airstrik_py_spark.operators.corpus import mixture_weights
+
+    pin_session(spark)
+    return mixture_weights(load_table(spark, sf_dir, "documents"))
+
+
+def q_layout_shuffle_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic bucket-parallel global training-order shuffle —
+    operators/corpus.py::shuffle_layout."""
+    from airstrik_py_spark.operators.corpus import shuffle_layout
+
+    pin_session(spark)
+    return shuffle_layout(load_table(spark, sf_dir, "documents"))
+
+
 def _zorder_oracle() -> str:
     from airstrik_py_spark.operators.bucketing import (
         ZORDER_BITS,
@@ -201,8 +264,114 @@ FROM d
 """
 
 
+def _nib4(expr: str) -> str:
+    """First 16 bits of an md5 hex-string SQL expression as an integer
+    (DuckDB has no hex->int conv(); positional nibble math like text_q)."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({expr}, {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+
+
+def _pii_oracle() -> str:
+    from airstrik_py_spark.operators.cleaning import PII_EMAIL, PII_IPV4, PII_PHONE
+
+    contact = (
+        "text || ' reach user' || CAST(doc_id AS VARCHAR) || '@' || source"
+        " || '.net or 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+        " || '.7 tel 919-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    )
+    email, ip, phone = (p.replace("'", "''") for p in (PII_EMAIL, PII_IPV4, PII_PHONE))
+    red = (
+        "regexp_replace(regexp_replace(regexp_replace(text, "
+        f"'{email}', '<EMAIL>', 'g'), '{ip}', '<IP>', 'g'), "
+        f"'{phone}', '<PHONE>', 'g')"
+    )
+    return (
+        "WITH c AS (SELECT doc_id, " + contact + " AS text FROM documents),\n"
+        "r AS (SELECT doc_id, text, " + red + " AS redacted FROM c)\n"
+        "SELECT doc_id,\n"
+        f"  CAST(len(regexp_extract_all(text, '{email}')) AS INTEGER) AS n_emails,\n"
+        f"  CAST(len(regexp_extract_all(text, '{ip}')) AS INTEGER) AS n_ips,\n"
+        f"  CAST(len(regexp_extract_all(text, '{phone}')) AS INTEGER) AS n_phones,\n"
+        "  md5(redacted) AS redacted_md5,\n"
+        "  CAST(length(redacted) AS INTEGER) AS redacted_len\n"
+        "FROM r"
+    )
+
+
+_SHUF_NIB = _nib4("h")
+
 ORACLES = {
     "layout_zorder": _zorder_oracle(),
+    "dup_ngram_coverage": """
+WITH dwords AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, s
+  FROM (SELECT doc_id,
+               unnest(CASE WHEN len(words) >= 3
+                      THEN list_transform(range(1, len(words) - 1),
+                           i -> words[i] || '|' || words[i+1] || '|' || words[i+2])
+                      ELSE [] END) AS s
+        FROM dwords)),
+dfq AS (SELECT s, count(*) AS df FROM sh GROUP BY s)
+SELECT sh.doc_id,
+       count(*) AS n_shingles,
+       CAST(sum(CASE WHEN dfq.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       round(CAST(sum(CASE WHEN dfq.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS dup_coverage
+FROM sh JOIN dfq USING (s)
+GROUP BY sh.doc_id
+""",
+    "text_pii_redact": _pii_oracle(),
+    "events_sessionize": """
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+g AS (
+  SELECT *, CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+                   OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+                      > 1800000000
+                 THEN 1 ELSE 0 END AS is_new
+  FROM e),
+s AS (
+  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_n
+  FROM g)
+SELECT user_id, session_n,
+       count(*) AS n_events,
+       min(us) AS start_us,
+       max(us) AS end_us,
+       max(us) - min(us) AS duration_us
+FROM s
+GROUP BY user_id, session_n
+""",
+    "doc_length_percentiles": """
+SELECT lang,
+       count(*) AS n_docs,
+       round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+       round(quantile_cont(n_chars, 0.9), 6) AS p90_chars,
+       round(quantile_cont(n_chars, 0.99), 6) AS p99_chars
+FROM documents
+GROUP BY lang
+""",
+    "mixture_weights_temperature": """
+WITH per AS (SELECT source, count(*) AS n_docs,
+                    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+             FROM documents GROUP BY source),
+w AS (SELECT *, power(CAST(n_tokens AS DOUBLE), 0.5) AS w_raw FROM per)
+SELECT source, n_docs, n_tokens,
+       round(w_raw / sum(w_raw) OVER (), 6) AS mix_weight
+FROM w
+""",
+    "layout_shuffle_bucketed": f"""
+WITH d AS (SELECT doc_id,
+                  md5('shuf|' || CAST(doc_id AS VARCHAR)) AS h
+           FROM documents),
+b AS (SELECT doc_id, h, CAST(({_SHUF_NIB}) % 64 AS INTEGER) AS bucket FROM d)
+SELECT doc_id, bucket,
+       CAST(row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id) AS INTEGER)
+         AS rank_in_bucket
+FROM b
+""",
     "events_retention": """
 WITH first AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
                FROM events GROUP BY user_id),
@@ -343,6 +512,13 @@ QUERIES = {
     "events_range_join": q_events_range_join,
     "text_repetition": q_text_repetition,
     "sample_domain_balance": q_sample_domain_balance,
+    # round-4 additions (same most-valuable-first rule)
+    "dup_ngram_coverage": q_dup_ngram_coverage,
+    "text_pii_redact": q_text_pii_redact,
+    "events_sessionize": q_events_sessionize,
+    "doc_length_percentiles": q_doc_length_percentiles,
+    "mixture_weights_temperature": q_mixture_weights_temperature,
+    "layout_shuffle_bucketed": q_layout_shuffle_bucketed,
     "ann_ivf_label": q_ann_ivf_label,
     "ddl_drop_reset": q_ddl_drop_reset,
 }

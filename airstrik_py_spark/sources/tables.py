@@ -37,9 +37,15 @@ TABLES = (
 )
 
 
-# Fixture columns stored as TIMESTAMP(NANOS): read as long (nanosAsLong) and
-# floor-truncate to micros — bit-identical to DuckDB's TIMESTAMP_NS read.
-_NANOS_TS_COLS = {
+# Fixture timestamp columns, normalized to TIMESTAMP (with-tz, UTC session)
+# whatever physical form the driver generated:
+#   * TIMESTAMP(NANOS)  -> read as long (nanosAsLong) and floor-truncate to
+#     micros — bit-identical to DuckDB's TIMESTAMP_NS read (round-1 fixtures);
+#   * TIMESTAMP(MICROS, isAdjustedToUTC=false) -> Spark infers TIMESTAMP_NTZ;
+#     the wall clock IS the UTC instant (DuckDB reads it naive and epoch_us
+#     treats it as UTC), so a cast under the pinned UTC session timezone is
+#     exact (round-2 fixtures).
+_TS_COLS = {
     "events": ("ts",),
     "orders": ("o_orderdate",),
     "lineitem": ("l_shipdate",),
@@ -49,9 +55,12 @@ _NANOS_TS_COLS = {
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for c in _NANOS_TS_COLS.get(name, ()):
-        if dict(df.dtypes).get(c) == "bigint":
+    dtypes = dict(df.dtypes)
+    for c in _TS_COLS.get(name, ()):
+        if dtypes.get(c) == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+        elif dtypes.get(c) == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from airstrik_py_spark.operators.dedup import shingles
+from airstrik_py_spark.operators.dedup import _shingle_array, _spread, shingles
 
 # RE2-safe AND java.util.regex-safe; keep in sync with _PII_SQL below.
 PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
@@ -64,6 +64,53 @@ def dup_ngram_coverage(docs: DataFrame, n: int = 3) -> DataFrame:
         )
         .withColumn(
             "dup_coverage", F.round(F.col("n_dup") / F.col("n_shingles"), 6)
+        )
+    )
+
+
+def dup_span_tokens(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Span-level duplicated-substring coverage: the number (and fraction)
+    of each document's TOKENS lying inside at least one corpus-duplicated
+    n-gram instance — the interval-union refinement of dup_ngram_coverage
+    (what you'd actually delete in Lee-et-al-style substring dedup).
+
+    Shape: positional shingle instances (posexplode) inner-join the df>=2
+    shingle set, then each surviving instance explodes to its n covered
+    token positions and a per-doc distinct count collapses overlapping
+    spans.  All joins are linear on the shingle key; the position explode
+    is a bounded n-fold fan-out of the duplicated subset only.  Docs
+    shorter than n words have no shingles and are reported with zero
+    coverage."""
+    base = _spread(docs.select("doc_id", "text")).select(
+        "doc_id",
+        F.split("text", " ").alias("words"),
+        _shingle_array(F.col("text"), n).alias("sh"),
+    )
+    totals = base.select("doc_id", F.size("words").alias("n_tokens"))
+    inst = base.select("doc_id", F.posexplode("sh").alias("pos", "shingle"))
+    dup = (
+        inst.select("doc_id", "shingle")
+        .distinct()
+        .groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("shingle")
+    )
+    covered = (
+        inst.join(dup.hint("shuffle_hash"), "shingle")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("tok"),
+        )
+        .groupBy("doc_id")
+        .agg(F.countDistinct("tok").alias("dup_tokens"))
+    )
+    return (
+        totals.join(covered, "doc_id", "left")
+        .withColumn("dup_tokens", F.coalesce(F.col("dup_tokens"), F.lit(0)))
+        .withColumn(
+            "dup_token_frac",
+            F.round(F.col("dup_tokens") / F.col("n_tokens"), 6),
         )
     )
 

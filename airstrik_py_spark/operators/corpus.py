@@ -546,3 +546,48 @@ def shuffle_layout(docs: DataFrame, buckets: int = SHUFFLE_BUCKETS) -> DataFrame
         "bucket",
         F.row_number().over(w).alias("rank_in_bucket"),
     )
+
+
+BPE_TOPK = 20
+
+
+def bpe_pair_topk(docs: DataFrame, k: int = BPE_TOPK) -> DataFrame:
+    """First BPE merge-table step: corpus-wide adjacent character-pair
+    frequencies (weighted by word occurrences), top-k by count with a
+    deterministic (count desc, pair asc) tie-break — the statistic the
+    tokenizer-training loop computes each merge round.
+
+    Shape: word explode -> word-frequency aggregate (vocab-sized, map-side
+    combined) -> per-word char-pair explode weighted by freq -> pair
+    aggregate.  The final rank window runs over the AGGREGATED pair table
+    (bounded by charset^2, a few hundred rows), so the single-partition
+    window is a constant-size epilogue, not a data-sized sort."""
+    vocab = (
+        _spread_docs(docs)
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    pairs = vocab.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("freq").alias("n_occurrences"))
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("pair"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("rank", "pair", "n_occurrences")
+    )
+
+
+def _spread_docs(docs: DataFrame) -> DataFrame:
+    from airstrik_py_spark.operators.dedup import _spread
+
+    return _spread(docs)

@@ -264,6 +264,24 @@ FROM d
 """
 
 
+def q_dup_span_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union duplicated-span token coverage —
+    operators/cleaning.py::dup_span_tokens."""
+    from airstrik_py_spark.operators.cleaning import dup_span_tokens
+
+    pin_session(spark)
+    return dup_span_tokens(load_table(spark, sf_dir, "documents"), 3)
+
+
+def q_bpe_pair_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k adjacent char-pair counts (first BPE merge statistic) —
+    operators/corpus.py::bpe_pair_topk."""
+    from airstrik_py_spark.operators.corpus import bpe_pair_topk
+
+    pin_session(spark)
+    return bpe_pair_topk(load_table(spark, sf_dir, "documents"))
+
+
 def _nib4(expr: str) -> str:
     """First 16 bits of an md5 hex-string SQL expression as an integer
     (DuckDB has no hex->int conv(); positional nibble math like text_q)."""
@@ -324,6 +342,44 @@ FROM sh JOIN dfq USING (s)
 GROUP BY sh.doc_id
 """,
     "text_pii_redact": _pii_oracle(),
+    "dup_span_tokens": """
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+inst AS (
+  SELECT doc_id, i, words[i] || '|' || words[i+1] || '|' || words[i+2] AS s
+  FROM (SELECT doc_id, words, unnest(range(1, len(words) - 1)) AS i
+        FROM base WHERE len(words) >= 3)),
+dup AS (SELECT s FROM (SELECT DISTINCT doc_id, s FROM inst)
+        GROUP BY s HAVING count(*) >= 2),
+cov AS (
+  SELECT doc_id, count(DISTINCT tok) AS dup_tokens
+  FROM (SELECT inst.doc_id, unnest(range(i, i + 3)) AS tok
+        FROM inst JOIN dup USING (s))
+  GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(t.n_tokens AS INTEGER) AS n_tokens,
+       CAST(coalesce(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       round(CAST(coalesce(c.dup_tokens, 0) AS DOUBLE) / t.n_tokens, 6)
+         AS dup_token_frac
+FROM (SELECT doc_id, len(words) AS n_tokens FROM base) t
+LEFT JOIN cov c USING (doc_id)
+""",
+    "bpe_pair_topk": """
+WITH vocab AS (
+  SELECT w, count(*) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE length(w) >= 2
+  GROUP BY w),
+pairs AS (
+  SELECT substr(w, i, 2) AS pair, freq
+  FROM (SELECT w, freq, unnest(range(1, length(w))) AS i FROM vocab)),
+agg AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n_occurrences
+        FROM pairs GROUP BY pair),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, pair) AS INTEGER)
+           AS rank, pair, n_occurrences
+  FROM agg)
+SELECT rank, pair, n_occurrences FROM ranked WHERE rank <= 20
+""",
     "events_sessionize": """
 WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
 g AS (
@@ -519,6 +575,8 @@ QUERIES = {
     "doc_length_percentiles": q_doc_length_percentiles,
     "mixture_weights_temperature": q_mixture_weights_temperature,
     "layout_shuffle_bucketed": q_layout_shuffle_bucketed,
+    "dup_span_tokens": q_dup_span_tokens,
+    "bpe_pair_topk": q_bpe_pair_topk,
     "ann_ivf_label": q_ann_ivf_label,
     "ddl_drop_reset": q_ddl_drop_reset,
 }

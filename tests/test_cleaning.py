@@ -121,3 +121,35 @@ def test_shuffle_layout_is_deterministic_permutation(spark):
     # the order is not the identity order (it is a real shuffle)
     in_order = [r["doc_id"] for r in sorted(a, key=lambda r: (r["bucket"], r["rank_in_bucket"]))]
     assert in_order != list(range(50))
+
+
+def test_dup_span_tokens_interval_union(spark):
+    # doc0/doc1 share "a b c d" -> doc0's shingles (a,b,c) and (b,c,d) are
+    # both duplicated; their union covers tokens 0..3 = 4 tokens of 5.
+    # doc2 has no duplicated shingle; doc3 too short -> 0 coverage.
+    from airstrik_py_spark.operators.cleaning import dup_span_tokens
+
+    out = {
+        r["doc_id"]: r
+        for r in dup_span_tokens(
+            _docs(spark, ["a b c d x", "a b c d", "p q r s", "hi yo"]), 3
+        ).collect()
+    }
+    assert out[0]["n_tokens"] == 5 and out[0]["dup_tokens"] == 4
+    assert out[0]["dup_token_frac"] == 0.8
+    assert out[1]["dup_tokens"] == 4 and out[1]["dup_token_frac"] == 1.0
+    assert out[2]["dup_tokens"] == 0
+    assert out[3]["n_tokens"] == 2 and out[3]["dup_tokens"] == 0
+
+
+def test_bpe_pair_topk_counts_weighted_by_occurrence(spark):
+    from airstrik_py_spark.operators.corpus import bpe_pair_topk
+
+    # "ab" appears in 'ab ab abc': pair 'ab' count = 3; 'bc' = 1; single
+    # chars contribute nothing.
+    out = bpe_pair_topk(_docs(spark, ["ab ab abc x y z"]), k=5).collect()
+    got = {r["pair"]: (r["rank"], r["n_occurrences"]) for r in out}
+    assert got["ab"] == (1, 3)
+    assert got["bc"][1] == 1
+    ranks = [r["rank"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranks == list(range(1, len(out) + 1))

@@ -16,6 +16,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -731,3 +733,64 @@ def ann_ivf_label(emb: DataFrame, n_queries: int, k: int) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("label").alias("cell"), "neighbor_id", "cos", "rank")
     )
+
+
+# power iteration for the top principal component: deterministic uniform
+# init (1/sqrt(dim), exact at dim=64), fixed unroll depth, coordinate sums
+# rounded to 6 dp per round (the same engine-parity rule as the Lloyd mean
+# update) so the DuckDB mirror is bit-identical.
+PCA_ITERS = 3
+
+
+def pca_top_component(
+    emb: DataFrame, iters: int = PCA_ITERS, dim: int = SRP_DIM
+) -> DataFrame:
+    """Top principal component of the embedding cloud by matrix-free power
+    iteration: center X, then repeat w = X^T (X v); v = w/||w||.  Each
+    round is one broadcast of the current d-vector and ONE map-side-combined
+    aggregate over the rows (d rounded coordinate sums) — no d x d
+    covariance materialization, no shuffle of the vector table, so the
+    shape is unchanged at 10^9 rows (cost = iters linear passes).
+
+    Returns (dim_idx, loading, eigval): the unit component in long form
+    plus the Rayleigh-style eigenvalue estimate ||X^T X v|| from the final
+    round.  The sign convention follows the deterministic uniform init."""
+    spark = emb.sparkSession
+    ev = _with_vec(emb).select("vec_id", "vec")
+    mean = ev.agg(
+        *[
+            F.round(F.avg(F.get(F.col("vec"), F.lit(i))), 6).alias(f"_m{i}")
+            for i in range(dim)
+        ]
+    ).select(F.array(*[F.col(f"_m{i}") for i in range(dim)]).alias("mvec"))
+    centered = ev.crossJoin(F.broadcast(mean)).select(
+        "vec_id", F.zip_with("vec", "mvec", lambda a, b: a - b).alias("cvec")
+    )
+    v0 = round(1.0 / math.sqrt(dim), 6)
+    vdf = spark.range(1).select(
+        F.array(*[F.lit(v0) for _ in range(dim)]).alias("pvec"),
+        F.lit(0.0).alias("eigval"),
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    for _ in range(iters):
+        scored = centered.crossJoin(F.broadcast(vdf)).select(
+            dot(F.col("cvec"), F.col("pvec")).alias("s"), "cvec"
+        )
+        w = scored.agg(
+            *[
+                F.round(F.sum(F.col("s") * F.get(F.col("cvec"), F.lit(i))), 6).alias(
+                    f"_w{i}"
+                )
+                for i in range(dim)
+            ]
+        ).select(F.array(*[F.col(f"_w{i}") for i in range(dim)]).alias("wv"))
+        norm = F.sqrt(dot(F.col("wv"), F.col("wv")))
+        vdf = w.select(
+            F.transform("wv", lambda x: F.round(x / norm, 6)).alias("pvec"),
+            F.round(norm, 6).alias("eigval"),
+        ).localCheckpoint()
+    return vdf.select(
+        F.posexplode("pvec").alias("dim_idx", "loading"), "eigval"
+    ).select("dim_idx", "loading", "eigval")

@@ -33,6 +33,7 @@ from airstrik_py_spark.sources.tables import load_table, observations
 from airstrik_py_spark.registry.dedup_q import q_dedup_clusters
 from airstrik_py_spark.registry.similarity_q import (
     q_ann_ivf_kmeans,
+    q_embedding_pca_power,
     q_ann_ivf_label,
     q_dedup_semantic,
     q_embedding_dim_stats,
@@ -577,6 +578,7 @@ QUERIES = {
     "layout_shuffle_bucketed": q_layout_shuffle_bucketed,
     "dup_span_tokens": q_dup_span_tokens,
     "bpe_pair_topk": q_bpe_pair_topk,
+    "embedding_pca_power": q_embedding_pca_power,
     "ann_ivf_label": q_ann_ivf_label,
     "ddl_drop_reset": q_ddl_drop_reset,
 }

@@ -276,6 +276,45 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.semantic_dedup(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component by matrix-free power iteration —
+    operators/similarity.py::pca_top_component (center -> 3 unrolled
+    w = X^T X v rounds, 6-dp coordinate rounding per round)."""
+    pin_session(spark)
+    return SIM.pca_top_component(load_table(spark, sf_dir, "embeddings"))
+
+
+def _pca_ctes(iters: int, dim: int) -> str:
+    """Unrolled power-iteration CTEs mirroring pca_top_component exactly:
+    literal round(sum(s * cvec[i]), 6) coordinate lists (DuckDB 1-based
+    v[i] pairs with Spark's 0-based get(vec, i-1)), norm from the ROUNDED
+    coordinate vector, unit vector re-rounded to 6 dp each round."""
+    import math as _math
+
+    v0 = round(1.0 / _math.sqrt(dim), 6)
+    avgs = ", ".join(f"round(avg(v[{i}]), 6)" for i in range(1, dim + 1))
+    parts = [
+        f"m AS (SELECT [{avgs}] AS mvec FROM e)",
+        f"c AS (SELECT vec_id, list_transform(range(1, {dim + 1}),"
+        " i -> v[i] - mvec[i]) AS cvec FROM e CROSS JOIN m)",
+        f"p0 AS (SELECT [{', '.join([str(v0)] * dim)}] AS pvec)",
+    ]
+    sums = ", ".join(f"round(sum(s * cvec[{i}]), 6)" for i in range(1, dim + 1))
+    for it in range(iters):
+        parts.append(
+            f"s{it} AS (SELECT cvec, list_dot_product(cvec, pvec) AS s"
+            f" FROM c CROSS JOIN p{it})"
+        )
+        parts.append(f"w{it} AS (SELECT [{sums}] AS wv FROM s{it})")
+        parts.append(
+            f"p{it + 1} AS (SELECT list_transform(wv,"
+            " x -> round(x / sqrt(list_dot_product(wv, wv)), 6)) AS pvec,"
+            " round(sqrt(list_dot_product(wv, wv)), 6) AS eigval"
+            f" FROM w{it})"
+        )
+    return ",\n".join(parts)
+
+
 # kNN-graph CTEs shared by knn_graph_bucketed and dedup_semantic — one SQL
 # definition, like the Spark side's knn_graph reuse.
 _KNN_CTES = f"""{_E},
@@ -300,6 +339,12 @@ QUERIES = {
 }
 
 ORACLES = {
+    "embedding_pca_power": f"""
+WITH {_E},
+{_pca_ctes(SIM.PCA_ITERS, SIM.SRP_DIM)}
+SELECT CAST(i - 1 AS INTEGER) AS dim_idx, pvec[i] AS loading, eigval
+FROM p{SIM.PCA_ITERS}, (SELECT unnest(range(1, {SIM.SRP_DIM + 1})) AS i)
+""",
     "ann_bruteforce_cosine": f"""
 WITH {_E}
 SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS} AS cos,

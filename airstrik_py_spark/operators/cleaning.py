@@ -88,9 +88,11 @@ def dup_span_tokens(docs: DataFrame, n: int = 3) -> DataFrame:
     )
     totals = base.select("doc_id", F.size("words").alias("n_tokens"))
     inst = base.select("doc_id", F.posexplode("sh").alias("pos", "shingle"))
+    # df table via shingles(): per-doc uniqueness is array_distinct BEFORE
+    # the explode (map-side), so no (doc_id, shingle) distinct-shuffle of
+    # the full instance stream is ever paid
     dup = (
-        inst.select("doc_id", "shingle")
-        .distinct()
+        shingles(docs.select("doc_id", "text"), n)
         .groupBy("shingle")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") >= 2)

@@ -123,6 +123,30 @@ def stream_dedup_events(obs: DataFrame, cfg: EngineConfig) -> DataFrame:
     )
 
 
+def stream_sessionize_events(events: DataFrame, gap_s: int = 1800) -> DataFrame:
+    """Streaming twin of operators/events.py::sessionize_events: the same
+    gap sessionization as a watermarked F.session_window aggregate, emitted
+    when the watermark passes session end + gap.  The +1 ms epsilon keeps
+    exact-boundary gaps in one session (session_window's end is exclusive,
+    the batch boundary is strict->), matching stream_trips' convention.
+    Output drops the batch per-user session ordinal (a rank over completed
+    sessions is not streaming-expressible); parity is on the exact
+    microsecond bounds — see tests/test_streaming_events.py."""
+    gap = f"{gap_s * 1000 + 1} milliseconds"
+    us = F.unix_micros(F.col("ts"))
+    return (
+        events.withWatermark("ts", f"{gap_s * 2} seconds")
+        .groupBy("user_id", F.session_window("ts", gap))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(us).alias("start_us"),
+            F.max(us).alias("end_us"),
+            (F.max(us) - F.min(us)).alias("duration_us"),
+        )
+        .select("user_id", "n_events", "start_us", "end_us", "duration_us")
+    )
+
+
 def run_to_memory(trips_stream: DataFrame, name: str) -> None:
     """Drive a bounded replay to completion synchronously (availableNow) into
     an in-memory table — the test/replay harness."""

@@ -136,6 +136,46 @@ def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+VOCAB_COVERAGE_K = 20
+
+
+def vocab_oov_coverage(docs: DataFrame, k: int = VOCAB_COVERAGE_K) -> DataFrame:
+    """Tokenizer-coverage statistic: per source, the fraction of token
+    INSTANCES covered by the global top-k vocabulary (by occurrence count,
+    token-text tie-break) and the complementary OOV rate — the number you
+    check before freezing a vocab/tokenizer on a corpus mix.
+
+    Shape: one word-count aggregate (vocab-sized, map-side combined), a
+    TakeOrdered top-k (constant result), then the k-row vocab BROADCASTs
+    back onto the token stream for a per-source conditional sum.  The
+    token stream is never shuffled on the token key for the coverage pass —
+    only on the low-cardinality source key."""
+    tok = _spread(docs.select("source", "text")).select(
+        "source", F.explode(F.split("text", " ")).alias("token")
+    )
+    top = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(k)
+        .select("token", F.lit(1).alias("_v"))
+    )
+    j = tok.join(F.broadcast(top), "token", "left")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("_v"), F.lit(0))).alias("n_covered"),
+        )
+        .withColumn(
+            "coverage", F.round(F.col("n_covered") / F.col("n_tokens"), 6)
+        )
+        .withColumn(
+            "oov_rate", F.round(1.0 - F.col("n_covered") / F.col("n_tokens"), 6)
+        )
+    )
+
+
 def synth_contact_text(docs: DataFrame) -> DataFrame:
     """Deterministic PII-bearing test text: the fixture corpus is a clean
     word soup (no digits / at-signs — verified in TESTDATA), so the redaction

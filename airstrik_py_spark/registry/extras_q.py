@@ -283,6 +283,15 @@ def q_bpe_pair_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_topk(load_table(spark, sf_dir, "documents"))
 
 
+def q_vocab_oov_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source top-k vocab coverage / OOV rate —
+    operators/cleaning.py::vocab_oov_coverage."""
+    from airstrik_py_spark.operators.cleaning import vocab_oov_coverage
+
+    pin_session(spark)
+    return vocab_oov_coverage(load_table(spark, sf_dir, "documents"))
+
+
 def _nib4(expr: str) -> str:
     """First 16 bits of an md5 hex-string SQL expression as an integer
     (DuckDB has no hex->int conv(); positional nibble math like text_q)."""
@@ -363,6 +372,21 @@ SELECT t.doc_id,
          AS dup_token_frac
 FROM (SELECT doc_id, len(words) AS n_tokens FROM base) t
 LEFT JOIN cov c USING (doc_id)
+""",
+    "vocab_oov_coverage": """
+WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token
+             FROM documents),
+top AS (SELECT token FROM (SELECT token, count(*) AS n FROM tok GROUP BY token)
+        QUALIFY row_number() OVER (ORDER BY n DESC, token) <= 20),
+j AS (SELECT tok.source,
+             CASE WHEN top.token IS NOT NULL THEN 1 ELSE 0 END AS v
+      FROM tok LEFT JOIN top ON tok.token = top.token)
+SELECT source,
+       count(*) AS n_tokens,
+       CAST(sum(v) AS BIGINT) AS n_covered,
+       round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS coverage,
+       round(1.0 - CAST(sum(v) AS DOUBLE) / count(*), 6) AS oov_rate
+FROM j GROUP BY source
 """,
     "bpe_pair_topk": """
 WITH vocab AS (
@@ -579,6 +603,7 @@ QUERIES = {
     "dup_span_tokens": q_dup_span_tokens,
     "bpe_pair_topk": q_bpe_pair_topk,
     "embedding_pca_power": q_embedding_pca_power,
+    "vocab_oov_coverage": q_vocab_oov_coverage,
     "ann_ivf_label": q_ann_ivf_label,
     "ddl_drop_reset": q_ddl_drop_reset,
 }

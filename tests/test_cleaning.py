@@ -153,3 +153,19 @@ def test_bpe_pair_topk_counts_weighted_by_occurrence(spark):
     assert got["bc"][1] == 1
     ranks = [r["rank"] for r in sorted(out, key=lambda r: r["rank"])]
     assert ranks == list(range(1, len(out) + 1))
+
+
+def test_vocab_oov_coverage(spark):
+    from airstrik_py_spark.operators.cleaning import vocab_oov_coverage
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a a a b", "s1"),
+            (1, "a b c d", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    # k=2 vocab by count: a(4), b(2) -> s1 fully covered, s2 half
+    out = {r["source"]: r for r in vocab_oov_coverage(docs, k=2).collect()}
+    assert out["s1"]["coverage"] == 1.0 and out["s1"]["oov_rate"] == 0.0
+    assert out["s2"]["n_covered"] == 2 and out["s2"]["coverage"] == 0.5

@@ -22,7 +22,7 @@ LLM-corpus cleaning recipes):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from airstrik_py_spark.operators.dedup import _shingle_array, _spread, shingles

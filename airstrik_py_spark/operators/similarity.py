@@ -754,7 +754,10 @@ def pca_top_component(
 
     Returns (dim_idx, loading, eigval): the unit component in long form
     plus the Rayleigh-style eigenvalue estimate ||X^T X v|| from the final
-    round.  The sign convention follows the deterministic uniform init."""
+    round.  The sign convention follows the deterministic uniform init.
+    (The PLANS.md audit row shows 0 exchanges because the per-round
+    localCheckpoint truncates lineage, like dedup_clusters — the real cost
+    is iters x (one broadcast + one map-side-combined aggregate).)"""
     spark = emb.sparkSession
     ev = _with_vec(emb).select("vec_id", "vec")
     mean = ev.agg(

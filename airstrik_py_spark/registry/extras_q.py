@@ -292,6 +292,94 @@ def q_vocab_oov_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_oov_coverage(load_table(spark, sf_dir, "documents"))
 
 
+def q_quality_lr_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-engine-trained logistic quality classifier —
+    operators/classifier.py::quality_lr_fit_score (3 unrolled GD rounds on
+    the gate labels, then score every doc with the final weights)."""
+    from airstrik_py_spark.operators.classifier import quality_lr_fit_score
+
+    pin_session(spark)
+    return quality_lr_fit_score(load_table(spark, sf_dir, "documents"))
+
+
+def _lr_oracle() -> str:
+    from airstrik_py_spark.operators.classifier import LR_ITERS, N_FEATS
+    from airstrik_py_spark.registry.text_q import (
+        _GATES_CTES,
+        GATE_MAX_AVG_LEN,
+        GATE_MAX_DUP3,
+        GATE_MAX_WORDS,
+        GATE_MIN_AVG_LEN,
+        GATE_MIN_WORDS,
+    )
+
+    def ha(num: str, den: str) -> str:
+        # round-half-away integer division, num >= 0
+        return f"CAST((2 * ({num}) + ({den})) // (2 * ({den})) AS BIGINT)"
+
+    def ha_signed(num: str, den: str) -> str:
+        return (
+            f"CASE WHEN ({num}) >= 0 THEN {ha(num, den)}"
+            f" ELSE -{ha(f'-({num})', den)} END"
+        )
+
+    keep = (
+        f"(m.n_tok >= {GATE_MIN_WORDS} AND m.n_tok <= {GATE_MAX_WORDS}"
+        f" AND m.avg_len >= {GATE_MIN_AVG_LEN} AND m.avg_len <= {GATE_MAX_AVG_LEN}"
+        f" AND m.has_stop AND m.dup3 <= {GATE_MAX_DUP3})"
+    )
+    # integer micro features, mirroring classifier._features exactly
+    a = "(length(g.text) - (len(g.words) - 1))"
+    t = "len(g.grams)"
+    dd = "len(list_distinct(g.grams))"
+    xm = (
+        "[CAST(1000000 AS BIGINT), CAST(len(g.words) * 10000 AS BIGINT), "
+        + ha(f"{a} * 100000", "len(g.words)")
+        + f", CASE WHEN {t} > 0 THEN "
+        + ha(f"({t} - {dd}) * 1000000", t)
+        + " ELSE CAST(0 AS BIGINT) END]"
+    )
+    parts = [
+        f"f AS (SELECT g.doc_id, {xm} AS xm,"
+        f" CASE WHEN {keep} THEN 1.0 ELSE 0.0 END AS y"
+        " FROM g JOIN m USING (doc_id))",
+        "cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f)",
+        f"p0 AS (SELECT [{', '.join(['CAST(0 AS BIGINT)'] * N_FEATS)}] AS wm)",
+    ]
+    fdot = " + ".join(
+        f"(CAST(xm[{i}] AS DOUBLE) / 1e6) * (CAST(wm[{i}] AS DOUBLE) / 1e6)"
+        for i in range(1, N_FEATS + 1)
+    )
+    gsums = ", ".join(
+        f"CAST(round(sum(err * (CAST(xm[{i}] AS DOUBLE) / 1e6)) * 1e6) AS BIGINT)"
+        for i in range(1, N_FEATS + 1)
+    )
+    wup = ", ".join(
+        f"wm[{i}] + {ha_signed(f'g[{i}]', 'n')}" for i in range(1, N_FEATS + 1)
+    )
+    for it in range(LR_ITERS):
+        parts.append(
+            f"s{it} AS (SELECT xm, y - 1.0 / (1.0 + exp(-({fdot}))) AS err"
+            f" FROM f CROSS JOIN p{it})"
+        )
+        parts.append(f"g{it} AS (SELECT [{gsums}] AS g FROM s{it})")
+        parts.append(
+            f"p{it + 1} AS (SELECT [{wup}] AS wm"
+            f" FROM p{it} CROSS JOIN g{it} CROSS JOIN cnt)"
+        )
+    zm = " + ".join(f"xm[{i}] * wm[{i}]" for i in range(1, N_FEATS + 1))
+    return (
+        f"WITH {_GATES_CTES},\n" + ",\n".join(parts) + f"""
+SELECT doc_id, CAST(y AS INTEGER) AS label,
+       CAST({ha_signed("zm", "1000000")} AS DOUBLE) / 1e6 AS logit,
+       round(1.0 / (1.0 + exp(-(CAST(zm AS DOUBLE) / 1e12))), 6) AS score,
+       zm > 0 AS predicted
+FROM (SELECT doc_id, y, ({zm}) AS zm
+      FROM f CROSS JOIN p{LR_ITERS})
+"""
+    )
+
+
 def _nib4(expr: str) -> str:
     """First 16 bits of an md5 hex-string SQL expression as an integer
     (DuckDB has no hex->int conv(); positional nibble math like text_q)."""
@@ -373,6 +461,7 @@ SELECT t.doc_id,
 FROM (SELECT doc_id, len(words) AS n_tokens FROM base) t
 LEFT JOIN cov c USING (doc_id)
 """,
+    "quality_lr_score": _lr_oracle(),
     "vocab_oov_coverage": """
 WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token
              FROM documents),
@@ -604,6 +693,7 @@ QUERIES = {
     "bpe_pair_topk": q_bpe_pair_topk,
     "embedding_pca_power": q_embedding_pca_power,
     "vocab_oov_coverage": q_vocab_oov_coverage,
+    "quality_lr_score": q_quality_lr_score,
     "ann_ivf_label": q_ann_ivf_label,
     "ddl_drop_reset": q_ddl_drop_reset,
 }

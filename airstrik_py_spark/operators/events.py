@@ -219,3 +219,41 @@ def props_extract(events: DataFrame) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+MAD_K = 3.0
+
+
+def value_anomalies_mad(events: DataFrame, k: float = MAD_K) -> DataFrame:
+    """Robust per-user outlier detection on the `value` measure: flag events
+    whose absolute deviation from the user's median exceeds k x MAD (median
+    absolute deviation) — the classic robust z-score, immune to the
+    outliers it is hunting (unlike mean/stddev).
+
+    Shape: one user-keyed exact-percentile aggregate for the median, a
+    second for the MAD (both map-side partial where the engine allows,
+    exact `percentile` by contract — approx_percentile is the documented
+    100 TB swap), then the per-user stats join back on user_id (linear
+    equi-join; broadcastable when the user dimension fits).  Returns only
+    the anomalous rows."""
+    v = events.select("event_id", "user_id", "value")
+    med = v.groupBy("user_id").agg(
+        F.percentile(F.col("value"), F.lit(0.5)).alias("med")
+    )
+    dev = v.join(med, "user_id").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("user_id").agg(
+        F.percentile(F.col("adev"), F.lit(0.5)).alias("mad")
+    )
+    flagged = dev.join(mad, "user_id").filter(
+        (F.col("mad") > 0) & (F.col("adev") > F.lit(k) * F.col("mad"))
+    )
+    return flagged.select(
+        "event_id",
+        "user_id",
+        F.round("value", 6).alias("value"),
+        F.round("med", 6).alias("med"),
+        F.round("mad", 6).alias("mad"),
+        F.round(F.col("adev") / F.col("mad"), 6).alias("robust_z"),
+    )

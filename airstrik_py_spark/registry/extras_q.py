@@ -380,6 +380,15 @@ FROM (SELECT doc_id, y, ({zm}) AS zm
     )
 
 
+def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-user MAD outliers on event values —
+    operators/events.py::value_anomalies_mad."""
+    from airstrik_py_spark.operators.events import value_anomalies_mad
+
+    pin_session(spark)
+    return value_anomalies_mad(load_table(spark, sf_dir, "events"))
+
+
 def _nib4(expr: str) -> str:
     """First 16 bits of an md5 hex-string SQL expression as an integer
     (DuckDB has no hex->int conv(); positional nibble math like text_q)."""
@@ -462,6 +471,21 @@ FROM (SELECT doc_id, len(words) AS n_tokens FROM base) t
 LEFT JOIN cov c USING (doc_id)
 """,
     "quality_lr_score": _lr_oracle(),
+    "events_anomaly_mad": """
+WITH v AS (SELECT event_id, user_id, value FROM events),
+med AS (SELECT user_id, quantile_cont(value, 0.5) AS med FROM v GROUP BY user_id),
+dev AS (SELECT v.event_id, v.user_id, v.value, med.med,
+               abs(v.value - med.med) AS adev
+        FROM v JOIN med USING (user_id)),
+mad AS (SELECT user_id, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY user_id)
+SELECT d.event_id, d.user_id,
+       round(d.value, 6) AS value,
+       round(d.med, 6) AS med,
+       round(m.mad, 6) AS mad,
+       round(d.adev / m.mad, 6) AS robust_z
+FROM dev d JOIN mad m USING (user_id)
+WHERE m.mad > 0 AND d.adev > 3.0 * m.mad
+""",
     "vocab_oov_coverage": """
 WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token
              FROM documents),
@@ -694,6 +718,7 @@ QUERIES = {
     "embedding_pca_power": q_embedding_pca_power,
     "vocab_oov_coverage": q_vocab_oov_coverage,
     "quality_lr_score": q_quality_lr_score,
+    "events_anomaly_mad": q_events_anomaly_mad,
     "ann_ivf_label": q_ann_ivf_label,
     "ddl_drop_reset": q_ddl_drop_reset,
 }

@@ -109,3 +109,26 @@ def test_range_join_window_semantics(spark):
     plan = preceding_window_counts(df)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_mad_anomalies_flags_only_outliers(spark):
+    from airstrik_py_spark.operators.events import value_anomalies_mad
+
+    # user 1: values clustered at ~10 with one wild point; user 2: constant
+    # values (MAD = 0 -> never flagged, by guard)
+    rows = [(i, 1, 10.0 + (i % 3) * 0.5) for i in range(8)] + [
+        (8, 1, 500.0),
+        (9, 2, 7.0),
+        (10, 2, 7.0),
+        (11, 2, 7.0),
+    ]
+    ev = spark.createDataFrame(
+        [(eid, datetime(2024, 1, 1, 12, 0, eid).replace(tzinfo=None), uid, "view", val, None)
+         for eid, uid, val in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = value_anomalies_mad(ev)
+    got = out.collect()
+    assert [r["event_id"] for r in got] == [8]
+    assert got[0]["robust_z"] > 3.0

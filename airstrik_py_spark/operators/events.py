@@ -257,3 +257,45 @@ def value_anomalies_mad(events: DataFrame, k: float = MAD_K) -> DataFrame:
         F.round("mad", 6).alias("mad"),
         F.round(F.col("adev") / F.col("mad"), 6).alias("robust_z"),
     )
+
+
+WAU_DAYS = 7
+
+
+def rolling_active_users(events: DataFrame, window_days: int = WAU_DAYS) -> DataFrame:
+    """DAU + exact rolling W-day active users (WAU) + stickiness per day.
+
+    The sliding DISTINCT window is done the equi-join way: each (user, day)
+    activity row fans out to the `window_days` report days it contributes
+    to (explode of a date sequence — bounded fan-out), then one
+    countDistinct per report day.  No nested-loop range join, no
+    day-by-day self-join; report days with no anchor DAU (pure tail of a
+    window) are inner-joined away.  At 10^12 events the exact distinct is
+    the documented local form; the scale swap is a mergeable HLL sketch
+    per (day) bucket (approx_count_distinct), same fan-out shape."""
+    act = events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    dau = act.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    fan = act.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"), F.date_add(F.col("day"), window_days - 1)
+            )
+        ).alias("report_day"),
+    )
+    wau = fan.groupBy("report_day").agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    return (
+        dau.join(wau, dau.day == wau.report_day)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )

@@ -389,6 +389,15 @@ def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_anomalies_mad(load_table(spark, sf_dir, "events"))
 
 
+def q_events_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / exact rolling-7-day WAU / stickiness —
+    operators/events.py::rolling_active_users."""
+    from airstrik_py_spark.operators.events import rolling_active_users
+
+    pin_session(spark)
+    return rolling_active_users(load_table(spark, sf_dir, "events"))
+
+
 def _nib4(expr: str) -> str:
     """First 16 bits of an md5 hex-string SQL expression as an integer
     (DuckDB has no hex->int conv(); positional nibble math like text_q)."""
@@ -471,6 +480,19 @@ FROM (SELECT doc_id, len(words) AS n_tokens FROM base) t
 LEFT JOIN cov c USING (doc_id)
 """,
     "quality_lr_score": _lr_oracle(),
+    "events_rolling_dau": """
+WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM act GROUP BY day),
+fan AS (SELECT user_id,
+               unnest(generate_series(day, day + 6, INTERVAL 1 DAY))::DATE
+                 AS report_day
+        FROM act),
+wau AS (SELECT report_day, count(DISTINCT user_id) AS wau
+        FROM fan GROUP BY report_day)
+SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+       round(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+FROM dau JOIN wau ON dau.day = wau.report_day
+""",
     "events_anomaly_mad": """
 WITH v AS (SELECT event_id, user_id, value FROM events),
 med AS (SELECT user_id, quantile_cont(value, 0.5) AS med FROM v GROUP BY user_id),
@@ -719,6 +741,7 @@ QUERIES = {
     "vocab_oov_coverage": q_vocab_oov_coverage,
     "quality_lr_score": q_quality_lr_score,
     "events_anomaly_mad": q_events_anomaly_mad,
+    "events_rolling_dau": q_events_rolling_dau,
     "ann_ivf_label": q_ann_ivf_label,
     "ddl_drop_reset": q_ddl_drop_reset,
 }

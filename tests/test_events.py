@@ -132,3 +132,23 @@ def test_mad_anomalies_flags_only_outliers(spark):
     got = out.collect()
     assert [r["event_id"] for r in got] == [8]
     assert got[0]["robust_z"] > 3.0
+
+
+def test_rolling_wau_counts_window_distinct(spark):
+    from airstrik_py_spark.operators.events import rolling_active_users
+
+    # day 1: users {1,2}; day 2: {2}; day 9: {3} (outside day-1..2 window)
+    rows = [(0, 1, 1), (1, 1, 2), (2, 2, 2), (3, 9, 3)]
+    ev = spark.createDataFrame(
+        [(eid, datetime(2024, 1, d, 12, 0, 0), uid, "view", 1.0, None)
+         for eid, d, uid in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r["day"]: r for r in rolling_active_users(ev).collect()}
+    assert out["2024-01-01"]["dau"] == 2 and out["2024-01-01"]["wau"] == 2
+    # day 2's 7-day window [Jan 2 back to Dec 27] sees users 1 and 2
+    assert out["2024-01-02"]["dau"] == 1 and out["2024-01-02"]["wau"] == 2
+    assert out["2024-01-02"]["stickiness"] == 0.5
+    # day 9 window reaches back to day 3 only -> just user 3
+    assert out["2024-01-09"]["wau"] == 1

@@ -299,3 +299,37 @@ def rolling_active_users(events: DataFrame, window_days: int = WAU_DAYS) -> Data
             ),
         )
     )
+
+
+PATH_TOPK = 15
+
+
+def path_trigrams_topk(events: DataFrame, k: int = PATH_TOPK) -> DataFrame:
+    """User-journey mining: the top-k most common consecutive 3-event-type
+    sequences across all users (lag-window trigrams over each user's
+    time-ordered stream), with deterministic (count desc, path asc)
+    ranking.
+
+    Shape: one hash exchange on user_id for the two lag windows, a
+    map-side-combined count on the trigram string (key space = types^3,
+    tiny), and a rank window over that constant-size aggregate."""
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    t = (
+        events.select("event_id", "user_id", "event_type", us.alias("us"))
+        .withColumn("p1", F.lag("event_type", 2).over(w))
+        .withColumn("p2", F.lag("event_type", 1).over(w))
+        .filter(F.col("p1").isNotNull())
+        .select(
+            F.concat_ws(">", "p1", "p2", "event_type").alias("path")
+        )
+    )
+    agg = t.groupBy("path").agg(F.count("*").alias("n_paths"))
+    rank_w = Window.orderBy(F.desc("n_paths"), F.asc("path"))
+    return (
+        agg.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= k)
+        .select("rank", "path", "n_paths")
+    )

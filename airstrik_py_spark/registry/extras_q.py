@@ -398,6 +398,15 @@ def q_events_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_active_users(load_table(spark, sf_dir, "events"))
 
 
+def q_events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k consecutive 3-event-type user journeys —
+    operators/events.py::path_trigrams_topk."""
+    from airstrik_py_spark.operators.events import path_trigrams_topk
+
+    pin_session(spark)
+    return path_trigrams_topk(load_table(spark, sf_dir, "events"))
+
+
 def _nib4(expr: str) -> str:
     """First 16 bits of an md5 hex-string SQL expression as an integer
     (DuckDB has no hex->int conv(); positional nibble math like text_q)."""
@@ -480,6 +489,20 @@ FROM (SELECT doc_id, len(words) AS n_tokens FROM base) t
 LEFT JOIN cov c USING (doc_id)
 """,
     "quality_lr_score": _lr_oracle(),
+    "events_path_trigrams": """
+WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+           FROM events),
+t AS (SELECT lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY us, event_id) AS p1,
+             lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS p2,
+             event_type
+      FROM e),
+p AS (SELECT p1 || '>' || p2 || '>' || event_type AS path
+      FROM t WHERE p1 IS NOT NULL),
+agg AS (SELECT path, count(*) AS n_paths FROM p GROUP BY path),
+ranked AS (SELECT CAST(row_number() OVER (ORDER BY n_paths DESC, path) AS INTEGER)
+             AS rank, path, n_paths FROM agg)
+SELECT rank, path, n_paths FROM ranked WHERE rank <= 15
+""",
     "events_rolling_dau": """
 WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
 dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM act GROUP BY day),
@@ -742,6 +765,7 @@ QUERIES = {
     "quality_lr_score": q_quality_lr_score,
     "events_anomaly_mad": q_events_anomaly_mad,
     "events_rolling_dau": q_events_rolling_dau,
+    "events_path_trigrams": q_events_path_trigrams,
     "ann_ivf_label": q_ann_ivf_label,
     "ddl_drop_reset": q_ddl_drop_reset,
 }

@@ -152,3 +152,26 @@ def test_rolling_wau_counts_window_distinct(spark):
     assert out["2024-01-02"]["stickiness"] == 0.5
     # day 9 window reaches back to day 3 only -> just user 3
     assert out["2024-01-09"]["wau"] == 1
+
+
+def test_path_trigrams_ordering_and_counts(spark):
+    from airstrik_py_spark.operators.events import path_trigrams_topk
+
+    # user 1: v,c,p,v -> trigrams v>c>p, c>p>v ; user 2: v,c,p -> v>c>p
+    seq = {1: ["view", "click", "purchase", "view"], 2: ["view", "click", "purchase"]}
+    rows = []
+    eid = 0
+    for uid, types in seq.items():
+        for j, et in enumerate(types):
+            rows.append((eid, datetime(2024, 1, 1, 12, 0, j), uid, et, 1.0, None))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = path_trigrams_topk(ev, k=5).collect()
+    got = {r["path"]: (r["rank"], r["n_paths"]) for r in out}
+    assert got["view>click>purchase"] == (1, 2)
+    assert got["click>purchase>view"][1] == 1
+    assert len(out) == 2

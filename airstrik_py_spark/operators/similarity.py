@@ -797,3 +797,57 @@ def pca_top_component(
     return vdf.select(
         F.posexplode("pvec").alias("dim_idx", "loading"), "eigval"
     ).select("dim_idx", "loading", "eigval")
+
+
+NORM_OUTLIER_K = 3.0
+
+
+def embedding_norm_outliers(emb: DataFrame, k: float = NORM_OUTLIER_K) -> DataFrame:
+    """Embedding QA: flag vectors whose squared L2 norm deviates more than
+    k sigma from the corpus mean — the cheap sanity pass that catches
+    un-normalized batches, zero vectors, and scale drift before index
+    builds.
+
+    Exactness contract (house micro style, see embedding_dim_stats): each
+    coordinate quantizes to integer micros, so the per-vector squared norm
+    is an EXACT BIGINT fold (<= 64 * (4e6)^2 ~ 1e15, no overflow); the
+    corpus mean/std then derive in doubles from those exact ints with the
+    same explicit avg-of-squares formula on both engines, rounded to 6 dp
+    BEFORE the threshold comparison so the filter is deterministic.
+
+    Scale: one map pass for norms + one global 1-row aggregate (map-side
+    combined) broadcast back — no shuffle of the vector table."""
+    vq = lambda vec: F.transform(  # noqa: E731
+        vec, lambda x: F.round(x * F.lit(1e6), 0).cast("long")
+    )
+    n2m = F.aggregate(
+        F.transform(vq(F.col("vec")), lambda q: q * q),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    per = _with_vec(emb).select(
+        "vec_id", (n2m.cast("double") / F.lit(1e12)).alias("norm2")
+    )
+    stats = per.agg(
+        F.round(F.avg("norm2"), 6).alias("mean_r"),
+        F.round(
+            F.sqrt(
+                F.avg(F.col("norm2") * F.col("norm2"))
+                - F.avg("norm2") * F.avg("norm2")
+            ),
+            6,
+        ).alias("std_r"),
+    )
+    j = per.crossJoin(F.broadcast(stats))
+    return j.filter(
+        (F.col("std_r") > 0)
+        & (F.abs(F.col("norm2") - F.col("mean_r")) > F.lit(k) * F.col("std_r"))
+    ).select(
+        "vec_id",
+        F.round("norm2", 6).alias("norm2"),
+        "mean_r",
+        "std_r",
+        F.round(
+            F.abs(F.col("norm2") - F.col("mean_r")) / F.col("std_r"), 4
+        ).alias("z"),
+    )

@@ -407,6 +407,15 @@ def q_events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return path_trigrams_topk(load_table(spark, sf_dir, "events"))
 
 
+def q_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-norm QA outliers —
+    operators/similarity.py::embedding_norm_outliers."""
+    from airstrik_py_spark.operators.similarity import embedding_norm_outliers
+
+    pin_session(spark)
+    return embedding_norm_outliers(load_table(spark, sf_dir, "embeddings"))
+
+
 def _nib4(expr: str) -> str:
     """First 16 bits of an md5 hex-string SQL expression as an integer
     (DuckDB has no hex->int conv(); positional nibble math like text_q)."""
@@ -489,6 +498,25 @@ FROM (SELECT doc_id, len(words) AS n_tokens FROM base) t
 LEFT JOIN cov c USING (doc_id)
 """,
     "quality_lr_score": _lr_oracle(),
+    "embedding_norm_outliers": """
+WITH e AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+per AS (SELECT vec_id,
+               CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(v, x -> CAST(round(x * 1e6) AS BIGINT)
+                                         * CAST(round(x * 1e6) AS BIGINT))),
+                    (a, b) -> a + b) AS DOUBLE) / 1e12 AS norm2
+        FROM e),
+stats AS (SELECT round(avg(norm2), 6) AS mean_r,
+                 round(sqrt(avg(norm2 * norm2) - avg(norm2) * avg(norm2)), 6)
+                   AS std_r
+          FROM per)
+SELECT vec_id, round(norm2, 6) AS norm2, mean_r, std_r,
+       round(abs(norm2 - mean_r) / std_r, 4) AS z
+FROM per CROSS JOIN stats
+WHERE std_r > 0 AND abs(norm2 - mean_r) > 3.0 * std_r
+""",
     "events_path_trigrams": """
 WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
            FROM events),
@@ -766,6 +794,7 @@ QUERIES = {
     "events_anomaly_mad": q_events_anomaly_mad,
     "events_rolling_dau": q_events_rolling_dau,
     "events_path_trigrams": q_events_path_trigrams,
+    "embedding_norm_outliers": q_embedding_norm_outliers,
     "ann_ivf_label": q_ann_ivf_label,
     "ddl_drop_reset": q_ddl_drop_reset,
 }

@@ -254,3 +254,18 @@ def test_ann_ivf_pq_subset_of_probed_cells(spark):
     assert by_q[1] <= {3, 5, 7}
     for r in out:
         assert r["est_micro"] >= 0 and 1 <= r["rank"] <= 3
+
+
+def test_embedding_norm_outliers_flags_scaled_vector(spark):
+    from airstrik_py_spark.operators.similarity import embedding_norm_outliers
+
+    # 20 unit-ish vectors + one wildly scaled one
+    rows = [(i, [0.5, 0.5, 0.5, 0.5], i % 3) for i in range(20)]
+    rows.append((20, [9.0, 9.0, 9.0, 9.0], 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = embedding_norm_outliers(emb)
+    got = out.collect()
+    assert [r["vec_id"] for r in got] == [20]
+    assert got[0]["z"] > 3.0

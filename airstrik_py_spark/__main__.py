@@ -22,6 +22,12 @@ def _cfg(args):
     return load_config(args.config) if args.config else REFERENCE
 
 
+def _landing(args, cfg):
+    """--landing-dir wins; otherwise config.yaml's dump1090_dir
+    (config.yaml:11 / airstrik.py:90) — drop-in config fidelity."""
+    return args.landing_dir or cfg.dump1090_dir
+
+
 def _batch_obs(spark, landing_dir):
     from airstrik_py_spark.sources.snapshot import read_snapshot_batch
 
@@ -64,7 +70,7 @@ def cmd_run(args) -> None:
         stream_trips,
     )
 
-    stream = read_snapshot_stream(spark, args.landing_dir)
+    stream = read_snapshot_stream(spark, _landing(args, cfg))
 
     def print_sink(pay_df, epoch_id):
         # reference: empty kafka address -> print (airstrik.py:345-368)
@@ -87,7 +93,7 @@ def cmd_run(args) -> None:
         stream.writeStream.foreachBatch(alarm_foreach_batch(cfg, alarm_sink)), trig
     ).start()
     trips_q = _with_trigger(
-        stream_trips(read_snapshot_stream(spark, args.landing_dir), cfg)
+        stream_trips(read_snapshot_stream(spark, _landing(args, cfg)), cfg)
         .writeStream.foreachBatch(foreach_batch_idempotent_parquet(store)),
         trig,
     ).start()
@@ -101,8 +107,8 @@ def cmd_repl(args) -> None:
     spark = get_spark("airstrik-repl")
     from airstrik_py_spark.repl import Repl
 
-    obs = _batch_obs(spark, args.landing_dir)
-    repl = Repl(spark, obs, _trips(spark, cfg, args.landing_dir))
+    obs = _batch_obs(spark, _landing(args, cfg))
+    repl = Repl(spark, obs, _trips(spark, cfg, _landing(args, cfg)))
     if args.command:
         try:
             for df in repl.execute(args.command):
@@ -134,7 +140,7 @@ def cmd_csvdump(args) -> None:
     from airstrik_py_spark.operators import stats as ST
     from airstrik_py_spark.sinks import write_csv
 
-    trips = _trips(spark, cfg, args.landing_dir)
+    trips = _trips(spark, cfg, _landing(args, cfg))
     if args.mode == "trip":
         # csvdump.py:88-90 writes human-readable datetimes, not epochs
         def fmt(col):
@@ -164,7 +170,7 @@ def main() -> None:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     run = sub.add_parser("run", help="streaming engine (airstrik.py equivalent)")
-    run.add_argument("--landing-dir", required=True)
+    run.add_argument("--landing-dir", help="overrides config dump1090_dir")
     run.add_argument("--out", required=True)
     run.add_argument("--config")
     run.add_argument("--once", action="store_true", help="drain and exit (replay)")
@@ -176,13 +182,13 @@ def main() -> None:
     run.set_defaults(fn=cmd_run)
 
     repl = sub.add_parser("repl", help="interactive queries (dbread.py equivalent)")
-    repl.add_argument("--landing-dir", required=True)
+    repl.add_argument("--landing-dir", help="overrides config dump1090_dir")
     repl.add_argument("--config")
     repl.add_argument("--command", help="run one command and exit")
     repl.set_defaults(fn=cmd_repl)
 
     dump = sub.add_parser("csvdump", help="CSV export (csvdump.py equivalent)")
-    dump.add_argument("--landing-dir", required=True)
+    dump.add_argument("--landing-dir", help="overrides config dump1090_dir")
     dump.add_argument("--out", required=True)
     dump.add_argument("--mode", choices=("trip", "stats"), default="trip")
     # drop-in alias for the reference's flag shape (csvdump.py:17 -s/--stats)

@@ -59,6 +59,9 @@ class EngineConfig:
     mongo_address: str = "127.0.0.1:27017"
     # config.yaml:16 / airstrik.py:345,654-656 — empty = print fallback
     kafka_address: str = ""
+    # config.yaml:11 / airstrik.py:90 — snapshot landing directory; the CLI's
+    # --landing-dir overrides it (drop-in config.yaml fidelity)
+    dump1090_dir: str = "./dump1090"
     # config.yaml:17-19 / airstrik.py:415-427
     filters: tuple[Geofence, ...] = (
         Geofence("close", 10.0, 1000.0),
@@ -112,6 +115,7 @@ def load_config(path: str) -> EngineConfig:
         json_speed_s=float(raw.get("json_speed", defaults.json_speed_s)),
         mongo_address=str(raw.get("mongo_address", defaults.mongo_address)),
         kafka_address=str(raw.get("kafka_address", defaults.kafka_address)),
+        dump1090_dir=str(raw.get("dump1090_dir", defaults.dump1090_dir)),
         filters=filters or defaults.filters,
     )
 

@@ -92,3 +92,19 @@ def test_csvdump_subcommand(tmp_path):
     assert files, os.listdir(out)
     header = open(out / files[0]).readline().strip()
     assert header == "day,unique_planes,total_trips,unique_alarm_planes,total_alarm_trips"
+
+
+def test_dump1090_dir_fallback(tmp_path):
+    import argparse
+
+    from airstrik_py_spark.__main__ import _landing
+    from airstrik_py_spark.config import load_config
+
+    cfg_file = tmp_path / "c.yaml"
+    cfg_file.write_text("dump1090_dir: '/data/landing'\n")
+    cfg = load_config(str(cfg_file))
+    assert cfg.dump1090_dir == "/data/landing"
+    ns = argparse.Namespace(landing_dir=None)
+    assert _landing(ns, cfg) == "/data/landing"
+    ns2 = argparse.Namespace(landing_dir="/override")
+    assert _landing(ns2, cfg) == "/override"

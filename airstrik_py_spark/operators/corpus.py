@@ -591,3 +591,27 @@ def _spread_docs(docs: DataFrame) -> DataFrame:
     from airstrik_py_spark.operators.dedup import _spread
 
     return _spread(docs)
+
+
+STRAT_QUOTA = 10
+STRAT_SALT = "strat|"
+
+
+def stratified_sample_exact(docs: DataFrame, quota: int = STRAT_QUOTA) -> DataFrame:
+    """Exact-size uniform sample per source: rank documents inside each
+    stratum by a content-free salted hash (idempotent across re-runs and
+    backfills) and keep the first `quota` — the EXACT-count counterpart of
+    domain_balance's keep-rate thresholding (which is only exact in
+    expectation).
+
+    Shape: one hash exchange on source + a per-stratum rank window.  For
+    skewed strata at corpus scale, swap the window for the two-phase
+    salted top-k in quality_topk_per_source (same contract, same output)."""
+    h = F.md5(F.concat(F.lit(STRAT_SALT), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(h, F.col("doc_id"))
+    return (
+        docs.select("doc_id", "source", h.alias("h"))
+        .withColumn("rank_in_source", F.row_number().over(w))
+        .filter(F.col("rank_in_source") <= quota)
+        .select("doc_id", "source", "rank_in_source")
+    )

@@ -416,6 +416,15 @@ def q_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_norm_outliers(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source uniform quotas via salted-hash rank —
+    operators/corpus.py::stratified_sample_exact."""
+    from airstrik_py_spark.operators.corpus import stratified_sample_exact
+
+    pin_session(spark)
+    return stratified_sample_exact(load_table(spark, sf_dir, "documents"))
+
+
 def _nib4(expr: str) -> str:
     """First 16 bits of an md5 hex-string SQL expression as an integer
     (DuckDB has no hex->int conv(); positional nibble math like text_q)."""
@@ -498,6 +507,16 @@ FROM (SELECT doc_id, len(words) AS n_tokens FROM base) t
 LEFT JOIN cov c USING (doc_id)
 """,
     "quality_lr_score": _lr_oracle(),
+    "sample_stratified_exact": """
+WITH h AS (SELECT doc_id, source,
+                  md5('strat|' || CAST(doc_id AS VARCHAR)) AS h
+           FROM documents),
+r AS (SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+                  AS INTEGER) AS rank_in_source
+      FROM h)
+SELECT doc_id, source, rank_in_source FROM r WHERE rank_in_source <= 10
+""",
     "embedding_norm_outliers": """
 WITH e AS (SELECT vec_id,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -795,6 +814,7 @@ QUERIES = {
     "events_rolling_dau": q_events_rolling_dau,
     "events_path_trigrams": q_events_path_trigrams,
     "embedding_norm_outliers": q_embedding_norm_outliers,
+    "sample_stratified_exact": q_sample_stratified_exact,
     "ann_ivf_label": q_ann_ivf_label,
     "ddl_drop_reset": q_ddl_drop_reset,
 }

@@ -346,3 +346,21 @@ def test_manifest_counts_consistent(spark):
     for r in rows:
         assert 0 <= r["n_kept"] <= r["n_quality"] <= r["n_docs"]
         assert (r["tokens_kept"] > 0) == (r["n_kept"] > 0)
+
+
+def test_stratified_sample_exact_quota_and_idempotence(spark):
+    from airstrik_py_spark.operators.corpus import stratified_sample_exact
+
+    docs = spark.createDataFrame(
+        [(i, f"t {i}", f"s{i % 3}") for i in range(60)],
+        "doc_id long, text string, source string",
+    )
+    a = stratified_sample_exact(docs, quota=5).collect()
+    b = stratified_sample_exact(docs, quota=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    per = {}
+    for r in a:
+        per.setdefault(r["source"], []).append(r["rank_in_source"])
+    assert set(per) == {"s0", "s1", "s2"}
+    for ranks in per.values():
+        assert sorted(ranks) == [1, 2, 3, 4, 5]

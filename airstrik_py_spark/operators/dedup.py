@@ -295,3 +295,44 @@ def ngram_jaccard_pairs(
     return jac.filter(F.col("jaccard") >= F.lit(threshold)).select(
         "doc_a", "doc_b", "n_inter", "jaccard"
     )
+
+
+INCR_SPLIT = 400  # fixture boundary: doc_id < INCR_SPLIT = the existing corpus
+
+
+def dedup_incremental(
+    docs: DataFrame, split_id: int = INCR_SPLIT
+) -> DataFrame:
+    """Daily-ingest dedup: for each NEW document (doc_id >= split_id),
+    report whether its content digest already exists in the accepted
+    corpus (doc_id < split_id) and within the new batch itself (keep only
+    the first of an intra-batch group).  `accept = not seen_before and
+    first_in_batch` — the decision a rolling ingestion pipeline persists.
+
+    Shape: one digest equi-join of the (small) new batch against the
+    corpus digest set (left side prunable by partition/date in a real
+    layout; the broadcast naturally lands on the batch side) plus one
+    batch-local first-wins window.  Never a global re-dedup of the
+    accepted corpus."""
+    digest = F.md5("text")
+    old = docs.filter(F.col("doc_id") < split_id).select(
+        digest.alias("digest")
+    ).distinct().withColumn("_seen", F.lit(1))
+    from pyspark.sql import Window
+
+    new = docs.filter(F.col("doc_id") >= split_id).select(
+        "doc_id", digest.alias("digest")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("digest").orderBy("doc_id")
+    )
+    j = new.withColumn("first_in_batch", rn == 1).join(
+        old.hint("shuffle_hash"), "digest", "left"
+    )
+    return j.select(
+        "doc_id",
+        "digest",
+        F.col("_seen").isNotNull().alias("seen_before"),
+        "first_in_batch",
+        (F.col("_seen").isNull() & F.col("first_in_batch")).alias("accept"),
+    )

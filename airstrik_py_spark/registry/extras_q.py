@@ -425,6 +425,15 @@ def q_sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample_exact(load_table(spark, sf_dir, "documents"))
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-batch vs accepted-corpus digest dedup —
+    operators/dedup.py::dedup_incremental."""
+    from airstrik_py_spark.operators.dedup import dedup_incremental
+
+    pin_session(spark)
+    return dedup_incremental(load_table(spark, sf_dir, "documents"))
+
+
 def _nib4(expr: str) -> str:
     """First 16 bits of an md5 hex-string SQL expression as an integer
     (DuckDB has no hex->int conv(); positional nibble math like text_q)."""
@@ -507,6 +516,21 @@ FROM (SELECT doc_id, len(words) AS n_tokens FROM base) t
 LEFT JOIN cov c USING (doc_id)
 """,
     "quality_lr_score": _lr_oracle(),
+    "dedup_incremental": """
+WITH old AS (SELECT DISTINCT md5(text) AS digest FROM documents
+             WHERE doc_id < 400),
+new AS (SELECT doc_id, md5(text) AS digest FROM documents
+        WHERE doc_id >= 400),
+rn AS (SELECT doc_id, digest,
+              row_number() OVER (PARTITION BY digest ORDER BY doc_id) = 1
+                AS first_in_batch
+       FROM new)
+SELECT rn.doc_id, rn.digest,
+       old.digest IS NOT NULL AS seen_before,
+       rn.first_in_batch,
+       (old.digest IS NULL AND rn.first_in_batch) AS accept
+FROM rn LEFT JOIN old ON rn.digest = old.digest
+""",
     "sample_stratified_exact": """
 WITH h AS (SELECT doc_id, source,
                   md5('strat|' || CAST(doc_id AS VARCHAR)) AS h
@@ -815,6 +839,7 @@ QUERIES = {
     "events_path_trigrams": q_events_path_trigrams,
     "embedding_norm_outliers": q_embedding_norm_outliers,
     "sample_stratified_exact": q_sample_stratified_exact,
+    "dedup_incremental": q_dedup_incremental,
     "ann_ivf_label": q_ann_ivf_label,
     "ddl_drop_reset": q_ddl_drop_reset,
 }

@@ -269,3 +269,27 @@ def test_embedding_norm_outliers_flags_scaled_vector(spark):
     got = out.collect()
     assert [r["vec_id"] for r in got] == [20]
     assert got[0]["z"] > 3.0
+
+
+def test_dedup_incremental_decisions(spark):
+    from airstrik_py_spark.operators.dedup import dedup_incremental
+
+    docs = spark.createDataFrame(
+        [
+            (0, "old text", "s"),
+            (1, "other old", "s"),
+            # new batch: 10 collides with corpus, 11/12 intra-batch dupe,
+            # 13 genuinely new
+            (10, "old text", "s"),
+            (11, "fresh stuff", "s"),
+            (12, "fresh stuff", "s"),
+            (13, "brand new", "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["doc_id"]: r for r in dedup_incremental(docs, split_id=10).collect()}
+    assert set(out) == {10, 11, 12, 13}
+    assert out[10]["seen_before"] and not out[10]["accept"]
+    assert out[11]["accept"] and out[11]["first_in_batch"]
+    assert not out[12]["accept"] and not out[12]["first_in_batch"]
+    assert out[13]["accept"] and not out[13]["seen_before"]

@@ -302,7 +302,7 @@ def q_quality_lr_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_lr_fit_score(load_table(spark, sf_dir, "documents"))
 
 
-def _lr_oracle() -> str:
+def _lr_body() -> tuple[str, str]:
     from airstrik_py_spark.operators.classifier import LR_ITERS, N_FEATS
     from airstrik_py_spark.registry.text_q import (
         _GATES_CTES,
@@ -368,15 +368,126 @@ def _lr_oracle() -> str:
             f" FROM p{it} CROSS JOIN g{it} CROSS JOIN cnt)"
         )
     zm = " + ".join(f"xm[{i}] * wm[{i}]" for i in range(1, N_FEATS + 1))
-    return (
-        f"WITH {_GATES_CTES},\n" + ",\n".join(parts) + f"""
+    parts.append(
+        f"lr_scored AS (SELECT doc_id, y, ({zm}) AS zm"
+        f" FROM f CROSS JOIN p{LR_ITERS})"
+    )
+    body = f"{_GATES_CTES},\n" + ",\n".join(parts)
+    logit = "CAST(" + ha_signed("zm", "1000000") + " AS DOUBLE) / 1e6"
+    return body, logit
+
+
+def _lr_oracle() -> str:
+    body, logit = _lr_body()
+    return f"""WITH {body}
 SELECT doc_id, CAST(y AS INTEGER) AS label,
-       CAST({ha_signed("zm", "1000000")} AS DOUBLE) / 1e6 AS logit,
+       {logit} AS logit,
        round(1.0 / (1.0 + exp(-(CAST(zm AS DOUBLE) / 1e12))), 6) AS score,
        zm > 0 AS predicted
-FROM (SELECT doc_id, y, ({zm}) AS zm
-      FROM f CROSS JOIN p{LR_ITERS})
+FROM lr_scored
 """
+
+
+def _release_oracle() -> str:
+    """Composed release pipeline: gates+LR accept -> exact-dedup first-wins
+    -> per-source stratified quota -> rollup.  Shares the LR CTE body."""
+    body, _logit = _lr_body()
+    return f"""WITH {body},
+dd AS (SELECT d.doc_id, d.source, md5(d.text) AS digest,
+              len(string_split(d.text, ' ')) AS n_tok,
+              s.y = 1.0 AS gate_keep, s.zm > 0 AS lr_keep
+       FROM documents d JOIN lr_scored s ON d.doc_id = s.doc_id),
+fw AS (SELECT *, row_number() OVER (PARTITION BY digest ORDER BY doc_id) = 1
+         AS first_wins FROM dd),
+acc AS (SELECT *, gate_keep AND lr_keep AND first_wins AS accept FROM fw),
+smp AS (SELECT doc_id, source, n_tok,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY md5('strat|' || CAST(doc_id AS VARCHAR)), doc_id)
+                 <= 10 AS in_sample
+        FROM acc WHERE accept),
+roll_acc AS (SELECT source,
+                    CAST(count(*) AS BIGINT) AS n_accepted,
+                    CAST(sum(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_sampled,
+                    CAST(sum(CASE WHEN in_sample THEN n_tok ELSE 0 END) AS BIGINT)
+                      AS tokens_sampled
+             FROM smp GROUP BY source)
+SELECT a.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN a.gate_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_gate,
+       CAST(sum(CASE WHEN a.gate_keep AND a.lr_keep THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_lr,
+       coalesce(any_value(r.n_accepted), 0) AS n_accepted,
+       coalesce(any_value(r.n_sampled), 0) AS n_sampled,
+       coalesce(any_value(r.tokens_sampled), 0) AS tokens_sampled
+FROM acc a LEFT JOIN roll_acc r ON a.source = r.source
+GROUP BY a.source
+"""
+
+
+def q_pipeline_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed release pipeline in ONE query: hard gates + the on-engine
+    LR soft filter -> exact-dedup first-wins -> per-source stratified
+    sample quota -> per-source rollup.  Every stage is a round-4 operator
+    reused verbatim (classifier.quality_lr_fit_score for the accept
+    decision, the stratified-sample salted rank, the dedup digest window);
+    the oracle shares the LR CTE body so the two can never diverge."""
+    from pyspark.sql import Window
+
+    from airstrik_py_spark.operators.classifier import quality_lr_fit_score
+
+    pin_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_lr_fit_score(docs).select(
+        "doc_id",
+        (F.col("label") == 1).alias("gate_keep"),
+        F.col("predicted").alias("lr_keep"),
+    )
+    d = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.md5("text").alias("digest"),
+            F.size(F.split("text", " ")).alias("n_tok"),
+        )
+        .join(scored, "doc_id")
+    )
+    first = (
+        F.row_number().over(Window.partitionBy("digest").orderBy("doc_id")) == 1
+    )
+    acc = d.withColumn("first_wins", first).withColumn(
+        "accept", F.col("gate_keep") & F.col("lr_keep") & F.col("first_wins")
+    )
+    strat_h = F.md5(F.concat(F.lit("strat|"), F.col("doc_id").cast("string")))
+    smp = (
+        acc.filter("accept")
+        .withColumn(
+            "in_sample",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(strat_h, F.col("doc_id"))
+            )
+            <= 10,
+        )
+    )
+    roll_acc = smp.groupBy("source").agg(
+        F.count("*").alias("n_accepted"),
+        F.sum(F.col("in_sample").cast("int")).alias("n_sampled"),
+        F.sum(F.when(F.col("in_sample"), F.col("n_tok")).otherwise(0)).alias(
+            "tokens_sampled"
+        ),
+    )
+    roll = acc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("gate_keep").cast("int")).alias("n_gate"),
+        F.sum((F.col("gate_keep") & F.col("lr_keep")).cast("int")).alias("n_lr"),
+    )
+    return (
+        roll.join(roll_acc, "source", "left")
+        .withColumn("n_accepted", F.coalesce("n_accepted", F.lit(0)))
+        .withColumn("n_sampled", F.coalesce("n_sampled", F.lit(0).cast("long")))
+        .withColumn(
+            "tokens_sampled", F.coalesce("tokens_sampled", F.lit(0).cast("long"))
+        )
     )
 
 
@@ -516,6 +627,7 @@ FROM (SELECT doc_id, len(words) AS n_tokens FROM base) t
 LEFT JOIN cov c USING (doc_id)
 """,
     "quality_lr_score": _lr_oracle(),
+    "pipeline_corpus_release": _release_oracle(),
     "dedup_incremental": """
 WITH old AS (SELECT DISTINCT md5(text) AS digest FROM documents
              WHERE doc_id < 400),
@@ -840,6 +952,7 @@ QUERIES = {
     "embedding_norm_outliers": q_embedding_norm_outliers,
     "sample_stratified_exact": q_sample_stratified_exact,
     "dedup_incremental": q_dedup_incremental,
+    "pipeline_corpus_release": q_pipeline_corpus_release,
     "ann_ivf_label": q_ann_ivf_label,
     "ddl_drop_reset": q_ddl_drop_reset,
 }

@@ -443,6 +443,8 @@ def q_pipeline_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("label") == 1).alias("gate_keep"),
         F.col("predicted").alias("lr_keep"),
     )
+    # shuffled-hash, not sort-merge: the doc_id join feeds hash windows
+    # downstream — neither side benefits from a sort
     d = (
         docs.select(
             "doc_id",
@@ -450,7 +452,7 @@ def q_pipeline_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5("text").alias("digest"),
             F.size(F.split("text", " ")).alias("n_tok"),
         )
-        .join(scored, "doc_id")
+        .join(scored.hint("shuffle_hash"), "doc_id")
     )
     first = (
         F.row_number().over(Window.partitionBy("digest").orderBy("doc_id")) == 1
@@ -482,7 +484,7 @@ def q_pipeline_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("gate_keep") & F.col("lr_keep")).cast("int")).alias("n_lr"),
     )
     return (
-        roll.join(roll_acc, "source", "left")
+        roll.join(roll_acc.hint("shuffle_hash"), "source", "left")
         .withColumn("n_accepted", F.coalesce("n_accepted", F.lit(0)))
         .withColumn("n_sampled", F.coalesce("n_sampled", F.lit(0).cast("long")))
         .withColumn(

@@ -184,3 +184,70 @@ def test_decimation_fold_matches_reference_sim(spark, packets, force_new, n):
         force_new,
     )
     assert got == want
+
+
+event_gaps_strategy = st.lists(
+    st.lists(
+        st.sampled_from([1.0, 10.0, 1799.0, 1800.0, 1801.0, 4000.0]),
+        min_size=1,
+        max_size=8,
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(user_gaps=event_gaps_strategy)
+def test_event_sessionize_matches_python_reference(spark, user_gaps):
+    """sessionize_events == a trivial per-user Python scan (strict-gap
+    boundary), on arbitrary gap tapes including the exact 1800 s edge."""
+    from datetime import datetime, timezone
+
+    from airstrik_py_spark.operators.events import sessionize_events
+
+    rows, eid = [], 0
+    for u, gaps in enumerate(user_gaps):
+        t = 1700000000.0
+        for g in gaps:
+            t += g
+            rows.append((eid, t, u))
+            eid += 1
+    ev = spark.createDataFrame(
+        [
+            (
+                e,
+                datetime.fromtimestamp(t, tz=timezone.utc).replace(tzinfo=None),
+                u,
+                "view",
+                1.0,
+                None,
+            )
+            for e, t, u in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        (r["user_id"], r["session_n"]): (r["n_events"], r["start_us"], r["end_us"])
+        for r in sessionize_events(ev, gap_s=1800).collect()
+    }
+
+    want = {}
+    for u, gaps in enumerate(user_gaps):
+        t = 1700000000.0
+        sess_n, prev, bucket = 0, None, []
+        sessions = []
+        for g in gaps:
+            t += g
+            us = int(t * 1_000_000)
+            if prev is None or us - prev > 1800 * 1_000_000:
+                if bucket:
+                    sessions.append(bucket)
+                bucket = []
+            bucket.append(us)
+            prev = us
+        sessions.append(bucket)
+        for i, b in enumerate(sessions, start=1):
+            want[(u, i)] = (len(b), b[0], b[-1])
+    assert got == want

@@ -1,0 +1,155 @@
+"""Classic star-schema analytics over the TPC-H-ish fixture tables
+(lineitem / orders / customer / supplier / nation / region) — the
+multi-table join-planning breadth the flight engine itself never
+exercises: fact-fact shuffles on the orderkey, broadcast dimension
+chains, and aggregate pushdown, in the Q1 / Q3 / Q5 shapes.
+
+Exactness contract: the fixture's monetary columns are cent-exact and
+discounts/taxes are percent-exact (verified), so all money math runs in
+integer units — cents, cents x (100 - disc), cents x (100 - disc) x
+(100 + tax) — making every SUM an exact BIGINT aggregate, order-free
+across engines and partitionings.  Averages round half-away in integer
+micro-units (ratios of exact integers land exactly on .5e-6 decimal
+boundaries where engine float round()s disagree — same lesson as the LR
+classifier).
+
+Scale notes (TPC-H at 100 TB ~ SF-100k):
+  * Q1 shape — one map-side-combined aggregate on a 6-value key after a
+    pushed-down date filter; the scan reads 7 columns of 11.
+  * Q3 shape — customer is a broadcast dim; orders<->lineitem is ONE
+    hash shuffle on the orderkey (co-partition/bucket both facts on
+    orderkey at write time to delete it); top-k is a TakeOrdered, no
+    global sort.
+  * Q5 shape — region->nation->customer/supplier chain all broadcast;
+    the only data-sized exchange is again the orderkey join; the final
+    rollup key is 25 nations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from airstrik_py_spark.sources.tables import load_table
+
+Q1_CUTOFF = "1998-09-01"
+Q3_DATE = "1998-03-15"
+Q3_SEGMENT = "BUILDING"
+Q5_REGION = "ASIA"
+Q5_START, Q5_END = "1996-01-01", "1997-01-01"
+
+
+def _cents(col: str) -> Column:
+    return F.round(F.col(col) * 100, 0).cast("long")
+
+
+def _pct(col: str) -> Column:
+    return F.round(F.col(col) * 100, 0).cast("long")
+
+
+def _ha_micro(num: Column, den: Column) -> Column:
+    """round-half-away((num/den) * 1e6) as exact integers, num/den >= 0."""
+    scaled = num * 1_000_000
+    return F.floor((2 * scaled + den) / (2 * den)).cast("long")
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 shape: per (returnflag, linestatus) pricing rollup with exact
+    integer money sums and integer-rounded averages."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") < F.lit(Q1_CUTOFF).cast("timestamp")
+    )
+    qty = F.col("l_quantity").cast("long")
+    cents = _cents("l_extendedprice")
+    disc = _pct("l_discount")
+    tax = _pct("l_tax")
+    g = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        qty.alias("qty"),
+        cents.alias("cents"),
+        (cents * (100 - disc)).alias("disc_units"),
+        (cents * (100 - disc) * (100 + tax)).alias("charge_units"),
+        disc.alias("disc"),
+    ).groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("qty").alias("sum_qty"),
+        F.sum("cents").alias("sum_base_cents"),
+        F.sum("disc_units").alias("sum_disc_price_units"),
+        F.sum("charge_units").alias("sum_charge_units"),
+        F.count("*").alias("n_rows"),
+        F.sum("disc").alias("sum_disc_pct"),
+    )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_cents",
+        "sum_disc_price_units",
+        "sum_charge_units",
+        (
+            _ha_micro(F.col("sum_qty"), F.col("n_rows")).cast("double") / 1e6
+        ).alias("avg_qty"),
+        (
+            _ha_micro(F.col("sum_disc_pct"), F.col("n_rows")).cast("double") / 1e6
+        ).alias("avg_disc_pct"),
+        "n_rows",
+    )
+
+
+def revenue_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Q3 shape: unshipped-revenue top-k — broadcast customer dim, one
+    orderkey shuffle between the two facts, TakeOrdered top-k."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == Q3_SEGMENT
+    ).select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(Q3_DATE).cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(Q3_DATE).cast("timestamp")
+    )
+    rev = (_cents("l_extendedprice") * (100 - _pct("l_discount"))).alias("rev_units")
+    j = li.select("l_orderkey", rev).join(
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    agg = j.groupBy(
+        "l_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        "o_orderpriority",
+    ).agg(F.sum("rev_units").alias("revenue_units"))
+    return agg.orderBy(
+        F.col("revenue_units").desc(), F.col("l_orderkey").asc()
+    ).limit(k)
+
+
+def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape: per-nation revenue inside one region for one year —
+    region->nation chain and both entity dims broadcast; the orderkey
+    join is the only data-sized exchange; local-supplier predicate
+    (s_nationkey == c_nationkey) like the original."""
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == Q5_REGION
+    )
+    nation = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    cust = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", "c_nationkey", "n_name")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q5_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q5_END).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rev = (_cents("l_extendedprice") * (100 - _pct("l_discount"))).alias("rev_units")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", rev
+    )
+    oc = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    j = (
+        li.join(oc, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("s_nationkey") == F.col("c_nationkey"))
+    )
+    return j.groupBy("n_name").agg(F.sum("rev_units").alias("revenue_units"))

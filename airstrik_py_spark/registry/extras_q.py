@@ -547,6 +547,30 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_incremental(load_table(spark, sf_dir, "documents"))
 
 
+def q_star_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1-shape pricing rollup over lineitem — operators/star.py."""
+    from airstrik_py_spark.operators.star import pricing_summary
+
+    pin_session(spark)
+    return pricing_summary(spark, sf_dir)
+
+
+def q_star_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3-shape unshipped-revenue top-k — operators/star.py."""
+    from airstrik_py_spark.operators.star import revenue_topk
+
+    pin_session(spark)
+    return revenue_topk(spark, sf_dir)
+
+
+def q_star_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5-shape per-nation regional revenue — operators/star.py."""
+    from airstrik_py_spark.operators.star import region_revenue
+
+    pin_session(spark)
+    return region_revenue(spark, sf_dir)
+
+
 def _nib4(expr: str) -> str:
     """First 16 bits of an md5 hex-string SQL expression as an integer
     (DuckDB has no hex->int conv(); positional nibble math like text_q)."""
@@ -629,6 +653,69 @@ FROM (SELECT doc_id, len(words) AS n_tokens FROM base) t
 LEFT JOIN cov c USING (doc_id)
 """,
     "quality_lr_score": _lr_oracle(),
+    "star_pricing_summary": """
+WITH li AS (SELECT l_returnflag, l_linestatus,
+                   CAST(l_quantity AS BIGINT) AS qty,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                   CAST(round(l_discount * 100) AS BIGINT) AS disc,
+                   CAST(round(l_tax * 100) AS BIGINT) AS tax
+            FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01'),
+g AS (SELECT l_returnflag, l_linestatus,
+             CAST(sum(qty) AS BIGINT) AS sum_qty,
+             CAST(sum(cents) AS BIGINT) AS sum_base_cents,
+             CAST(sum(cents * (100 - disc)) AS BIGINT) AS sum_disc_price_units,
+             CAST(sum(cents * (100 - disc) * (100 + tax)) AS BIGINT)
+               AS sum_charge_units,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(disc) AS BIGINT) AS sum_disc_pct
+      FROM li GROUP BY l_returnflag, l_linestatus)
+SELECT l_returnflag, l_linestatus, sum_qty, sum_base_cents,
+       sum_disc_price_units, sum_charge_units,
+       CAST((2 * (sum_qty * 1000000) + n_rows) // (2 * n_rows) AS DOUBLE) / 1e6
+         AS avg_qty,
+       CAST((2 * (sum_disc_pct * 1000000) + n_rows) // (2 * n_rows) AS DOUBLE) / 1e6
+         AS avg_disc_pct,
+       n_rows
+FROM g
+""",
+    "star_revenue_topk": """
+WITH c AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+o AS (SELECT o_orderkey, o_custkey, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderdate < TIMESTAMP '1998-03-15'),
+l AS (SELECT l_orderkey,
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_units
+      FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-03-15'),
+agg AS (SELECT l.l_orderkey,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               o.o_orderpriority,
+               CAST(sum(l.rev_units) AS BIGINT) AS revenue_units
+        FROM l JOIN o ON l.l_orderkey = o.o_orderkey
+               JOIN c ON o.o_custkey = c.c_custkey
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority)
+SELECT * FROM agg ORDER BY revenue_units DESC, l_orderkey LIMIT 10
+""",
+    "star_region_revenue": """
+WITH n AS (SELECT n_nationkey, n_name
+           FROM nation JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name = 'ASIA'),
+c AS (SELECT c_custkey, c_nationkey, n_name
+      FROM customer JOIN n ON c_nationkey = n_nationkey),
+o AS (SELECT o_orderkey, o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'),
+l AS (SELECT l_orderkey, l_suppkey,
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_units
+      FROM lineitem)
+SELECT c.n_name,
+       CAST(sum(l.rev_units) AS BIGINT) AS revenue_units
+FROM l JOIN o ON l.l_orderkey = o.o_orderkey
+       JOIN c ON o.o_custkey = c.c_custkey
+       JOIN supplier s ON l.l_suppkey = s.s_suppkey
+WHERE s.s_nationkey = c.c_nationkey
+GROUP BY c.n_name
+""",
     "pipeline_corpus_release": _release_oracle(),
     "dedup_incremental": """
 WITH old AS (SELECT DISTINCT md5(text) AS digest FROM documents
@@ -955,6 +1042,9 @@ QUERIES = {
     "sample_stratified_exact": q_sample_stratified_exact,
     "dedup_incremental": q_dedup_incremental,
     "pipeline_corpus_release": q_pipeline_corpus_release,
+    "star_pricing_summary": q_star_pricing_summary,
+    "star_revenue_topk": q_star_revenue_topk,
+    "star_region_revenue": q_star_region_revenue,
     "ann_ivf_label": q_ann_ivf_label,
     "ddl_drop_reset": q_ddl_drop_reset,
 }

@@ -153,3 +153,66 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("s_nationkey") == F.col("c_nationkey"))
     )
     return j.groupBy("n_name").agg(F.sum("rev_units").alias("revenue_units"))
+
+
+Q18_MIN_QTY = 300
+
+
+def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: orders whose total lineitem quantity exceeds a threshold
+    — the aggregate-then-join pattern: the per-order quantity rollup runs
+    FIRST (map-side combined on the orderkey), its small surviving key set
+    drives the detail joins.  Customer is broadcast; the rollup and the
+    detail scan share the orderkey exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > Q18_MIN_QTY)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    j = big.join(
+        orders.hint("shuffle_hash"), big.l_orderkey == orders.o_orderkey
+    ).join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    return j.select(
+        "c_name",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        _cents("o_totalprice").alias("totalprice_cents"),
+        "total_qty",
+    )
+
+
+Q14_START, Q14_END = "1997-01-01", "1997-02-01"
+
+
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: promo-type revenue share for one month — conditional
+    aggregation over a broadcast part join, exact integer revenue units,
+    share rounded half-away in integer micros (house boundary rule)."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", (F.col("p_type") == "PROMO").alias("is_promo")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q14_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q14_END).cast("timestamp"))
+    )
+    rev = _cents("l_extendedprice") * (100 - _pct("l_discount"))
+    j = li.select("l_partkey", rev.alias("rev_units")).join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    g = j.agg(
+        F.sum(F.when(F.col("is_promo"), F.col("rev_units")).otherwise(0)).alias(
+            "promo_units"
+        ),
+        F.sum("rev_units").alias("total_units"),
+    )
+    share = _ha_micro(F.col("promo_units"), F.col("total_units"))
+    return g.select(
+        "promo_units",
+        "total_units",
+        (share.cast("double") / 1e6).alias("promo_share"),
+    )

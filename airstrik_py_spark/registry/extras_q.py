@@ -571,6 +571,22 @@ def q_star_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return region_revenue(spark, sf_dir)
 
 
+def q_star_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18-shape aggregate-then-join large orders — operators/star.py."""
+    from airstrik_py_spark.operators.star import large_orders
+
+    pin_session(spark)
+    return large_orders(spark, sf_dir)
+
+
+def q_star_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14-shape promo revenue share — operators/star.py."""
+    from airstrik_py_spark.operators.star import promo_revenue_share
+
+    pin_session(spark)
+    return promo_revenue_share(spark, sf_dir)
+
+
 def _nib4(expr: str) -> str:
     """First 16 bits of an md5 hex-string SQL expression as an integer
     (DuckDB has no hex->int conv(); positional nibble math like text_q)."""
@@ -653,6 +669,36 @@ FROM (SELECT doc_id, len(words) AS n_tokens FROM base) t
 LEFT JOIN cov c USING (doc_id)
 """,
     "quality_lr_score": _lr_oracle(),
+    "star_large_orders": """
+WITH big AS (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+               AS total_qty
+             FROM lineitem GROUP BY l_orderkey
+             HAVING sum(CAST(l_quantity AS BIGINT)) > 300)
+SELECT c.c_name, b.l_orderkey AS o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(round(o.o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+       b.total_qty
+FROM big b JOIN orders o ON b.l_orderkey = o.o_orderkey
+     JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+    "star_promo_share": """
+WITH li AS (SELECT l_partkey,
+                   CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_units
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1997-02-01'),
+j AS (SELECT li.rev_units, p.p_type = 'PROMO' AS is_promo
+      FROM li JOIN part p ON li.l_partkey = p.p_partkey),
+g AS (SELECT CAST(sum(CASE WHEN is_promo THEN rev_units ELSE 0 END) AS BIGINT)
+               AS promo_units,
+             CAST(sum(rev_units) AS BIGINT) AS total_units
+      FROM j)
+SELECT promo_units, total_units,
+       CAST((2 * (promo_units * 1000000) + total_units) // (2 * total_units)
+            AS DOUBLE) / 1e6 AS promo_share
+FROM g
+""",
     "star_pricing_summary": """
 WITH li AS (SELECT l_returnflag, l_linestatus,
                    CAST(l_quantity AS BIGINT) AS qty,
@@ -1045,6 +1091,8 @@ QUERIES = {
     "star_pricing_summary": q_star_pricing_summary,
     "star_revenue_topk": q_star_revenue_topk,
     "star_region_revenue": q_star_region_revenue,
+    "star_large_orders": q_star_large_orders,
+    "star_promo_share": q_star_promo_share,
     "ann_ivf_label": q_ann_ivf_label,
     "ddl_drop_reset": q_ddl_drop_reset,
 }

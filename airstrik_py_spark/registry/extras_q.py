@@ -587,6 +587,23 @@ def q_star_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return promo_revenue_share(spark, sf_dir)
 
 
+def q_sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-format breadth: write the observation projection as ORC
+    (Spark's second built-in columnar format) and read it back — proves
+    the store layer is format-agnostic; the oracle recomputes the same
+    projection straight from events, so the round-trip must be lossless
+    (including double-precision columns)."""
+    import tempfile
+
+    pin_session(spark)
+    out = observations(spark, sf_dir).select(
+        "hex", "event_id", "ts_sec", "lat", "lon", "alt_geom"
+    )
+    path = tempfile.mkdtemp(prefix="orc_rt_") + "/obs_orc"
+    out.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
+
+
 def _nib4(expr: str) -> str:
     """First 16 bits of an md5 hex-string SQL expression as an integer
     (DuckDB has no hex->int conv(); positional nibble math like text_q)."""
@@ -669,6 +686,10 @@ FROM (SELECT doc_id, len(words) AS n_tokens FROM base) t
 LEFT JOIN cov c USING (doc_id)
 """,
     "quality_lr_score": _lr_oracle(),
+    "sink_orc_roundtrip": f"""
+WITH {OBS_CTE}
+SELECT hex, event_id, ts_sec, lat, lon, alt_geom FROM obs
+""",
     "star_large_orders": """
 WITH big AS (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
                AS total_qty
@@ -1093,6 +1114,7 @@ QUERIES = {
     "star_region_revenue": q_star_region_revenue,
     "star_large_orders": q_star_large_orders,
     "star_promo_share": q_star_promo_share,
+    "sink_orc_roundtrip": q_sink_orc_roundtrip,
     "ann_ivf_label": q_ann_ivf_label,
     "ddl_drop_reset": q_ddl_drop_reset,
 }

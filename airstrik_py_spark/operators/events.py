@@ -333,3 +333,38 @@ def path_trigrams_topk(events: DataFrame, k: int = PATH_TOPK) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("rank", "path", "n_paths")
     )
+
+
+def hourly_timeseries_gapfill(events: DataFrame) -> DataFrame:
+    """Dense hourly event-count time series: hours with no events appear
+    as explicit zero rows (gap filling) — the materialization dashboards
+    and window-based anomaly detectors need.
+
+    Shape: the hour spine generates from the stream's own min/max hour (a
+    1-row aggregate exploded via sequence — spine size is time-range
+    bound, not data bound), then the per-hour counts hash-join the spine.
+    At 10^12 events the count aggregate is the only data-sized exchange;
+    the spine join is broadcast."""
+    hours = events.select(
+        F.date_trunc("hour", F.col("ts")).alias("hour")
+    )
+    counts = hours.groupBy("hour").agg(F.count("*").alias("n_events"))
+    spine = (
+        hours.agg(
+            F.min("hour").alias("lo"), F.max("hour").alias("hi")
+        )
+        .select(
+            F.explode(
+                F.sequence(
+                    F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR")
+                )
+            ).alias("hour")
+        )
+    )
+    return (
+        spine.join(F.broadcast(counts), "hour", "left")
+        .select(
+            F.date_format("hour", "yyyy-MM-dd HH:00").alias("hour"),
+            F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events"),
+        )
+    )

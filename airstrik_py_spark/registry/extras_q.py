@@ -604,6 +604,15 @@ def q_sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def q_events_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly counts with zero-filled gaps —
+    operators/events.py::hourly_timeseries_gapfill."""
+    from airstrik_py_spark.operators.events import hourly_timeseries_gapfill
+
+    pin_session(spark)
+    return hourly_timeseries_gapfill(load_table(spark, sf_dir, "events"))
+
+
 def _nib4(expr: str) -> str:
     """First 16 bits of an md5 hex-string SQL expression as an integer
     (DuckDB has no hex->int conv(); positional nibble math like text_q)."""
@@ -686,6 +695,16 @@ FROM (SELECT doc_id, len(words) AS n_tokens FROM base) t
 LEFT JOIN cov c USING (doc_id)
 """,
     "quality_lr_score": _lr_oracle(),
+    "events_timeseries_gapfill": """
+WITH h AS (SELECT date_trunc('hour', ts) AS hour FROM events),
+c AS (SELECT hour, count(*) AS n_events FROM h GROUP BY hour),
+spine AS (SELECT unnest(generate_series(
+            (SELECT min(hour) FROM h), (SELECT max(hour) FROM h),
+            INTERVAL 1 HOUR)) AS hour)
+SELECT strftime(spine.hour, '%Y-%m-%d %H:00') AS hour,
+       CAST(coalesce(c.n_events, 0) AS BIGINT) AS n_events
+FROM spine LEFT JOIN c ON spine.hour = c.hour
+""",
     "sink_orc_roundtrip": f"""
 WITH {OBS_CTE}
 SELECT hex, event_id, ts_sec, lat, lon, alt_geom FROM obs
@@ -1115,6 +1134,7 @@ QUERIES = {
     "star_large_orders": q_star_large_orders,
     "star_promo_share": q_star_promo_share,
     "sink_orc_roundtrip": q_sink_orc_roundtrip,
+    "events_timeseries_gapfill": q_events_timeseries_gapfill,
     "ann_ivf_label": q_ann_ivf_label,
     "ddl_drop_reset": q_ddl_drop_reset,
 }

@@ -175,3 +175,23 @@ def test_path_trigrams_ordering_and_counts(spark):
     assert got["view>click>purchase"] == (1, 2)
     assert got["click>purchase>view"][1] == 1
     assert len(out) == 2
+
+
+def test_gapfill_emits_zero_hours(spark):
+    from airstrik_py_spark.operators.events import hourly_timeseries_gapfill
+
+    # events at hours 0 and 3 -> hours 1 and 2 must appear with zero
+    rows = [(0, 0, 10), (1, 3, 20)]
+    ev = spark.createDataFrame(
+        [(eid, datetime(2024, 1, 1, h, 30, 0), uid, "view", 1.0, None)
+         for eid, h, uid in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r["hour"]: r["n_events"] for r in hourly_timeseries_gapfill(ev).collect()}
+    assert out == {
+        "2024-01-01 00:00": 1,
+        "2024-01-01 01:00": 0,
+        "2024-01-01 02:00": 0,
+        "2024-01-01 03:00": 1,
+    }

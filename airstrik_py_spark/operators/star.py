@@ -216,3 +216,64 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_units",
         (share.cast("double") / 1e6).alias("promo_share"),
     )
+
+
+Q10_START, Q10_END = "1996-07-01", "1996-10-01"
+
+
+def returned_revenue_by_customer(
+    spark: SparkSession, sf_dir: str, k: int = 20
+) -> DataFrame:
+    """Q10 shape: revenue lost to returned items per customer for one
+    quarter — returnflag filter pushed into the lineitem scan, orders
+    date-filtered, customer + nation broadcast, top-k customers.  One
+    orderkey shuffle; the custkey rollup rides broadcast joins."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    rev = (_cents("l_extendedprice") * (100 - _pct("l_discount"))).alias("rev_units")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q10_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q10_END).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", _cents("c_acctbal").alias("acctbal_cents")
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        li.select("l_orderkey", rev)
+        .join(orders.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    agg = j.groupBy("c_custkey", "c_name", "n_name", "acctbal_cents").agg(
+        F.sum("rev_units").alias("revenue_units")
+    )
+    return agg.orderBy(
+        F.col("revenue_units").desc(), F.col("c_custkey").asc()
+    ).limit(k)
+
+
+Q12_YEAR_START, Q12_YEAR_END = "1997-01-01", "1998-01-01"
+Q12_PRIORITIES = ("1-URGENT", "2-HIGH")
+
+
+def shipmode_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: per order-priority bucket, line counts split into
+    high/low priority classes for one year — conditional aggregation
+    after the orderkey join, priorities classified by set membership
+    (the fixture's o_orderpriority domain stands in for TPC-H's).  The
+    reference Q12 groups by ship mode; the fixture lineitem has no ship
+    mode column, so the rollup key here is the priority bucket itself
+    with the count split by linestatus instead."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q12_YEAR_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q12_YEAR_END).cast("timestamp"))
+    ).select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linestatus")
+    j = li.join(orders.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
+    high = F.col("o_orderpriority").isin(*Q12_PRIORITIES)
+    return j.groupBy("l_linestatus").agg(
+        F.sum(F.when(high, 1).otherwise(0)).alias("high_priority_lines"),
+        F.sum(F.when(~high, 1).otherwise(0)).alias("low_priority_lines"),
+    )

@@ -613,6 +613,22 @@ def q_events_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hourly_timeseries_gapfill(load_table(spark, sf_dir, "events"))
 
 
+def q_star_returned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10-shape returned-revenue top customers — operators/star.py."""
+    from airstrik_py_spark.operators.star import returned_revenue_by_customer
+
+    pin_session(spark)
+    return returned_revenue_by_customer(spark, sf_dir)
+
+
+def q_star_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12-shape priority-class line counts — operators/star.py."""
+    from airstrik_py_spark.operators.star import shipmode_priority_counts
+
+    pin_session(spark)
+    return shipmode_priority_counts(spark, sf_dir)
+
+
 def _nib4(expr: str) -> str:
     """First 16 bits of an md5 hex-string SQL expression as an integer
     (DuckDB has no hex->int conv(); positional nibble math like text_q)."""
@@ -738,6 +754,35 @@ SELECT promo_units, total_units,
        CAST((2 * (promo_units * 1000000) + total_units) // (2 * total_units)
             AS DOUBLE) / 1e6 AS promo_share
 FROM g
+""",
+    "star_returned_topk": """
+WITH l AS (SELECT l_orderkey,
+                  CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_units
+           FROM lineitem WHERE l_returnflag = 'R'),
+o AS (SELECT o_orderkey, o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        AND o_orderdate < TIMESTAMP '1996-10-01'),
+agg AS (SELECT c.c_custkey, c.c_name, n.n_name,
+               CAST(round(c.c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+               CAST(sum(l.rev_units) AS BIGINT) AS revenue_units
+        FROM l JOIN o ON l.l_orderkey = o.o_orderkey
+               JOIN customer c ON o.o_custkey = c.c_custkey
+               JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal)
+SELECT * FROM agg ORDER BY revenue_units DESC, c_custkey LIMIT 20
+""",
+    "star_priority_counts": """
+WITH o AS (SELECT o_orderkey, o_orderpriority FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+             AND o_orderdate < TIMESTAMP '1998-01-01')
+SELECT l.l_linestatus,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_lines,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_priority_lines
+FROM lineitem l JOIN o ON l.l_orderkey = o.o_orderkey
+GROUP BY l.l_linestatus
 """,
     "star_pricing_summary": """
 WITH li AS (SELECT l_returnflag, l_linestatus,
@@ -1133,6 +1178,8 @@ QUERIES = {
     "star_region_revenue": q_star_region_revenue,
     "star_large_orders": q_star_large_orders,
     "star_promo_share": q_star_promo_share,
+    "star_returned_topk": q_star_returned_topk,
+    "star_priority_counts": q_star_priority_counts,
     "sink_orc_roundtrip": q_sink_orc_roundtrip,
     "events_timeseries_gapfill": q_events_timeseries_gapfill,
     "ann_ivf_label": q_ann_ivf_label,

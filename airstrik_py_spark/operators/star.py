@@ -277,3 +277,25 @@ def shipmode_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(high, 1).otherwise(0)).alias("high_priority_lines"),
         F.sum(F.when(~high, 1).otherwise(0)).alias("low_priority_lines"),
     )
+
+
+Q6_START, Q6_END = "1997-01-01", "1998-01-01"
+
+
+def forecast_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: the pure scan query — revenue delta from discounted small
+    orders in one year.  No joins at all: the date/discount/quantity
+    predicates and the 4-column projection all push into the parquet scan
+    (PLANS.md shows the pruned ReadSchema), then one global integer sum."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q6_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q6_END).cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    units = _cents("l_extendedprice") * _pct("l_discount")
+    return li.agg(
+        F.sum(units).alias("revenue_delta_units"),
+        F.count("*").alias("n_lines"),
+    )

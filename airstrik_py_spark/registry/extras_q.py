@@ -629,6 +629,14 @@ def q_star_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shipmode_priority_counts(spark, sf_dir)
 
 
+def q_star_forecast_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6-shape pure-scan revenue delta — operators/star.py."""
+    from airstrik_py_spark.operators.star import forecast_revenue_delta
+
+    pin_session(spark)
+    return forecast_revenue_delta(spark, sf_dir)
+
+
 def _nib4(expr: str) -> str:
     """First 16 bits of an md5 hex-string SQL expression as an integer
     (DuckDB has no hex->int conv(); positional nibble math like text_q)."""
@@ -754,6 +762,17 @@ SELECT promo_units, total_units,
        CAST((2 * (promo_units * 1000000) + total_units) // (2 * total_units)
             AS DOUBLE) / 1e6 AS promo_share
 FROM g
+""",
+    "star_forecast_delta": """
+SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_delta_units,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
 """,
     "star_returned_topk": """
 WITH l AS (SELECT l_orderkey,
@@ -1180,6 +1199,7 @@ QUERIES = {
     "star_promo_share": q_star_promo_share,
     "star_returned_topk": q_star_returned_topk,
     "star_priority_counts": q_star_priority_counts,
+    "star_forecast_delta": q_star_forecast_delta,
     "sink_orc_roundtrip": q_sink_orc_roundtrip,
     "events_timeseries_gapfill": q_events_timeseries_gapfill,
     "ann_ivf_label": q_ann_ivf_label,

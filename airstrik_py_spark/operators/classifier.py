@@ -34,10 +34,15 @@ MICRO = 1_000_000
 
 
 def _div_half_away(num: Column, den: Column) -> Column:
-    """round-half-away(num/den) for integer Columns, den > 0 — floor-based
-    so both engines agree bit-for-bit (DuckDB mirror uses `//`)."""
-    pos = F.floor((2 * num + den) / (2 * den)).cast("long")
-    neg = -F.floor((2 * (-num) + den) / (2 * den)).cast("long")
+    """round-half-away(num/den) for integer Columns, den > 0 — true integer
+    division (IntegralDivide over decimal(38,0)) so both engines agree
+    bit-for-bit at ANY operand magnitude (DuckDB mirror uses `//`); the
+    earlier floor((2n+d)/(2d)) went through double division, which loses
+    exactness past 2^53."""
+    n = num.cast("decimal(38,0)")
+    d = den.cast("decimal(38,0)")
+    pos = F.call_function("div", n * 2 + d, d * 2).cast("long")
+    neg = (-F.call_function("div", n * -2 + d, d * 2)).cast("long")
     return F.when(num >= 0, pos).otherwise(neg)
 
 

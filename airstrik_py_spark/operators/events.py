@@ -10,9 +10,11 @@ Scale notes (100 TB of events ≈ 10^12 rows over ~10^9 users):
     the first's exchange) and a final rollup on (cohort_day, offset) —
     ~30×90 keys, map-side combined.  countDistinct over users is exact by
     contract here; the documented scale swap is approx_count_distinct.
-  * funnel_conversion — three user-keyed conditional-min aggregates, each
-    reusing the SAME hash exchange on user_id (subset clustering), then a
-    4-row summary.  No sort, no window over the full stream.
+  * funnel_conversion — ONE lazy plan: a single user-keyed aggregate
+    folds each user's time-sorted funnel events into the chained
+    first-occurrence stage times (JVM Column fold, state = 3 doubles),
+    then a 1-row global count inlined to the 3 stage rows.  One scan,
+    one data-sized exchange, no driver-side action anywhere.
   * props_extract — pure map (get_json_object) into a per-type aggregate
     on a tiny key space.  JSON parsing is JVM-side codegen, no UDF.
 """
@@ -57,41 +59,79 @@ def funnel_conversion(events: DataFrame) -> DataFrame:
     happens strictly after the user's recorded stage-(i-1) time (t_i =
     min event time of stage i after t_{i-1}).  Emits one row per stage
     with the user count and conversion rates vs the previous stage and
-    the funnel entry."""
+    the funnel entry.
+
+    ONE lazy plan (r2 VERDICT fix — the old form ran a driver-side
+    .count() per stage, recomputing the scan stages x times): per user,
+    the time-sorted funnel events fold (JVM F.aggregate, no Python) into
+    the chained stage times — ascending order makes "first stage-i event
+    strictly after t_{i-1}" exactly "min stage-i time > t_{i-1}" — then
+    one global count aggregate inlined to the 3 stage rows.  Fold state
+    is 3 doubles; the collect_list is bounded per user by that user's
+    funnel-event count, and events outside FUNNEL_STAGES are filtered
+    before the exchange."""
+    stages = list(FUNNEL_STAGES)
     ts_sec = (F.unix_micros("ts").cast("double") / F.lit(1e6))
-    base = events.select("user_id", "event_type", ts_sec.alias("sec"))
-    cur = base.filter(F.col("event_type") == FUNNEL_STAGES[0]).groupBy(
-        "user_id"
-    ).agg(F.min("sec").alias("t"))
-    stage_counts = [cur.count()]
-    for stage in FUNNEL_STAGES[1:]:
-        nxt = (
-            base.filter(F.col("event_type") == stage)
-            .join(cur, "user_id")
-            .filter(F.col("sec") > F.col("t"))
-            .groupBy("user_id")
-            .agg(F.min("sec").alias("t"))
-        )
-        stage_counts.append(nxt.count())
-        cur = nxt
-    spark = events.sparkSession
-    rows = []
-    for i, (stage, n) in enumerate(zip(FUNNEL_STAGES, stage_counts)):
-        prev = stage_counts[i - 1] if i else stage_counts[0]
-        rows.append(
-            (
-                i + 1,
-                stage,
-                n,
-                round(n / prev, 6) if prev else None,
-                round(n / stage_counts[0], 6) if stage_counts[0] else None,
-            )
-        )
-    return spark.createDataFrame(
-        rows,
-        "stage int, event_type string, n_users bigint, "
-        "conv_from_prev double, conv_from_entry double",
+    base = events.filter(F.col("event_type").isin(*stages)).select(
+        "user_id", "event_type", ts_sec.alias("sec")
     )
+
+    def _fold(acc: F.Column, x: F.Column) -> F.Column:
+        t1, t2, t3 = acc.getField("t1"), acc.getField("t2"), acc.getField("t3")
+        sec, typ = x.getField("sec"), x.getField("event_type")
+        return F.struct(
+            F.coalesce(t1, F.when(typ == stages[0], sec)).alias("t1"),
+            F.coalesce(
+                t2, F.when((typ == stages[1]) & (sec > t1), sec)
+            ).alias("t2"),
+            F.coalesce(
+                t3, F.when((typ == stages[2]) & (sec > t2), sec)
+            ).alias("t3"),
+        )
+
+    d_null = F.lit(None).cast("double")
+    zero = F.struct(d_null.alias("t1"), d_null.alias("t2"), d_null.alias("t3"))
+    per_user = base.groupBy("user_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("sec", "event_type"))),
+            zero,
+            _fold,
+        ).alias("t")
+    )
+    n = per_user.agg(
+        F.count("t.t1").alias("n1"),
+        F.count("t.t2").alias("n2"),
+        F.count("t.t3").alias("n3"),
+    )
+
+    def _conv(num: F.Column, den: F.Column) -> F.Column:
+        return F.round(num.cast("double") / den, 6)
+
+    n1, n2, n3 = F.col("n1"), F.col("n2"), F.col("n3")
+    rows = F.array(
+        F.struct(
+            F.lit(1).alias("stage"),
+            F.lit(stages[0]).alias("event_type"),
+            n1.alias("n_users"),
+            _conv(n1, n1).alias("conv_from_prev"),
+            _conv(n1, n1).alias("conv_from_entry"),
+        ),
+        F.struct(
+            F.lit(2).alias("stage"),
+            F.lit(stages[1]).alias("event_type"),
+            n2.alias("n_users"),
+            _conv(n2, n1).alias("conv_from_prev"),
+            _conv(n2, n1).alias("conv_from_entry"),
+        ),
+        F.struct(
+            F.lit(3).alias("stage"),
+            F.lit(stages[2]).alias("event_type"),
+            n3.alias("n_users"),
+            _conv(n3, n2).alias("conv_from_prev"),
+            _conv(n3, n1).alias("conv_from_entry"),
+        ),
+    )
+    return n.select(F.inline(rows))
 
 
 RANGE_WINDOW_US = 300_000_000  # 5 minutes, integer microseconds

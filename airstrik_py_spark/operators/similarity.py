@@ -49,7 +49,9 @@ def srp_band_key(vec: Column, band: Column, bits: int = SRP_BITS) -> Column:
     )
 
 
-def cosine_dup_pairs(emb: DataFrame, threshold: float, bands: int = COSINE_BANDS) -> DataFrame:
+def cosine_dup_pairs(
+    emb: DataFrame, threshold: float, bands: int = COSINE_BANDS, bits: int = SRP_BITS
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via SRP-banded candidate
     generation: vectors sharing the sign pattern of ANY 8-dim block become
     candidates (banded LSH, same shape as MinHash bands), exact cosine
@@ -68,11 +70,17 @@ def cosine_dup_pairs(emb: DataFrame, threshold: float, bands: int = COSINE_BANDS
     The DuckDB oracle mirrors the banding, so t2 checks the OPERATOR's
     contract (candidates-then-exact), not all-pairs ground truth.
     Round-then-threshold keeps the verdict stable across engines' last-ulp
-    summation differences."""
+    summation differences.
+
+    `bands`/`bits` set the recall/candidate-volume operating point:
+    8 bands x 8 bits is the cheap high-threshold default; 16 bands x 4
+    bits (`cosine_dup_pairs_hi` / `dedup_embedding_cosine_hi`) restores
+    ~0.94 recall at the t2 threshold 0.4 for ~16x the candidate volume —
+    the knob VERDICT r2 asked to register as a first-class slug."""
     base = (
         _with_vec(emb)
         .withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))))
-        .withColumn("bkey", srp_band_key(F.col("vec"), F.col("band")))
+        .withColumn("bkey", srp_band_key(F.col("vec"), F.col("band"), bits))
     )
     a = base.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("va"), "band", "bkey")
     b = base.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"), "band", "bkey")

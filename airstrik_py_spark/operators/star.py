@@ -48,9 +48,16 @@ def _pct(col: str) -> Column:
 
 
 def _ha_micro(num: Column, den: Column) -> Column:
-    """round-half-away((num/den) * 1e6) as exact integers, num/den >= 0."""
-    scaled = num * 1_000_000
-    return F.floor((2 * scaled + den) / (2 * den)).cast("long")
+    """round-half-away((num/den) * 1e6) as exact integers, num/den >= 0.
+
+    True integer division (IntegralDivide over decimal(38,0)) — NOT
+    floor(a / b), whose double division loses bits past 2^53 (promo_units
+    * 1e6 is already ~1e17 here) and whose 2*scaled would wrap BIGINT at
+    larger SFs.  Both engines now compute the same exact quotient at any
+    operand magnitude (oracle side is integer `//`)."""
+    n = num.cast("decimal(38,0)")
+    d = den.cast("decimal(38,0)")
+    return F.call_function("div", n * 2_000_000 + d, d * 2).cast("long")
 
 
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:

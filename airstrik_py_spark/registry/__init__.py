@@ -5,16 +5,13 @@ re-exports the merged dicts for the driver."""
 from __future__ import annotations
 
 import importlib
+import json
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
-# Deterministic enumeration order.  The driver walks queries() in insertion
-# order and may truncate the tail under its verify budget (round 1 recorded
-# exactly the first 50 of 52 rows), so: all 37 reference SURVEY §2 slugs
-# first, then the round-1 extension set (all driver-verified or explicitly
-# demanded by VERDICT r1), then extras_q — the round-2 additions plus the
-# two cheapest-to-lose round-1 slugs (see extras_q docstring).
+# Module enumeration order (stable tie-break within a rotation class).
 _MODULES = (
     "kinematics_q",
     "sessions_q",
@@ -31,6 +28,31 @@ _MODULES = (
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
+def _driver_green_counts() -> dict[str, int]:
+    """slug -> number of driver-green CORRECTNESS_r*.json rows so far.
+
+    The driver records only the first ~50 ``queries()`` entries per round
+    (VERDICT r2: 50/113), so enumeration order decides which slugs ever earn
+    a driver-proven row.  Rotation policy (VERDICT r2 'Next round' #1):
+    slugs with the FEWEST driver-green rows lead, so every round the
+    never-verified tail moves into the verification window automatically —
+    no manual reordering, and the full local sweep (tools/check.py) still
+    covers everything each round."""
+    counts: dict[str, int] = {}
+    root = Path(__file__).resolve().parents[2]
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for slug, row in rows.items():
+            if isinstance(row, dict) and row.get("rows_match") and row.get("err") is None:
+                counts[slug] = counts.get(slug, 0) + 1
+    return counts
+
+
 def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}
@@ -45,4 +67,9 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
             raise ValueError(f"duplicate registry slugs from {mod_name}: {sorted(dupes)}")
         queries.update(mod_queries)
         oracles.update(getattr(mod, "ORACLES", {}))
+    # Stable rotation: fewest driver-green rows first, insertion order within.
+    green = _driver_green_counts()
+    order = sorted(queries, key=lambda slug: green.get(slug, 0))
+    queries = {slug: queries[slug] for slug in order}
+    oracles = {slug: oracles[slug] for slug in order if slug in oracles}
     return queries, oracles

@@ -592,14 +592,20 @@ def q_sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Spark's second built-in columnar format) and read it back — proves
     the store layer is format-agnostic; the oracle recomputes the same
     projection straight from events, so the round-trip must be lossless
-    (including double-precision columns)."""
+    (including double-precision columns).
+
+    Scratch path is FIXED per (user, sf) and overwritten each run — a
+    fresh mkdtemp per invocation leaked one full projection copy per
+    sweep/bench run (ADVICE r2)."""
+    import os
     import tempfile
 
     pin_session(spark)
     out = observations(spark, sf_dir).select(
         "hex", "event_id", "ts_sec", "lat", "lon", "alt_geom"
     )
-    path = tempfile.mkdtemp(prefix="orc_rt_") + "/obs_orc"
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(tempfile.gettempdir(), f"airstrik_orc_rt_{sf_tag}", "obs_orc")
     out.write.mode("overwrite").orc(path)
     return spark.read.orc(path)
 

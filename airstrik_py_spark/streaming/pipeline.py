@@ -132,7 +132,11 @@ def stream_sessionize_events(events: DataFrame, gap_s: int = 1800) -> DataFrame:
     Output drops the batch per-user session ordinal (a rank over completed
     sessions is not streaming-expressible); parity is on the exact
     microsecond bounds — see tests/test_streaming_events.py."""
-    gap = f"{gap_s * 1000 + 1} milliseconds"
+    # epsilon BELOW the microsecond timestamp resolution: a +1 ms epsilon
+    # would merge gaps in (gap_s, gap_s + 1ms) that the batch sessionizer
+    # (strict >) splits — +1 us keeps exact-boundary gaps in one session
+    # while matching batch on every representable timestamp difference
+    gap = f"{gap_s * 1_000_000 + 1} microseconds"
     us = F.unix_micros(F.col("ts"))
     return (
         events.withWatermark("ts", f"{gap_s * 2} seconds")

@@ -62,6 +62,49 @@ def main() -> None:
     )
     adc = SIM.ann_pq_adc(emb, n_queries=n, k=k)
     r_adc = recall_vs_brute(adc, brute_l2)
+
+    # Banded-cosine dedup recall AT the registered threshold (0.4): ground
+    # truth = exact all-pairs rounded cos >= t; each banding is scored on
+    # the fraction of true pairs its candidate buckets surface, plus the
+    # raw candidate-pair volume (the cost knob).
+    COS_T = 0.4
+    vecd = emb.withColumn(
+        "vec", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    a = vecd.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("va"))
+    b = vecd.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"))
+    truth = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(SIM.cosine(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("cos") >= COS_T)
+        .select("id_a", "id_b")
+        .cache()
+    )
+    n_truth = truth.count()
+
+    def banded_stats(bands: int, bits: int) -> tuple[float, int]:
+        base_b = (
+            vecd.withColumn(
+                "band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1)))
+            )
+            .withColumn("bkey", SIM.srp_band_key(F.col("vec"), F.col("band"), bits))
+            .select("vec_id", "band", "bkey")
+        )
+        pa = base_b.select(F.col("vec_id").alias("id_a"), "band", "bkey")
+        pb = base_b.select(F.col("vec_id").alias("id_b"), "band", "bkey")
+        cand = (
+            pa.join(pb, ["band", "bkey"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+            .cache()
+        )
+        n_cand = cand.count()
+        hits = cand.join(truth, ["id_a", "id_b"], "left_semi").count()
+        return (hits / n_truth if n_truth else 0.0, n_cand)
+
+    r_cos8, cand8 = banded_stats(8, 8)
+    r_cos16, cand16 = banded_stats(16, 4)
     srp_cand = emb.withColumn(
         "b", SIM.srp_signature(F.transform("embedding", lambda x: x.cast("double")))
     ).groupBy("b").count()
@@ -86,6 +129,15 @@ def main() -> None:
             f"| PQ-ADC ({SIM.PQ_SUB}x{SIM.PQ_SUB_DIM} dims, {SIM.PQ_K} "
             f"centroids/sub) vs exact-L2 top-k | {r_adc:.3f} | all N, but "
             f"codes only ({SIM.PQ_SUB} B/vec vs 256 B float) |\n\n"
+            f"Banded-cosine DEDUP recall at the registered threshold {0.4}\n"
+            f"(ground truth = exact all-pairs rounded cos >= 0.4, "
+            f"{n_truth} true pairs):\n\n"
+            "| banding | slug | pair recall @ t=0.4 | candidate pairs |\n"
+            "|---|---|---|---|\n"
+            f"| 8 bands x 8 bits | dedup_embedding_cosine | {r_cos8:.3f} "
+            f"| {cand8} |\n"
+            f"| 16 bands x 4 bits | dedup_embedding_cosine_hi | {r_cos16:.3f} "
+            f"| {cand16} |\n\n"
             "The fixture vectors are ISOTROPIC random (measured top-5 cosine\n"
             "~0.32, nearest-neighbor label agreement 7%) — the worst case for\n"
             "any LSH family: recall scales ~linearly with the candidate\n"

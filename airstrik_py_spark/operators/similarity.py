@@ -72,11 +72,13 @@ def cosine_dup_pairs(
     Round-then-threshold keeps the verdict stable across engines' last-ulp
     summation differences.
 
-    `bands`/`bits` set the recall/candidate-volume operating point:
-    8 bands x 8 bits is the cheap high-threshold default; 16 bands x 4
-    bits (`cosine_dup_pairs_hi` / `dedup_embedding_cosine_hi`) restores
-    ~0.94 recall at the t2 threshold 0.4 for ~16x the candidate volume —
-    the knob VERDICT r2 asked to register as a first-class slug."""
+    `bands`/`bits` set the recall/candidate-volume operating point
+    (RECALL.md measures both on the fixture): 8 bands x 8 bits is the
+    cheap high-threshold default (pair recall 0.27 at threshold 0.4,
+    ~3.9k candidate pairs); 16 bands x 4 bits (`dedup_embedding_cosine_hi`)
+    reaches 0.966 recall at the same threshold for ~21x the candidate
+    volume (~81k pairs) — the knob VERDICT r2 asked to register as a
+    first-class slug."""
     base = (
         _with_vec(emb)
         .withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))))
@@ -448,9 +450,19 @@ DIM_MICRO = 1_000_000
 
 # product quantization: 8 subspaces x 8 dims, 4 centroids each, 2 Lloyd
 # iterations (fixture-sized; production: 16-64 subspaces, 256 centroids)
-PQ_SUB = 8
-PQ_SUB_DIM = 8
-PQ_K = 4
+# Production-shaped 4-bit PQ (the FAISS "PQ32x4" fast-scan layout): 32
+# subspaces x 2 dims, 16 centroids each -> 32 4-bit codes = 16 B/vec (16x
+# smaller than the 64-dim float32 vector).  On the isotropic worst-case
+# fixture this reaches ADC recall@10 ~0.57 vs exact L2 (RECALL.md); the
+# same code budget spent as 8 subspaces x 16 centroids only reaches ~0.26
+# — finer subspaces beat bigger per-subspace codebooks at fixed bits,
+# which is why production 4-bit PQ splits thin.  Codebook size does NOT
+# change oracle SQL length (the Lloyd unroll is per-round, not
+# per-centroid); tests/test_dedup_similarity.py pins recall monotonicity
+# in codebook size.
+PQ_SUB = 32
+PQ_SUB_DIM = 2
+PQ_K = 16
 PQ_ITERS = 2
 
 
@@ -530,8 +542,9 @@ def pq_codes(emb: DataFrame) -> DataFrame:
     """Product-quantization encoding: train PQ_SUB independent per-subspace
     k-means codebooks (deterministic init = lowest vec_ids, PQ_ITERS Lloyd
     rounds) and emit each vector's code + squared quantization error per
-    subspace.  PQ is how 100 TB of float32 embeddings become ~1-2 bytes
-    per subvector for ANN serving (IVF-PQ): 64 dims x 4 B -> 8 codes.
+    subspace.  PQ is how 100 TB of float32 embeddings become a few bits
+    per subvector for ANN serving (IVF-PQ): 64 dims x 4 B -> 32 4-bit
+    codes (16 B/vec).
 
     Scale: all subspaces train in ONE long-form dataframe — per Lloyd
     round one broadcast join (codebook is PQ_SUB*PQ_K rows) and one
@@ -550,9 +563,9 @@ def pq_codes(emb: DataFrame) -> DataFrame:
 
 def ann_pq_adc(emb: DataFrame, n_queries: int, k: int) -> DataFrame:
     """PQ serving path: asymmetric distance computation (ADC) top-k.  The
-    database side is ONLY the 8 one-byte codes per vector; each query
+    database side is ONLY the PQ_SUB 4-bit codes per vector; each query
     precomputes a (sub, cid) -> squared-distance lookup table against the
-    codebook, and a vector's estimated distance is the SUM of 8 table
+    codebook, and a vector's estimated distance is the SUM of PQ_SUB table
     lookups — the query never touches a database float.
 
     Exactness: each LUT entry is quantized to integer micro-units, so the
@@ -717,8 +730,13 @@ def ann_ivf_pq(
 
 
 def ann_ivf_label(emb: DataFrame, n_queries: int, k: int) -> DataFrame:
-    """IVF-style ANN with the fixture `label` as the coarse cell: probe only
-    the query's cell, exact re-rank inside."""
+    """DEPRECATED BASELINE — use `ann_ivf_kmeans` (the trained coarse
+    quantizer) for any real serving path.  This variant uses the fixture
+    `label` column as the coarse cell (probe the query's own cell only,
+    exact re-rank inside); the fixture labels are uncorrelated with
+    nearest-neighbor structure (label agreement 7%, RECALL.md), so recall
+    is ~0.10 — retained ONLY as the comparison row that the trained
+    k-means quantizer (recall 0.49 at 2 probes) is measured against."""
     from pyspark.sql import Window
 
     base = _with_vec(emb)

@@ -293,3 +293,44 @@ def test_dedup_incremental_decisions(spark):
     assert out[11]["accept"] and out[11]["first_in_batch"]
     assert not out[12]["accept"] and not out[12]["first_in_batch"]
     assert out[13]["accept"] and not out[13]["seen_before"]
+
+
+def test_pq_adc_recall_monotone_in_codebook(spark):
+    """ADC recall vs exact L2 rises with per-subspace codebook size at a
+    fixed split — the production PQ quality knob (RECALL.md measures the
+    full curve).  Pins (a) strict monotonicity K=2 -> K=16 with margin and
+    (b) the registered 32x2x16 fast-scan config at recall@5 >= 0.5 on the
+    driver fixture."""
+    from pyspark.sql import Window
+
+    from airstrik_py_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n, k = emb.count(), 5
+    base = emb.withColumn("vec", F.transform("embedding", lambda x: x.cast("double")))
+    q = base.select(F.col("vec_id").alias("query_id"), F.col("vec").alias("qv"))
+    c = base.select(F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("cv"))
+    w = Window.partitionBy("query_id").orderBy("d", "neighbor_id")
+    brute = (
+        q.join(c, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("d", SIM._sq_dist(F.col("qv"), F.col("cv")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id")
+        .cache()
+    )
+    tot = brute.count()
+
+    def recall(pq_k: int) -> float:
+        orig = SIM.PQ_K
+        SIM.PQ_K = pq_k
+        try:
+            adc = SIM.ann_pq_adc(emb, n_queries=n, k=k)
+            hits = adc.join(brute, ["query_id", "neighbor_id"], "left_semi").count()
+        finally:
+            SIM.PQ_K = orig
+        return hits / tot
+
+    r_small, r_full = recall(2), recall(SIM.PQ_K)
+    assert r_full >= 0.5, r_full          # registered config (32x2x16)
+    assert r_full > r_small + 0.1, (r_small, r_full)  # monotone with margin

@@ -81,61 +81,71 @@ def quality_lr_fit_score(docs: DataFrame, iters: int = LR_ITERS) -> DataFrame:
     Returns (doc_id, label, logit, score, predicted): logit = w.x rounded
     half-away to 6 dp in pure integer micro arithmetic; score rounds
     sigmoid(w.x) to 6 dp (off-grid, engine-safe); predicted = w.x > 0."""
-    spark = docs.sparkSession
-    feats = _features(docs)
-    fdot = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v
+    # materialize the (doc_id, 4-long features, label) projection ONCE —
+    # every GD round plus the final scoring pass reuses it; without this the
+    # full document scan + feature extraction re-runs iters+1 times.  Local
+    # (non-resilient) checkpoint is the right tool for iterative training
+    # state: executor-local MEMORY_AND_DISK, lineage truncated.
+    # fan the text-heavy feature extraction out to the full core count when
+    # the source arrives under-partitioned (sf-sized fixtures are one
+    # parquet file -> one task); at real scale the scan already has more
+    # partitions than this and the branch is a no-op
+    n_part = int(
+        docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    wdf = spark.range(1).select(
-        F.array(*[F.lit(0).cast("long") for _ in range(N_FEATS)]).alias("wm")
-    )
-    n = feats.agg(F.count("*").alias("n"))
-    to_f = lambda arr: F.transform(arr, lambda v: v.cast("double") / F.lit(1e6))  # noqa: E731
+    if docs.rdd.getNumPartitions() < n_part:
+        docs = docs.repartition(n_part)
+    feats = _features(docs).localCheckpoint()
+    # Driver-carried model state: the weight vector is N_FEATS=4 integers —
+    # the MLlib recipe (gradient sums aggregate to the driver, the update
+    # happens there, next round ships the weights back as literals).  Per
+    # round: ONE map-side-combined aggregate job over the cached features;
+    # no per-round crossJoins/checkpoints of 1-row weight frames.  The
+    # integer update uses Python's exact bigints with the same half-away
+    # division the engines compute (floor((2g+n)/(2n)) on positives), so
+    # the weights are bit-identical to the r2 on-engine fold and to the
+    # oracle's integer CTEs at any magnitude.
+    wm = [0] * N_FEATS
     for _ in range(iters):
-        scored = feats.crossJoin(F.broadcast(wdf)).select(
-            "xm",
-            (
-                F.col("y")
-                - F.lit(1.0)
-                / (F.lit(1.0) + F.exp(-fdot(to_f(F.col("xm")), to_f(F.col("wm")))))
-            ).alias("err"),
+        z = sum(
+            (F.get(F.col("xm"), F.lit(i)).cast("double") / F.lit(1e6))
+            * F.lit(wm[i] / 1e6)
+            for i in range(N_FEATS)
         )
+        err = F.col("y") - F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
         # gradient sums are off-grid (they contain exp terms), so the
         # engine round() to micro ints is boundary-safe here
-        grad = scored.agg(
+        row = feats.agg(
+            F.count("*").alias("n"),
             *[
                 F.round(
-                    F.sum(F.col("err") * F.get(F.col("xm"), F.lit(i)).cast("double") / F.lit(1e6))
+                    F.sum(err * F.get(F.col("xm"), F.lit(i)).cast("double") / F.lit(1e6))
                     * F.lit(1e6),
                     0,
                 )
                 .cast("long")
                 .alias(f"_g{i}")
                 for i in range(N_FEATS)
-            ]
-        ).crossJoin(F.broadcast(n))
-        wdf = (
-            grad.crossJoin(F.broadcast(wdf))
-            .select(
-                F.array(
-                    *[
-                        F.get(F.col("wm"), F.lit(i))
-                        + _div_half_away(F.col(f"_g{i}"), F.col("n"))
-                        for i in range(N_FEATS)
-                    ]
-                ).alias("wm")
+            ],
+        ).first()
+        n_docs = row["n"]
+        for i in range(N_FEATS):
+            g = row[f"_g{i}"]
+            delta = (
+                (2 * g + n_docs) // (2 * n_docs)
+                if g >= 0
+                else -((-2 * g + n_docs) // (2 * n_docs))
             )
-            .localCheckpoint()
-        )
-    # exact integer micro^2 dot; logit = half-away 6-dp decimal
-    zm2 = F.aggregate(
-        F.zip_with(F.col("xm"), F.col("wm"), lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
+            wm[i] += delta
+    # exact integer micro^2 dot with the final weights as long literals;
+    # logit = half-away 6-dp decimal
+    zm2 = sum(
+        F.get(F.col("xm"), F.lit(i)) * F.lit(wm[i]).cast("long")
+        for i in range(N_FEATS)
     )
     logit_micro = _div_half_away(zm2, F.lit(MICRO).cast("long"))
     z = zm2.cast("double") / F.lit(1e12)
-    return feats.crossJoin(F.broadcast(wdf)).select(
+    return feats.select(
         "doc_id",
         F.col("y").cast("int").alias("label"),
         (logit_micro.cast("double") / F.lit(1e6)).alias("logit"),

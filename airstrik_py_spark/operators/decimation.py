@@ -2,28 +2,34 @@
 
 The reference writes every Nth live update per plane, optionally only when
 the position actually changed (airstrik.py:584-626: decimation_tracker
-counter at :558/:616/:623/:626, change-check at :612-624).  Batch form:
-consecutive-dedup (the change gate) then a per-key row counter with the
-reference's write phase — one window over the already-key-partitioned
-stream, no extra shuffle after kinematics.
+counter at :558/:616/:623/:626, change-check at :612-624).
 
-Write-phase derivation (per plane, counting unique fixes 1, 2, 3, ...):
+CLOSED-FORM CADENCE (r3 — replaces the r2 per-trip Column fold).  The
+reference's imperative countdown has a provable closed form, so the whole
+operator is window functions + one filter — no collect_list, no fold, no
+explode, one exchange:
 
-  * the tracker starts at 0 (airstrik.py:558) and a packet is ELIGIBLE once
-    len(lat_history) > 1, i.e. from fix #2 (airstrik.py:584-586);
-  * force_new_data=True: the first eligible packet only records
-    last_written (the `elif` at :619 needs a non-empty last_written), so the
-    first WRITE is fix #3; the reset to factor-1 (:623) plus one decrement
-    per packet (:626) puts later writes every `factor` fixes: 3, 3+N, ...;
-  * force_new_data=False: the first eligible packet writes immediately
-    (:612-616), so the cadence is 2, 2+N, ....
-
-Replication is EXACT as of r2 (a per-trip Column fold, not the earlier
-every-Nth window approximation): unchanged packets burn the reference's
-countdown (:626), writes require the sim to have run at least once
-(calc_heading non-empty, via the min(len(lat_history), len(lon_history))
->= 2 gate at :578-579 — a constant-longitude track never writes), and
-the missing-calc-heading reset branch (:595-600) is reproduced.
+  * the tracker starts at 0 (airstrik.py:558) and only DECREMENTS on
+    ineligible packets (:626); a packet is ELIGIBLE when tracker <= 0 and
+    len(lat_history) > 1 (:584-586).  Every eligible packet that resets the
+    tracker sets it to factor-1 (:598, :616, :623), so after any reset the
+    next eligible packet is exactly `factor` packets later: eligible
+    positions form the arithmetic grid E0, E0+N, E0+2N, ... where E0 is the
+    first packet with n_lat >= 2 (tracker is already <= 0 there, having
+    only decremented since session start);
+  * branch ladder at an eligible packet: A (:595-600) calc_heading still
+    empty (sim not run, i.e. NOT (n_lat>=2 and n_lon>=2), the :578-579
+    gate) -> tracker reset, no write; B (:612-616) last_written empty and
+    not force_new -> WRITE; D (:619 fails, force_new first time) -> no
+    write, records last_written, tracker UNCHANGED (still <= 0) so the
+    very next packet is eligible; C -> WRITE (see the bug note below);
+  * sim_ran and lw_set are monotone, so the event sequence is: A's on the
+    grid while the sim hasn't run, then at S = first grid position with
+    sim_ran (S = E0 + N*ceil((F - E0)/N), F = first packet with
+    n_lat>=2 and n_lon>=2) either B (write, not force_new) or D; after a
+    D the write starts at S+1 (the one off-grid event) and re-anchors.
+    Writes therefore sit at S' + k*N for k >= 0, with S' = S+1 when
+    decimation_force_new_data else S — a pure per-packet filter.
 
 Replicated reference BUG (deliberate, same policy as the ±90-lon clamp):
 the "if new data" gate at :619-621 compares last_written['lat'] — the
@@ -32,9 +38,17 @@ lat_history[-1][0]; a tuple never equals a float in Python, so the gate
 is vacuously true and the reference writes on EVERY eligible packet once
 last_written is non-empty.  decimation_force_new_data therefore only
 delays the FIRST write (the :612 branch needs last_written empty); it
-never suppresses repeats.  The fold keeps just the lw_set flag — no
-position comparison.  The DuckDB oracle mirrors the fold
-operation-for-operation (registry/sinks_q.py::_decim_fold_ctes).
+never suppresses repeats — which is exactly why the cadence closed form
+exists (branch C never skips).  The DuckDB oracle intentionally stays the
+packet-by-packet recursive fold mirroring the reference loop
+(registry/sinks_q.py::_decim_fold_ctes), so the correctness gate checks
+the closed form against an independent derivation of the same semantics.
+
+A write emits the history HEADS — the last known (value, entry-ts) pair
+per attribute (airstrik.py:602-604), not the triggering packet's own
+possibly-null fields; `update_seq` is the packet index within the trip
+(1-based).  Sessions restart all state (the closure deletes the
+plane_history entry on trip close, airstrik.py:548).
 
 decimation_factor = 0 is the documented "only the closest will be stored"
 mode (config.yaml:7): no per-update samples pass; callers store the
@@ -43,173 +57,104 @@ closest-approach sample instead (`decimate_closest`).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from airstrik_py_spark.config import EngineConfig
 
 
-def _decim_zero() -> F.Column:
-    """Fold seed = the reference's fresh plane_history entry: tracker 0,
-    empty histories, empty last_written (airstrik.py:556-568).  `writes`
-    carries the full emitted sample — the write uses lat_history[-1] /
-    lon_history[-1] (value, entry-ts) PAIRS (airstrik.py:602-604), i.e.
-    the last KNOWN position stamped with when it was first seen, not the
-    triggering packet's own possibly-null fields."""
-    d_null = F.lit(None).cast("double")
-    return F.struct(
-        F.lit(0).alias("tracker"),
-        F.lit(0).alias("n_lat"),
-        F.lit(0).alias("n_lon"),
-        d_null.alias("last_la"),
-        d_null.alias("last_lo"),
-        d_null.alias("la_t"),
-        d_null.alias("lo_t"),
-        F.lit(False).alias("lw_set"),
-        F.lit(False).alias("sim_ran"),
-        F.array().cast(
-            "array<struct<i:int,t:double,e:bigint,ts:timestamp,"
-            "la:double,la_t:double,lo:double,lo_t:double>>"
-        ).alias("writes"),
-        F.lit(0).alias("i"),
-    )
-
-
-def _decim_step(n: int, force_new: bool):
-    """One packet of the reference's write loop (airstrik.py:574-626) as a
-    pure Column fold step — see the CASE ladder comments for the branch
-    mapping."""
-
-    def step(acc: F.Column, p: F.Column) -> F.Column:
-        la, lo = p.getField("la"), p.getField("lo")
-        # per-attribute history appends (:574-577)
-        lat_new = la.isNotNull() & (
-            (acc.getField("n_lat") == 0) | (la != acc.getField("last_la"))
-        )
-        lon_new = lo.isNotNull() & (
-            (acc.getField("n_lon") == 0) | (lo != acc.getField("last_lo"))
-        )
-        n_lat = acc.getField("n_lat") + F.when(lat_new, 1).otherwise(0)
-        n_lon = acc.getField("n_lon") + F.when(lon_new, 1).otherwise(0)
-        # calc-heading history becomes non-empty once the sim has run (:578-580)
-        sim_ran = acc.getField("sim_ran") | ((n_lat >= 2) & (n_lon >= 2))
-        eligible = (acc.getField("tracker") <= 0) & F.lit(n != 0) & (n_lat > 1)
-        # branch ladder inside the eligible block:
-        #   A (:595-600) no calc_heading yet -> tracker reset, no write, no lw
-        #   B (:612-616) not force_new and last_written empty -> WRITE
-        #   C (:619-624) last_written set and position moved -> WRITE
-        #   D            otherwise -> no write, tracker stays <= 0
-        # last_written updates on B/C/D (:625); ineligible packets burn the
-        # countdown (:626)
-        # history heads AFTER this packet's appends — a write emits the head
-        # (value, entry-ts) pairs (airstrik.py:602-604)
-        new_la = F.when(la.isNotNull(), la).otherwise(acc.getField("last_la"))
-        new_lo = F.when(lo.isNotNull(), lo).otherwise(acc.getField("last_lo"))
-        new_la_t = F.when(lat_new, p.getField("t")).otherwise(acc.getField("la_t"))
-        new_lo_t = F.when(lon_new, p.getField("t")).otherwise(acc.getField("lo_t"))
-        is_a = eligible & ~sim_ran
-        is_b = eligible & sim_ran & F.lit(not force_new) & ~acc.getField("lw_set")
-        # replicated reference bug: the :619-621 "if new data" comparison
-        # pits a (value, ts) tuple against a scalar — vacuously unequal — so
-        # once last_written is set EVERY eligible packet writes
-        is_c = eligible & sim_ran & acc.getField("lw_set")
-        wrote = is_b | is_c
-        tracker = (
-            F.when(is_a | wrote, F.lit(n - 1))
-            .when(eligible, acc.getField("tracker"))
-            .otherwise(acc.getField("tracker") - 1)
-        )
-        idx = acc.getField("i") + 1
-        return F.struct(
-            tracker.alias("tracker"),
-            n_lat.alias("n_lat"),
-            n_lon.alias("n_lon"),
-            new_la.alias("last_la"),
-            new_lo.alias("last_lo"),
-            new_la_t.alias("la_t"),
-            new_lo_t.alias("lo_t"),
-            (acc.getField("lw_set") | (eligible & ~is_a)).alias("lw_set"),
-            sim_ran.alias("sim_ran"),
-            F.when(
-                wrote,
-                F.concat(
-                    acc.getField("writes"),
-                    F.array(
-                        F.struct(
-                            idx.alias("i"),
-                            p.getField("t").alias("t"),
-                            p.getField("e").alias("e"),
-                            p.getField("ts").alias("ts"),
-                            new_la.alias("la"),
-                            new_la_t.alias("la_t"),
-                            new_lo.alias("lo"),
-                            new_lo_t.alias("lo_t"),
-                        )
-                    ),
-                ),
-            )
-            .otherwise(acc.getField("writes"))
-            .alias("writes"),
-            idx.alias("i"),
-        )
-
-    return step
-
-
 def decimate(df: DataFrame, cfg: EngineConfig) -> DataFrame:
-    """The reference's decimated live-write gate, replicated EXACTLY as a
-    per-trip fold (airstrik.py:574-626): per-attribute history appends, the
-    packet-level countdown, the missing-calc-heading reset, and the
-    VACUOUS "if new data" gate (the reference's tuple-vs-scalar comparison
-    bug — see module docstring) — so every eligible packet after the
-    first-write baseline emits, frozen or not.  `update_seq` = packet
-    index within the trip (1-based).
-
-    Trip-scoped: closure deletes the reference's plane_history entry
-    (airstrik.py:548), so all state restarts per session.  Scale contract:
-    one groupBy per (hex, session) with a trip-bounded collect_list — the
-    same memory shape as the A3 trip assembly — then a JVM-side Column
-    fold (F.aggregate, no Python); factor=0 passes nothing (closest-only
-    mode — use decimate_closest)."""
-    from airstrik_py_spark.operators.sessions import with_session_id
-
+    """The reference's decimated live-write gate (airstrik.py:574-626) via
+    the closed-form write cadence (module docstring): per-packet window
+    state (history sizes + heads) and two per-session scalars (E0, F) feed
+    one filter.  Scale contract: ONE hash exchange on hex (explicit
+    REPARTITION_BY_NUM so AQE's byte-based coalesce can't under-parallelize
+    the window sorts), window sorts are per-key and spill-safe — no
+    per-key array materialization at all (the r2 fold collected whole trips;
+    this keeps rows as rows).  factor=0 passes nothing (closest-only mode —
+    use decimate_closest)."""
     n = int(cfg.decimation_factor)
+    spark = df.sparkSession
+    if n == 0:
+        empty_schema = (
+            "hex string, ts timestamp, ts_sec double, event_id bigint, "
+            "lat double, lat_sec double, lon double, lon_sec double, "
+            "session_id bigint, update_seq int"
+        )
+        return spark.createDataFrame([], empty_schema)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    df = df.repartition(n_part, "hex")
+
+    wh = Window.partitionBy("hex").orderBy("ts_sec", "event_id")
     if "session_id" not in df.columns:
-        df = with_session_id(df, cfg)
-    packed = df.groupBy("hex", "session_id").agg(
-        F.sort_array(
-            F.collect_list(
-                F.struct(
-                    F.col("ts_sec").alias("t"),
-                    F.col("event_id").alias("e"),
-                    F.col("ts").alias("ts"),
-                    F.col("lat").alias("la"),
-                    F.col("lon").alias("lo"),
-                )
-            )
-        ).alias("ps")
-    )
-    folded = packed.select(
+        gap = F.col("ts_sec") - F.lag("ts_sec").over(wh)
+        is_new = F.when(gap.isNull() | (gap > F.lit(cfg.remember_s)), 1).otherwise(0)
+        df = df.withColumn(
+            "session_id",
+            F.sum(is_new).over(wh.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+
+    ws = Window.partitionBy("hex", "session_id").orderBy("ts_sec", "event_id")
+    run = ws.rowsBetween(Window.unboundedPreceding, 0)
+    before = ws.rowsBetween(Window.unboundedPreceding, -1)
+    la, lo = F.col("lat"), F.col("lon")
+    # per-attribute history append test (:574-577): non-null and different
+    # from the current history head
+    prev_la = F.last(la, ignorenulls=True).over(before)
+    prev_lo = F.last(lo, ignorenulls=True).over(before)
+    lat_new = la.isNotNull() & (prev_la.isNull() | (la != prev_la))
+    lon_new = lo.isNotNull() & (prev_lo.isNull() | (lo != prev_lo))
+
+    st = df.select(
         "hex",
         "session_id",
-        F.aggregate(
-            "ps", _decim_zero(), _decim_step(n, cfg.decimation_force_new_data)
-        ).getField("writes").alias("w"),
+        "ts",
+        "ts_sec",
+        "event_id",
+        F.row_number().over(ws).alias("i"),
+        F.sum(F.when(lat_new, 1).otherwise(0)).over(run).alias("n_lat"),
+        F.sum(F.when(lon_new, 1).otherwise(0)).over(run).alias("n_lon"),
+        # history heads after this packet's append (a write emits these
+        # (value, entry-ts) pairs, airstrik.py:602-604)
+        F.last(la, ignorenulls=True).over(run).alias("head_la"),
+        F.last(lo, ignorenulls=True).over(run).alias("head_lo"),
+        F.last(F.when(lat_new, F.col("ts_sec")), ignorenulls=True)
+        .over(run)
+        .alias("head_la_t"),
+        F.last(F.when(lon_new, F.col("ts_sec")), ignorenulls=True)
+        .over(run)
+        .alias("head_lo_t"),
     )
-    # the write struct captures everything the emitted row needs, so the
-    # trip array is dropped BEFORE the explode (no O(P*W) re-materialization)
-    out = folded.select("hex", "session_id", F.explode("w").alias("wr"))
+
+    full = Window.partitionBy("hex", "session_id")
+    e0 = F.min(F.when(F.col("n_lat") >= 2, F.col("i"))).over(full)
+    f0 = F.min(
+        F.when((F.col("n_lat") >= 2) & (F.col("n_lon") >= 2), F.col("i"))
+    ).over(full)
+    st = st.withColumn("e0", e0).withColumn("f0", f0)
+
+    # S = first eligible grid position with the sim run; the force_new
+    # D-branch shifts the first write one packet right and re-anchors
+    s = F.col("e0") + F.lit(n) * F.ceil(
+        (F.col("f0") - F.col("e0")) / F.lit(n)
+    ).cast("int")
+    s1 = s + F.lit(1) if cfg.decimation_force_new_data else s
+    out = st.withColumn("s1", s1).filter(
+        F.col("f0").isNotNull()
+        & (F.col("i") >= F.col("s1"))
+        & ((F.col("i") - F.col("s1")) % F.lit(n) == 0)
+    )
     return out.select(
         "hex",
-        F.col("wr.ts").alias("ts"),
-        F.col("wr.t").alias("ts_sec"),
-        F.col("wr.e").alias("event_id"),
-        F.col("wr.la").alias("lat"),
-        F.col("wr.la_t").alias("lat_sec"),
-        F.col("wr.lo").alias("lon"),
-        F.col("wr.lo_t").alias("lon_sec"),
+        "ts",
+        "ts_sec",
+        "event_id",
+        F.col("head_la").alias("lat"),
+        F.col("head_la_t").alias("lat_sec"),
+        F.col("head_lo").alias("lon"),
+        F.col("head_lo_t").alias("lon_sec"),
         "session_id",
-        F.col("wr.i").alias("update_seq"),
+        F.col("i").alias("update_seq"),
     )
 
 

@@ -22,6 +22,9 @@ import __spark_entry__ as entrymod  # noqa: E402
 
 # The headline set: flagship trip pipeline + the heaviest operator families
 # (dead reckoning unroll, daily rollup, dedup, ANN, kinematics windows).
+# The first 10 are unchanged since r1 for round-over-round comparability;
+# r3 adds one representative each from the star-schema, events, and
+# composed-pipeline families (VERDICT r2 next-round #6).
 HEADLINE = (
     "agg_trip_assembly",
     "alarm_dead_reckoning",
@@ -33,6 +36,9 @@ HEADLINE = (
     "dedup_ngram_jaccard",
     "ann_bruteforce_cosine",
     "text_fingerprint",
+    "star_revenue_topk",
+    "events_sessionize",
+    "pipeline_corpus_release",
 )
 
 

@@ -23,6 +23,7 @@ _MODULES = (
     "dedup_q",
     "similarity_q",
     "extras_q",
+    "scale_q",
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]

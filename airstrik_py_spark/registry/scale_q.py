@@ -1,0 +1,152 @@
+"""Round-3 scale-family slugs: weighted priority sampling, count-min
+heavy hitters, delta-style corpus upsert, and kNN-graph PageRank.
+
+These register after every earlier family (newest slugs have zero
+driver-green rows, so the rotation in registry/__init__.py will walk them
+into the driver's ~50-row correctness window in later rounds; the local
+sweep covers them immediately).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from airstrik_py_spark.operators import graph as G
+from airstrik_py_spark.operators import sampling as SAMP
+from airstrik_py_spark.operators import sketch as SK
+from airstrik_py_spark.registry.similarity_q import _KNN_CTES
+from airstrik_py_spark.session import pin_session
+from airstrik_py_spark.sources.tables import load_table
+
+UPSERT_MOD = 7
+UPSERT_SUFFIX = " [rev2]"
+
+
+def q_sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (weighted-without-replacement, distributed-exact):
+    k documents by n_chars+1 weight via integer md5 rank keys — one scan +
+    TakeOrdered, mergeable per partition (operators/sampling.py)."""
+    pin_session(spark)
+    return SAMP.priority_sample(load_table(spark, sf_dir, "documents"))
+
+
+def q_sketch_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over the token stream, exact count
+    alongside so the one-sided estimate contract (est >= true) is gated by
+    the oracle (operators/sketch.py)."""
+    pin_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("token"))
+    return SK.cms_topk(tok)
+
+
+def q_corpus_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style latest-wins MERGE as pure relational algebra: an update
+    batch (every UPSERT_MOD-th doc revised, text appended) unions with the
+    base corpus; per doc_id the highest version survives via max_by — one
+    hash exchange on doc_id, no driver round-trips.  At scale the base
+    corpus would be bucketed by doc_id at write time (join_bucketed_coloc
+    pattern) making the merge exchange-free on the corpus side."""
+    pin_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", F.lit(1).alias("version"), F.col("text"), F.col("source")
+    )
+    upd = d.filter(F.col("doc_id") % UPSERT_MOD == 0).select(
+        "doc_id",
+        F.lit(2).alias("version"),
+        F.concat(F.col("text"), F.lit(UPSERT_SUFFIX)).alias("text"),
+        F.col("source"),
+    )
+    merged = base.unionByName(upd)
+    return merged.groupBy("doc_id").agg(
+        F.max("version").alias("version"),
+        F.max_by(F.length("text"), F.col("version")).cast("long").alias("n_chars_final"),
+        F.max_by(F.col("source"), F.col("version")).alias("source"),
+    )
+
+
+def q_graph_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration integer PageRank over the SRP-bucketed kNN graph
+    (operators/graph.py) — document centrality for curation ranking."""
+    pin_session(spark)
+    return G.pagerank_knn(load_table(spark, sf_dir, "embeddings"))
+
+
+def _pr_iter_ctes(iters: int) -> str:
+    """Unrolled PageRank rounds mirroring operators/graph.py::pagerank:
+    integer micro-unit pr, per-edge pr // outdeg, damped with integer //."""
+    parts = [
+        "nodes AS (SELECT vec_id AS node FROM e)",
+        "deg AS (SELECT src_id AS src, CAST(count(*) AS BIGINT) AS outdeg"
+        " FROM knn GROUP BY src_id)",
+        "ed AS (SELECT k.src_id AS src, k.dst_id AS dst, d.outdeg"
+        " FROM knn k JOIN deg d ON k.src_id = d.src)",
+        f"pr0 AS (SELECT node, CAST({G.PR_MICRO} AS BIGINT) AS pr FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"c{i} AS (SELECT ed.dst AS node, SUM(p.pr // ed.outdeg) AS contrib"
+            f" FROM ed JOIN pr{i - 1} p ON ed.src = p.node GROUP BY ed.dst)"
+        )
+        parts.append(
+            f"pr{i} AS (SELECT n.node, CAST({G.PR_BASE} +"
+            f" ({G.PR_DAMP_NUM} * COALESCE(c.contrib, 0)) // {G.PR_DAMP_DEN}"
+            f" AS BIGINT) AS pr"
+            f" FROM nodes n LEFT JOIN c{i} c ON n.node = c.node)"
+        )
+    return ",\n".join(parts)
+
+
+QUERIES = {
+    "sample_weighted_priority": q_sample_weighted_priority,
+    "sketch_cms_topk": q_sketch_cms_topk,
+    "corpus_upsert_merge": q_corpus_upsert_merge,
+    "graph_pagerank_knn": q_graph_pagerank_knn,
+}
+
+ORACLES = {
+    "sample_weighted_priority": f"""
+WITH k AS (
+  SELECT doc_id, CAST(n_chars + 1 AS BIGINT) AS weight,
+         ((('0x' || substr(md5('{SAMP.PRIORITY_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+          * {SAMP.PRIORITY_SCALE}) // (n_chars + 1) AS rank_key
+  FROM documents)
+SELECT doc_id, weight, CAST(rank_key AS BIGINT) AS rank_key
+FROM k ORDER BY rank_key ASC, doc_id ASC LIMIT {SAMP.PRIORITY_K}
+""",
+    "sketch_cms_topk": f"""
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+rows_ AS (SELECT unnest(range(0, {SK.CMS_D})) AS r),
+buck AS (SELECT token, r AS row_idx,
+                ('0x' || substr(md5(CAST(r AS VARCHAR) || token), 1, 8))::BIGINT % {SK.CMS_W} AS bucket
+         FROM tok, rows_),
+sketch AS (SELECT row_idx, bucket, CAST(count(*) AS BIGINT) AS cell_count
+           FROM buck GROUP BY row_idx, bucket),
+exact AS (SELECT token, CAST(count(*) AS BIGINT) AS true_count FROM tok GROUP BY token),
+probes AS (SELECT token, true_count, r AS row_idx,
+                  ('0x' || substr(md5(CAST(r AS VARCHAR) || token), 1, 8))::BIGINT % {SK.CMS_W} AS bucket
+           FROM exact, rows_),
+est AS (SELECT p.token, p.true_count, CAST(min(s.cell_count) AS BIGINT) AS est_count
+        FROM probes p JOIN sketch s ON p.row_idx = s.row_idx AND p.bucket = s.bucket
+        GROUP BY p.token, p.true_count)
+SELECT token, est_count, true_count
+FROM est ORDER BY est_count DESC, token ASC LIMIT {SK.CMS_TOP_K}
+""",
+    "corpus_upsert_merge": f"""
+WITH base AS (SELECT doc_id, 1 AS version, text, source FROM documents),
+upd AS (SELECT doc_id, 2 AS version, text || '{UPSERT_SUFFIX}' AS text, source
+        FROM documents WHERE doc_id % {UPSERT_MOD} = 0),
+u AS (SELECT * FROM base UNION ALL SELECT * FROM upd)
+SELECT doc_id, CAST(max(version) AS INTEGER) AS version,
+       CAST(max_by(length(text), version) AS BIGINT) AS n_chars_final,
+       max_by(source, version) AS source
+FROM u GROUP BY doc_id
+""",
+    "graph_pagerank_knn": f"""
+WITH {_KNN_CTES},
+{_pr_iter_ctes(G.PR_ITERS)}
+SELECT node AS vec_id, pr AS pr_micro FROM pr{G.PR_ITERS}
+""",
+}

@@ -47,15 +47,17 @@ def stream_trips(obs: DataFrame, cfg: EngineConfig) -> DataFrame:
     Boundary semantics: the reference closes a session only when the gap is
     STRICTLY greater than `remember` (airstrik.py:482), but session_window's
     end is exclusive — an event exactly `remember` after the last would
-    start a new session.  The +1 ms epsilon keeps exact-boundary gaps in the
-    same session, matching batch with_session_id.
+    start a new session.  The +1 microsecond epsilon keeps exact-boundary
+    gaps in the same session while staying below timestamp resolution, so a
+    gap strictly greater than `remember` can never merge here yet split in
+    batch with_session_id (ts_sec is a microsecond-precision double).
 
     The `alarmed` flag here is the per-event approximation that a pure
     streaming aggregate can express (strict-< zone test + same-row altitude
     ceiling); the fully faithful sticky flag — running last-altitude and the
     >=2-unique-fix sim gate (airstrik.py:272-277) — needs keyed state and
     lives in streaming/stateful.py::tracked_stream."""
-    gap = f"{int(cfg.remember_s * 1000) + 1} milliseconds"
+    gap = f"{int(cfg.remember_s * 1_000_000) + 1} microseconds"
     watermark = f"{int(cfg.remember_s * 2)} seconds"
     clean_flight = F.regexp_replace("flight", " ", "")
     closest = F.min(

@@ -1,0 +1,118 @@
+"""Round-3 scale family: priority sampling, count-min sketch, PageRank,
+corpus upsert — operator contracts beyond the oracle hash-match."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from airstrik_py_spark.operators import graph as G
+from airstrik_py_spark.operators import sampling as SAMP
+from airstrik_py_spark.operators import sketch as SK
+
+
+def _docs(spark, n=400, heavy_every=10):
+    """Synthetic documents: every heavy_every-th doc is 50x heavier."""
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % heavy_every == 0, F.lit(5000))
+        .otherwise(F.lit(100))
+        .alias("n_chars"),
+    )
+
+
+class TestPrioritySample:
+    def test_k_rows_sorted(self, spark):
+        out = SAMP.priority_sample(_docs(spark), k=50).collect()
+        assert len(out) == 50
+        keys = [r.rank_key for r in out]
+        assert keys == sorted(keys)
+
+    def test_weight_bias(self, spark):
+        """50x-heavier docs (10% of corpus) must be strongly over-represented
+        in the sample — the point of weighted sampling."""
+        out = SAMP.priority_sample(_docs(spark), k=50).collect()
+        heavy = sum(1 for r in out if r.weight > 1000)
+        assert heavy > 25  # 10% of corpus, >50% of the sample
+
+    def test_mergeable(self, spark):
+        """Priority sampling's defining property: merging per-shard top-k
+        samples (by rank key) equals the single-pass top-k over the union —
+        what makes it one scan + a k-row reduce at 100 TB."""
+        docs = _docs(spark)
+        shard_a = docs.filter(F.col("doc_id") % 2 == 0)
+        shard_b = docs.filter(F.col("doc_id") % 2 == 1)
+        merged = (
+            SAMP.priority_sample(shard_a, k=30)
+            .unionByName(SAMP.priority_sample(shard_b, k=30))
+            .orderBy("rank_key", "doc_id")
+            .limit(30)
+        )
+        direct = SAMP.priority_sample(docs, k=30)
+        assert [tuple(r) for r in merged.collect()] == [
+            tuple(r) for r in direct.collect()
+        ]
+
+
+class TestCountMin:
+    def _tokens(self, spark):
+        return (
+            spark.range(2000)
+            .select((F.col("id") % 37).cast("string").alias("token"))
+        )
+
+    def test_overestimate_contract(self, spark):
+        """CMS never underestimates: est >= true for every token."""
+        out = SK.cms_topk(self._tokens(spark), k=37).collect()
+        assert len(out) == 37
+        assert all(r.est_count >= r.true_count for r in out)
+
+    def test_sketch_bounded(self, spark):
+        sk = SK.cms_build(self._tokens(spark))
+        assert sk.count() <= SK.CMS_D * SK.CMS_W
+        # total mass per row = number of token occurrences
+        per_row = sk.groupBy("row_idx").agg(F.sum("cell_count").alias("m")).collect()
+        assert {r.m for r in per_row} == {2000}
+
+    def test_merge_by_addition(self, spark):
+        """Sketches of disjoint shards merge cell-wise — the incremental
+        build path (per-batch sketch + running sum)."""
+        tok = self._tokens(spark).withColumn("half", F.monotonically_increasing_id() % 2)
+        a = SK.cms_build(tok.filter("half = 0").select("token"))
+        b = SK.cms_build(tok.filter("half = 1").select("token"))
+        merged = (
+            a.unionByName(b)
+            .groupBy("row_idx", "bucket")
+            .agg(F.sum("cell_count").alias("cell_count"))
+        )
+        whole = SK.cms_build(tok.select("token"))
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, whole.collect())
+        )
+
+
+class TestPageRank:
+    def test_uniform_cycle(self, spark):
+        """On a directed cycle every node has indegree = outdegree = 1, so
+        pr stays exactly uniform at every iteration."""
+        n = 10
+        nodes = spark.range(n).select(F.col("id").alias("node"))
+        edges = spark.range(n).select(
+            F.col("id").alias("src"), ((F.col("id") + 1) % n).alias("dst")
+        )
+        out = G.pagerank(nodes, edges, iters=3).collect()
+        # 150000 + (85 * 1_000_000) // 100 = exactly 1_000_000 every round
+        assert {r.pr_micro for r in out} == {G.PR_MICRO}
+        assert len(out) == n
+
+    def test_sink_attracts_mass(self, spark):
+        """A node every other node points at must outrank the pointers."""
+        n = 6
+        nodes = spark.range(n).select(F.col("id").alias("node"))
+        edges = (
+            spark.range(1, n)
+            .select(F.col("id").alias("src"), F.lit(0).alias("dst"))
+        )
+        out = {r.node: r.pr_micro for r in G.pagerank(nodes, edges, iters=2).collect()}
+        assert out[0] > max(v for k, v in out.items() if k != 0)
+        # non-pointed nodes get exactly the base mass
+        assert all(out[k] == G.PR_BASE for k in range(1, n))

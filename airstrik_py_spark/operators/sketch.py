@@ -31,23 +31,23 @@ CMS_D = 3  # independent hash rows
 CMS_TOP_K = 50
 
 
-def _bucket(row_idx: int, token: Column) -> Column:
+def _bucket(row_idx: int, token: Column, w: int = CMS_W) -> Column:
     """Row `row_idx`'s counter index for a token: md5(row || token) first
-    32 bits mod W.  Independent rows come from salting with the row index."""
+    32 bits mod `w`.  Independent rows come from salting with the row index."""
     h = F.conv(
         F.substring(F.md5(F.concat(F.lit(str(row_idx)), token)), 1, 8), 16, 10
     ).cast("long")
-    return (h % F.lit(CMS_W)).cast("long")
+    return (h % F.lit(w)).cast("long")
 
 
-def cms_build(tokens: DataFrame, token_col: str = "token") -> DataFrame:
-    """Build the D x W sketch from a token-occurrence stream: one
-    aggregation over at most D*W groups (map-side combined — each task
-    emits <= D*W partial cells regardless of input size).  Output:
+def cms_build(tokens: DataFrame, token_col: str = "token", w: int = CMS_W) -> DataFrame:
+    """Build the D x `w` sketch from a token-occurrence stream: one
+    aggregation over at most D*w groups (map-side combined — each task
+    emits <= D*w partial cells regardless of input size).  Output:
     (row_idx, bucket, cell_count)."""
     t = F.col(token_col)
     cells = tokens.select(
-        F.posexplode(F.array(*[_bucket(i, t) for i in range(CMS_D)])).alias(
+        F.posexplode(F.array(*[_bucket(i, t, w) for i in range(CMS_D)])).alias(
             "row_idx", "bucket"
         )
     )

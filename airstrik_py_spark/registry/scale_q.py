@@ -74,6 +74,46 @@ def q_graph_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.pagerank_knn(load_table(spark, sf_dir, "embeddings"))
 
 
+PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+def q_profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profiling of `orders`: per column the null
+    count, exact distinct count, and min/max (min/max on the NATIVE type,
+    cast to string afterwards, so numerics don't compare lexicographically).
+
+    One scan, one global aggregate; the multi-column countDistinct expands
+    the input 6x before the partial agg — at 100 TB swap each to
+    approx_count_distinct, which removes the expand and keeps a single
+    narrow pass (same swap as the A1 rollup, measured in APPROX.md).  The
+    unpivot to rows is a stack() over ONE aggregated row — driver-free."""
+    pin_session(spark)
+    t = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in PROFILE_COLS:
+        aggs += [
+            (F.count("*") - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    one = t.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__nulls, {c}__nd, {c}__min, {c}__max" for c in PROFILE_COLS
+    )
+    return one.selectExpr(
+        f"stack({len(PROFILE_COLS)}, {stack}) AS "
+        "(column_name, n_nulls, n_distinct, min_str, max_str)"
+    )
+
+
 def _pr_iter_ctes(iters: int) -> str:
     """Unrolled PageRank rounds mirroring operators/graph.py::pagerank:
     integer micro-unit pr, per-edge pr // outdeg, damped with integer //."""
@@ -104,7 +144,16 @@ QUERIES = {
     "sketch_cms_topk": q_sketch_cms_topk,
     "corpus_upsert_merge": q_corpus_upsert_merge,
     "graph_pagerank_knn": q_graph_pagerank_knn,
+    "profile_column_stats": q_profile_column_stats,
 }
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS column_name,"
+    f" count(*) - count({c}) AS n_nulls,"
+    f" count(DISTINCT {c}) AS n_distinct,"
+    f" min({c})::VARCHAR AS min_str, max({c})::VARCHAR AS max_str FROM orders"
+    for c in PROFILE_COLS
+)
 
 ORACLES = {
     "sample_weighted_priority": f"""
@@ -149,4 +198,5 @@ WITH {_KNN_CTES},
 {_pr_iter_ctes(G.PR_ITERS)}
 SELECT node AS vec_id, pr AS pr_micro FROM pr{G.PR_ITERS}
 """,
+    "profile_column_stats": _PROFILE_ORACLE,
 }

@@ -251,3 +251,79 @@ def test_event_sessionize_matches_python_reference(spark, user_gaps):
         for i, b in enumerate(sessions, start=1):
             want[(u, i)] = (len(b), b[0], b[-1])
     assert got == want
+
+
+weights_strategy = st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=40)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(weights=weights_strategy, k=st.integers(min_value=1, max_value=10))
+def test_priority_sample_matches_python_reference(spark, weights, k):
+    """priority_sample must pick exactly the k smallest
+    ((md5_32(salt||id)+1) * 2^20) // (w+1) keys, ties by doc_id — verified
+    against a from-scratch Python recomputation on arbitrary weights."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from airstrik_py_spark.operators.sampling import (
+        PRIORITY_SALT,
+        PRIORITY_SCALE,
+        priority_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(weights)], "doc_id long, n_chars long"
+    )
+    got = [
+        (r["doc_id"], r["weight"], r["rank_key"])
+        for r in priority_sample(docs, k=k).collect()
+    ]
+
+    def key(i: int, w: int) -> int:
+        h = int(hashlib.md5(f"{PRIORITY_SALT}{i}".encode()).hexdigest()[:8], 16)
+        return ((h + 1) * PRIORITY_SCALE) // (w + 1)
+
+    want = sorted(
+        ((key(i, w), i, w) for i, w in enumerate(weights))
+    )[:k]
+    assert got == [(i, w + 1, q) for q, i, w in want]
+
+
+pr_edges_strategy = st.lists(
+    st.tuples(st.integers(0, 7), st.integers(0, 7)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=20,
+    unique=True,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges=pr_edges_strategy)
+def test_pagerank_matches_python_reference(spark, edges):
+    """Integer PageRank must equal a dict-based simulation on any random
+    small digraph — same // rounding at every step."""
+    from airstrik_py_spark.operators.graph import (
+        PR_BASE,
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_ITERS,
+        PR_MICRO,
+        pagerank,
+    )
+
+    n = 8
+    nodes_df = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    edges_df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["pr_micro"] for r in pagerank(nodes_df, edges_df).collect()}
+
+    outdeg: dict[int, int] = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    pr = {i: PR_MICRO for i in range(n)}
+    for _ in range(PR_ITERS):
+        contrib = {i: 0 for i in range(n)}
+        for s, d in edges:
+            contrib[d] += pr[s] // outdeg[s]
+        pr = {i: PR_BASE + (PR_DAMP_NUM * contrib[i]) // PR_DAMP_DEN for i in range(n)}
+    assert got == pr

@@ -116,3 +116,48 @@ class TestPageRank:
         assert out[0] > max(v for k, v in out.items() if k != 0)
         # non-pointed nodes get exactly the base mass
         assert all(out[k] == G.PR_BASE for k in range(1, n))
+
+
+class TestStreamingSketch:
+    def test_incremental_stream_build_equals_batch(self, spark, tmp_path):
+        """The production CMS deployment shape: an unbounded token stream
+        through foreachBatch, each micro-batch contributing its own D x W
+        sketch, merged into a running parquet sketch by cell-wise addition.
+        The final merged sketch must equal the one-shot batch sketch —
+        the mergeability that makes the sketch a streaming operator."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        tape = str(tmp_path / "tok_tape")
+        batch = (
+            spark.range(3000)
+            .select((F.col("id") % 53).cast("string").alias("token"))
+        )
+        # 3 files -> availableNow processes them as (at least) separate splits
+        batch.repartition(3).write.parquet(tape)
+
+        store = str(tmp_path / "sketch_store")
+
+        def merge(batch_df, epoch_id):
+            part = SK.cms_build(batch_df)
+            if os.path.exists(store):
+                prev = batch_df.sparkSession.read.parquet(store)
+                part = (
+                    part.unionByName(prev)
+                    .groupBy("row_idx", "bucket")
+                    .agg(F.sum("cell_count").alias("cell_count"))
+                )
+            part.localCheckpoint().write.mode("overwrite").parquet(store)
+
+        stream = spark.readStream.schema("token string").parquet(tape)
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        got = sorted(map(tuple, spark.read.parquet(store).collect()))
+        want = sorted(map(tuple, SK.cms_build(batch).collect()))
+        assert got == want

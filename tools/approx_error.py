@@ -69,7 +69,69 @@ def main() -> None:
         f"- {len(cmp_rows)} language groups; max relative error "
         f"**{max(perrs):.3%}** at accuracy=10000.",
         "",
-        "Both swaps are drop-in: same grouping keys, same output shape —",
+    ]
+
+    # 3. count-min sketch estimate vs exact token counts (sketch_cms_topk)
+    from airstrik_py_spark.operators import sketch as SK
+
+    tok = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    sketch = SK.cms_build(tok)
+    exact_tok = tok.groupBy("token").agg(F.count("*").alias("true_count"))
+    probes = exact_tok.select(
+        "token",
+        "true_count",
+        F.posexplode(
+            F.array(*[SK._bucket(i, F.col("token")) for i in range(SK.CMS_D)])
+        ).alias("row_idx", "bucket"),
+    )
+    est_rows = (
+        probes.join(F.broadcast(sketch), ["row_idx", "bucket"])
+        .groupBy("token", "true_count")
+        .agg(F.min("cell_count").alias("est_count"))
+        .collect()
+    )
+    overs = [r["est_count"] - r["true_count"] for r in est_rows]
+    rel = [o / max(r["true_count"], 1) for o, r in zip(overs, est_rows)]
+    n_exact = sum(1 for o in overs if o == 0)
+    assert all(o >= 0 for o in overs), "CMS underestimated — contract broken"
+
+    # Same stream through a deliberately-undersized sketch (W=4 for a
+    # ~31-token vocab) to show the collision-error scaling the W knob buys.
+    w_small = 4
+    sk_small = SK.cms_build(tok, w=w_small)
+    probes_small = exact_tok.select(
+        "token",
+        "true_count",
+        F.posexplode(
+            F.array(
+                *[SK._bucket(i, F.col("token"), w_small) for i in range(SK.CMS_D)]
+            )
+        ).alias("row_idx", "bucket"),
+    )
+    small_rows = (
+        probes_small.join(F.broadcast(sk_small), ["row_idx", "bucket"])
+        .groupBy("token", "true_count")
+        .agg(F.min("cell_count").alias("est_count"))
+        .collect()
+    )
+    s_overs = [r["est_count"] - r["true_count"] for r in small_rows]
+    s_rel = [o / max(r["true_count"], 1) for o, r in zip(s_overs, small_rows)]
+    assert all(o >= 0 for o in s_overs)
+    total_mass = sum(r["true_count"] for r in small_rows)
+    lines += [
+        f"## count-min sketch (D={SK.CMS_D} x W={SK.CMS_W}) vs exact token counts",
+        "",
+        f"- {len(est_rows)} distinct tokens; {n_exact} estimated exactly; "
+        f"max overestimate **{max(overs)}** occurrences "
+        f"(max relative {max(rel):.3%}); never underestimates (one-sided "
+        "contract asserted here and oracle-gated in sketch_cms_topk).",
+        f"- undersized control (W={w_small}, forced collisions): max "
+        f"overestimate {max(s_overs)} (relative {max(s_rel):.3%}), mean "
+        f"{sum(s_overs) / len(s_overs):.1f} vs the e*M/W bound "
+        f"{2.72 * total_mass / w_small:.0f} — the W knob converts memory "
+        "directly into accuracy, independent of stream size.",
+        "",
+        "All swaps are drop-in: same grouping keys, same output shape —",
         "the operator docstrings (operators/stats.py, operators/corpus.py)",
         "name the exact<->approx pair and this file records the measured",
         "gap at the bench SF.",

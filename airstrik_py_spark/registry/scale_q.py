@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from airstrik_py_spark.operators import bpe as BPE
 from airstrik_py_spark.operators import graph as G
 from airstrik_py_spark.operators import sampling as SAMP
 from airstrik_py_spark.operators import sketch as SK
@@ -114,6 +115,44 @@ def q_profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE_ROUNDS tokenizer merges, select+apply unrolled into one
+    lazy plan over the (word, freq) table (operators/bpe.py)."""
+    pin_session(spark)
+    return BPE.bpe_train_merges(load_table(spark, sf_dir, "documents"))
+
+
+def _bpe_ctes(rounds: int) -> str:
+    """Unrolled BPE rounds mirroring operators/bpe.py exactly: the
+    double-space symbol encoding, weighted pair counts, (n DESC, pair ASC)
+    winner, leftmost-nonoverlapping replace."""
+    parts = [
+        "wf AS (SELECT w, CAST(count(*) AS BIGINT) AS freq"
+        " FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)"
+        " WHERE len(w) > 0 GROUP BY w)",
+        "s0 AS (SELECT regexp_replace(w, '(.)', ' \\1 ', 'g') AS seq, freq FROM wf)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"p{r} AS (SELECT unnest(CASE WHEN len(toks) > 1 THEN"
+            f" list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])"
+            f" ELSE [] END) AS pair, freq"
+            f" FROM (SELECT string_split(trim(seq), '  ') AS toks, freq FROM s{r - 1}))"
+        )
+        parts.append(
+            f"b{r} AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM p{r}"
+            f" GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 1)"
+        )
+        if r < rounds:
+            parts.append(
+                f"s{r} AS (SELECT replace(seq,"
+                f" ' ' || replace(pair, ' ', '  ') || ' ',"
+                f" ' ' || replace(pair, ' ', '') || ' ') AS seq, freq"
+                f" FROM s{r - 1}, b{r})"
+            )
+    return ",\n".join(parts)
+
+
 def _pr_iter_ctes(iters: int) -> str:
     """Unrolled PageRank rounds mirroring operators/graph.py::pagerank:
     integer micro-unit pr, per-edge pr // outdeg, damped with integer //."""
@@ -145,6 +184,7 @@ QUERIES = {
     "corpus_upsert_merge": q_corpus_upsert_merge,
     "graph_pagerank_knn": q_graph_pagerank_knn,
     "profile_column_stats": q_profile_column_stats,
+    "bpe_train_merges": q_bpe_train_merges,
 }
 
 _PROFILE_ORACLE = "\nUNION ALL\n".join(
@@ -199,4 +239,8 @@ WITH {_KNN_CTES},
 SELECT node AS vec_id, pr AS pr_micro FROM pr{G.PR_ITERS}
 """,
     "profile_column_stats": _PROFILE_ORACLE,
+    "bpe_train_merges": f"""
+WITH {_bpe_ctes(BPE.BPE_ROUNDS)}
+{" UNION ALL ".join(f"SELECT {r} AS merge_round, pair, n AS pair_count FROM b{r}" for r in range(1, BPE.BPE_ROUNDS + 1))}
+""",
 }

@@ -327,3 +327,59 @@ def test_pagerank_matches_python_reference(spark, edges):
             contrib[d] += pr[s] // outdeg[s]
         pr = {i: PR_BASE + (PR_DAMP_NUM * contrib[i]) // PR_DAMP_DEN for i in range(n)}
     assert got == pr
+
+
+words_strategy = st.lists(
+    st.tuples(
+        st.text(alphabet="abcd", min_size=1, max_size=6),
+        st.integers(min_value=1, max_value=9),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(words=words_strategy)
+def test_bpe_merges_match_python_reference(spark, words):
+    """bpe_train_merges must equal a from-scratch Python BPE trainer
+    (greedy leftmost merge application, (count DESC, pair ASC) winner) on
+    arbitrary weighted vocabularies."""
+    from airstrik_py_spark.operators.bpe import BPE_ROUNDS, bpe_train_merges
+
+    # one synthetic doc per (word, count): text = word repeated count times
+    docs = spark.createDataFrame(
+        [(i, " ".join([w] * c)) for i, (w, c) in enumerate(words)],
+        "doc_id long, text string",
+    )
+    got = [
+        (r["merge_round"], r["pair"], r["pair_count"])
+        for r in bpe_train_merges(docs).orderBy("merge_round").collect()
+    ]
+
+    freqs: dict[str, int] = {}
+    for w, c in words:
+        freqs[w] = freqs.get(w, 0) + c
+    seqs = {w: list(w) for w in freqs}
+    want = []
+    for rnd in range(1, BPE_ROUNDS + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, toks in seqs.items():
+            for a, b in zip(toks, toks[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + freqs[w]
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}"))
+        (a, b), n = best
+        want.append((rnd, f"{a} {b}", n))
+        for w, toks in seqs.items():
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            seqs[w] = out
+    assert got == want

@@ -115,6 +115,61 @@ def q_profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BASKET_TOP_K = 50
+
+
+def q_basket_pair_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining (the A-priori support step): for the
+    top-K part pairs co-occurring in an order, the pair support and both
+    single-item supports (lift/confidence derive downstream).
+
+    Scale shape: ONE orderkey exchange builds per-order part-set arrays
+    (collect_set dedups repeated lines of a part); pair candidates are
+    then generated MAP-SIDE from each sorted array — fan-out bounded by
+    basket size squared (17 here; mega-baskets would cap or salt like
+    the ngram DF cap), never corpus-squared, and there is no self-join
+    anywhere.  Pair and single supports each map-side-combine into one
+    small aggregate; top-K is TakeOrdered; the two single-support
+    enrichment joins broadcast the 50-row top-K side.  The oracle derives
+    the same result through the classic relational self-join formulation
+    — an independent derivation, not a mirror."""
+    pin_session(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .select("parts")
+    )
+    pair_arr = F.expr(
+        "CASE WHEN size(parts) > 1 THEN "
+        "flatten(transform(sequence(1, size(parts) - 1), i -> "
+        "transform(sequence(i + 1, size(parts)), j -> "
+        "struct(element_at(parts, i) AS part_a, element_at(parts, j) AS part_b)))) "
+        "ELSE array() END"
+    )
+    pairs = (
+        baskets.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
+        .agg(F.count("*").alias("pair_support"))
+        .orderBy(
+            F.col("pair_support").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+        )
+        .limit(BASKET_TOP_K)
+    )
+    singles = (
+        baskets.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("s"))
+    )
+    return (
+        F.broadcast(pairs)
+        .join(singles, pairs.part_a == singles.l_partkey)
+        .select("part_a", "part_b", "pair_support", F.col("s").alias("support_a"))
+        .join(singles, F.col("part_b") == singles.l_partkey)
+        .select("part_a", "part_b", "pair_support", "support_a", F.col("s").alias("support_b"))
+    )
+
+
 def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First BPE_ROUNDS tokenizer merges, select+apply unrolled into one
     lazy plan over the (word, freq) table (operators/bpe.py)."""
@@ -185,6 +240,7 @@ QUERIES = {
     "graph_pagerank_knn": q_graph_pagerank_knn,
     "profile_column_stats": q_profile_column_stats,
     "bpe_train_merges": q_bpe_train_merges,
+    "basket_pair_support": q_basket_pair_support,
 }
 
 _PROFILE_ORACLE = "\nUNION ALL\n".join(
@@ -242,5 +298,21 @@ SELECT node AS vec_id, pr AS pr_micro FROM pr{G.PR_ITERS}
     "bpe_train_merges": f"""
 WITH {_bpe_ctes(BPE.BPE_ROUNDS)}
 {" UNION ALL ".join(f"SELECT {r} AS merge_round, pair, n AS pair_count FROM b{r}" for r in range(1, BPE.BPE_ROUNDS + 1))}
+""",
+    "basket_pair_support": f"""
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS pair_support
+  FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  ORDER BY pair_support DESC, part_a ASC, part_b ASC
+  LIMIT {BASKET_TOP_K}),
+singles AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS s FROM d GROUP BY l_partkey)
+SELECT p.part_a, p.part_b, p.pair_support,
+       sa.s AS support_a, sb.s AS support_b
+FROM pairs p
+JOIN singles sa ON p.part_a = sa.l_partkey
+JOIN singles sb ON p.part_b = sb.l_partkey
 """,
 }

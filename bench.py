@@ -57,13 +57,15 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    # best-of-2 per query: single-machine timings vary ±30% run-to-run; the
-    # minimum is the stable estimator of the plan's actual cost
+    # best-of-3 per query: single-machine timings vary ±30% run-to-run
+    # (up to 3x under concurrent load — observed r3), and the minimum is
+    # the stable estimator of the plan's actual cost; runs_per_query is
+    # declared in the output so rounds stay comparable.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
@@ -79,7 +81,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "runs_per_query": 2,
+                "runs_per_query": 3,
             }
         )
     )

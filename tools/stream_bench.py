@@ -1,0 +1,131 @@
+"""Streaming throughput benchmark: replay the sf-dir observation stream
+through the Structured Streaming pipelines (availableNow drain) and
+measure end-to-end rows/second.
+
+The reference engine is a single-thread Python loop that re-parses one
+aircraft.json per decoder tick (airstrik.py:189-208) — its ceiling is one
+snapshot per poll interval on an RPi-class host (BASELINE.md publishes no
+numbers).  This artifact records what the SAME trip semantics sustain as
+a watermarked session_window stream on local[32]; on a cluster the state
+store shards by key, so the rate scales with executors until the state
+backend saturates.
+
+Usage: python tools/stream_bench.py [sf_dir]  ->  one JSON line + STREAMBENCH.md
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from airstrik_py_spark.config import TESTDATA  # noqa: E402
+from airstrik_py_spark.session import get_spark, pin_session  # noqa: E402
+from airstrik_py_spark.sources.tables import load_table, observations  # noqa: E402
+from airstrik_py_spark.streaming.pipeline import (  # noqa: E402
+    stream_dedup_events,
+    stream_sessionize_events,
+    stream_trips,
+)
+
+TAPE_FILES = 16  # splits for the file source -> parallel micro-batch work
+
+
+def _drain(stream_df) -> float:
+    """Run a streaming DataFrame to the noop sink with availableNow and
+    return wall seconds from start to termination."""
+    t0 = time.time()
+    q = (
+        stream_df.writeStream.format("noop")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return time.time() - t0
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = pin_session(get_spark("stream_bench"))
+    scratch = tempfile.mkdtemp(prefix="stream_bench_")
+    try:
+        obs = observations(spark, sf_dir)
+        obs_tape = f"{scratch}/obs"
+        obs.repartition(TAPE_FILES).write.parquet(obs_tape)
+        n_obs = spark.read.parquet(obs_tape).count()
+        obs_schema = spark.read.parquet(obs_tape).schema
+
+        ev = load_table(spark, sf_dir, "events")
+        ev_tape = f"{scratch}/events"
+        ev.repartition(TAPE_FILES).write.parquet(ev_tape)
+        n_ev = spark.read.parquet(ev_tape).count()
+        ev_schema = spark.read.parquet(ev_tape).schema
+
+        results = {}
+
+        s = spark.readStream.schema(obs_schema).parquet(obs_tape)
+        results["stream_trips"] = (n_obs, _drain(stream_trips(s, TESTDATA)))
+
+        s = spark.readStream.schema(obs_schema).parquet(obs_tape)
+        results["stream_dedup_events"] = (
+            n_obs,
+            _drain(stream_dedup_events(s, TESTDATA)),
+        )
+
+        s = spark.readStream.schema(ev_schema).parquet(ev_tape)
+        results["stream_sessionize_events"] = (
+            n_ev,
+            _drain(stream_sessionize_events(s)),
+        )
+
+        payload = {
+            "metric": "streaming_rows_per_sec",
+            "sf_dir": sf_dir,
+            "pipelines": {
+                name: {
+                    "rows": rows,
+                    "sec": round(sec, 3),
+                    "rows_per_sec": int(rows / sec),
+                }
+                for name, (rows, sec) in results.items()
+            },
+        }
+        print(json.dumps(payload))
+
+        lines = [
+            "# STREAMBENCH — Structured Streaming throughput (availableNow replay)",
+            "",
+            f"sf_dir: `{sf_dir}`, local[32], {TAPE_FILES}-file parquet tape,",
+            "noop sink, wall-clock from query start to drain.  The reference's",
+            "live loop processes ONE snapshot per poll tick single-threaded",
+            "(airstrik.py:189-208); these are the same semantics as keyed,",
+            "watermarked streaming state:",
+            "",
+            "| pipeline | input rows | sec | rows/sec |",
+            "|---|---|---|---|",
+        ]
+        for name, (rows, sec) in results.items():
+            lines.append(f"| {name} | {rows} | {sec:.2f} | {int(rows / sec)} |")
+        lines += [
+            "",
+            "stream_trips carries the heaviest state (session_window +",
+            "7-aggregate trip fold per plane); dedup keeps only",
+            "(hex, ts) keys inside the watermark; sessionize_events is the",
+            "event-table twin.  State shards by key on a cluster — rate",
+            "scales with executors until the state store saturates.",
+            "",
+        ]
+        with open("/root/repo/STREAMBENCH.md", "w") as f:
+            f.write("\n".join(lines))
+        print("wrote STREAMBENCH.md", file=sys.stderr)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

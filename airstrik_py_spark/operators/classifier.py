@@ -129,8 +129,10 @@ def quality_lr_fit_score(docs: DataFrame, iters: int = LR_ITERS) -> DataFrame:
             ],
         ).first()
         n_docs = row["n"]
+        if not n_docs:
+            break  # empty corpus: keep zero weights, no division by zero
         for i in range(N_FEATS):
-            g = row[f"_g{i}"]
+            g = row[f"_g{i}"] or 0  # all-null feature column -> null sum
             delta = (
                 (2 * g + n_docs) // (2 * n_docs)
                 if g >= 0

@@ -72,27 +72,20 @@ def decimate(df: DataFrame, cfg: EngineConfig) -> DataFrame:
     the window sorts), window sorts are per-key and spill-safe — no
     per-key array materialization at all (the r2 fold collected whole trips;
     this keeps rows as rows).  factor=0 passes nothing (closest-only mode —
-    use decimate_closest)."""
+    use decimate_closest); its empty frame derives from the REAL plan via
+    filter(false), so the two branches can never drift in schema."""
+    from airstrik_py_spark.operators.sessions import with_session_id
+
     n = int(cfg.decimation_factor)
+    zero_mode = n == 0
+    if zero_mode:
+        n = 1  # build the real plan (locks the schema); filtered empty below
     spark = df.sparkSession
-    if n == 0:
-        empty_schema = (
-            "hex string, ts timestamp, ts_sec double, event_id bigint, "
-            "lat double, lat_sec double, lon double, lon_sec double, "
-            "session_id bigint, update_seq int"
-        )
-        return spark.createDataFrame([], empty_schema)
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     df = df.repartition(n_part, "hex")
 
-    wh = Window.partitionBy("hex").orderBy("ts_sec", "event_id")
     if "session_id" not in df.columns:
-        gap = F.col("ts_sec") - F.lag("ts_sec").over(wh)
-        is_new = F.when(gap.isNull() | (gap > F.lit(cfg.remember_s)), 1).otherwise(0)
-        df = df.withColumn(
-            "session_id",
-            F.sum(is_new).over(wh.rowsBetween(Window.unboundedPreceding, 0)),
-        )
+        df = with_session_id(df, cfg)
 
     ws = Window.partitionBy("hex", "session_id").orderBy("ts_sec", "event_id")
     run = ws.rowsBetween(Window.unboundedPreceding, 0)
@@ -144,7 +137,7 @@ def decimate(df: DataFrame, cfg: EngineConfig) -> DataFrame:
         & (F.col("i") >= F.col("s1"))
         & ((F.col("i") - F.col("s1")) % F.lit(n) == 0)
     )
-    return out.select(
+    result = out.select(
         "hex",
         "ts",
         "ts_sec",
@@ -156,6 +149,9 @@ def decimate(df: DataFrame, cfg: EngineConfig) -> DataFrame:
         "session_id",
         F.col("i").alias("update_seq"),
     )
+    # zero_mode: same plan, statically empty — Catalyst folds the filter
+    # to an empty LocalRelation with the locked schema, no jobs run
+    return result.filter(F.lit(False)) if zero_mode else result
 
 
 def decimate_closest(df: DataFrame, cfg: EngineConfig) -> DataFrame:

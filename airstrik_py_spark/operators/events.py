@@ -71,6 +71,12 @@ def funnel_conversion(events: DataFrame) -> DataFrame:
     funnel-event count, and events outside FUNNEL_STAGES are filtered
     before the exchange."""
     stages = list(FUNNEL_STAGES)
+    if len(stages) != 3:
+        # the fold state and output rows are unrolled for exactly 3 stages;
+        # a longer FUNNEL_STAGES would silently drop the extra stages
+        raise ValueError(
+            f"funnel_conversion is unrolled for 3 stages, got {len(stages)}"
+        )
     ts_sec = (F.unix_micros("ts").cast("double") / F.lit(1e6))
     base = events.filter(F.col("event_type").isin(*stages)).select(
         "user_id", "event_type", ts_sec.alias("sec")

@@ -54,6 +54,26 @@ def cms_build(tokens: DataFrame, token_col: str = "token", w: int = CMS_W) -> Da
     return cells.groupBy("row_idx", "bucket").agg(F.count("*").alias("cell_count"))
 
 
+def cms_estimates(exact: DataFrame, sketch: DataFrame, w: int = CMS_W) -> DataFrame:
+    """Sketch estimates for a candidate table `exact` (token, true_count):
+    each candidate probes its D cells in the broadcast sketch, estimate =
+    min cell.  Returns (token, true_count, est_count) — the one place the
+    probe hashing is written, shared by the query path and the error
+    measurement tool (tools/approx_error.py)."""
+    probes = exact.select(
+        "token",
+        "true_count",
+        F.posexplode(
+            F.array(*[_bucket(i, F.col("token"), w) for i in range(CMS_D)])
+        ).alias("row_idx", "bucket"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row_idx", "bucket"])
+        .groupBy("token", "true_count")
+        .agg(F.min("cell_count").alias("est_count"))
+    )
+
+
 def cms_topk(tokens: DataFrame, k: int = CMS_TOP_K) -> DataFrame:
     """Heavy hitters by sketch estimate, with the exact count alongside.
 
@@ -63,18 +83,7 @@ def cms_topk(tokens: DataFrame, k: int = CMS_TOP_K) -> DataFrame:
     to make the overestimate contract checkable by the oracle gate."""
     sketch = cms_build(tokens)
     exact = tokens.groupBy("token").agg(F.count("*").alias("true_count"))
-    probes = exact.select(
-        "token",
-        "true_count",
-        F.posexplode(
-            F.array(*[_bucket(i, F.col("token")) for i in range(CMS_D)])
-        ).alias("row_idx", "bucket"),
-    )
-    est = (
-        probes.join(F.broadcast(sketch), ["row_idx", "bucket"])
-        .groupBy("token", "true_count")
-        .agg(F.min("cell_count").alias("est_count"))
-    )
+    est = cms_estimates(exact, sketch)
     return (
         est.select("token", "est_count", "true_count")
         .orderBy(F.col("est_count").desc(), F.col("token").asc())

@@ -49,7 +49,25 @@ def _driver_green_counts() -> dict[str, int]:
         if not isinstance(rows, dict):
             continue
         for slug, row in rows.items():
-            if isinstance(row, dict) and row.get("rows_match") and row.get("err") is None:
+            if not isinstance(row, dict):
+                continue
+            # Full green = every recorded check passed: rows AND schema AND
+            # value-hash (counting rows_match alone would rotate a slug whose
+            # CONTENT mismatches out of the window — the opposite of intent).
+            full_green = (
+                row.get("rows_match")
+                and row.get("schema_match") is not False
+                and row.get("hash_match") is not False
+                and row.get("err") is None
+            )
+            # Rows-only slugs (no oracle possible, e.g. live catalog ops)
+            # record err='no_oracle' with a spark row count: that IS their
+            # maximum achievable verification — count it, or they burn a
+            # window slot every round forever.
+            rows_only_green = (
+                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+            )
+            if full_green or rows_only_green:
                 counts[slug] = counts.get(slug, 0) + 1
     return counts
 

@@ -594,9 +594,14 @@ def q_sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection straight from events, so the round-trip must be lossless
     (including double-precision columns).
 
-    Scratch path is FIXED per (user, sf) and overwritten each run — a
-    fresh mkdtemp per invocation leaked one full projection copy per
-    sweep/bench run (ADVICE r2)."""
+    Scratch path is FIXED per (user, process, sf) and overwritten on
+    re-runs within the process — a fresh mkdtemp per invocation leaked one
+    full projection copy per sweep/bench run (ADVICE r2), while a purely
+    sf-keyed path raced CONCURRENT processes (one overwrite deleting files
+    under another's read) and collided across users on a shared /tmp; the
+    (user, pid) components make the path private to this run at the cost
+    of at most one leaked projection per process lifetime."""
+    import getpass
     import os
     import tempfile
 
@@ -605,7 +610,15 @@ def q_sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hex", "event_id", "ts_sec", "lat", "lon", "alt_geom"
     )
     sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    path = os.path.join(tempfile.gettempdir(), f"airstrik_orc_rt_{sf_tag}", "obs_orc")
+    try:
+        user_tag = getpass.getuser()
+    except (KeyError, OSError):
+        user_tag = "anon"
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"airstrik_orc_rt_{user_tag}_{os.getpid()}_{sf_tag}",
+        "obs_orc",
+    )
     out.write.mode("overwrite").orc(path)
     return spark.read.orc(path)
 

@@ -35,3 +35,13 @@ def test_lr_is_deterministic(spark):
     a = sorted(map(tuple, quality_lr_fit_score(_corpus(spark)).collect()))
     b = sorted(map(tuple, quality_lr_fit_score(_corpus(spark)).collect()))
     assert a == b
+
+
+def test_empty_corpus_keeps_zero_weights(spark):
+    """Review fix: an empty input must not ZeroDivisionError in the
+    driver-side GD update — weights stay zero, output is empty."""
+    from airstrik_py_spark.operators.classifier import quality_lr_fit_score
+
+    empty = spark.createDataFrame([], "doc_id long, text string, n_chars long, lang string, source string")
+    out = quality_lr_fit_score(empty)
+    assert out.count() == 0

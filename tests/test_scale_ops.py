@@ -156,7 +156,7 @@ class TestStreamingSketch:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream did not drain within timeout"
 
         got = sorted(map(tuple, spark.read.parquet(store).collect()))
         want = sorted(map(tuple, SK.cms_build(batch).collect()))

@@ -255,3 +255,18 @@ def test_trip_documents_nested_schema(spark, tmp_path):
     docs.write.parquet(out)
     back = spark.read.parquet(out)
     assert dict(back.dtypes) == s
+
+
+def test_decimate_zero_mode_schema_matches_live_branch(spark):
+    """Review fix: the factor=0 empty frame derives from the real plan, so
+    its schema is identical to the live branch's by construction."""
+    from airstrik_py_spark.config import EngineConfig
+    from airstrik_py_spark.operators.decimation import decimate
+    from tests.conftest import obs_rows
+
+    rows = [("a", 1000.0 + i, None, 35.7 + 0.01 * i, -78.7, 0.0, 500.0, 1) for i in range(4)]
+    df = obs_rows(spark, rows)
+    live = decimate(df, EngineConfig(remember_s=60.0, min_trip_length_s=0.0, decimation_factor=2))
+    zero = decimate(df, EngineConfig(remember_s=60.0, min_trip_length_s=0.0, decimation_factor=0))
+    assert zero.schema == live.schema
+    assert zero.count() == 0

@@ -77,19 +77,7 @@ def main() -> None:
     tok = docs.select(F.explode(F.split("text", " ")).alias("token"))
     sketch = SK.cms_build(tok)
     exact_tok = tok.groupBy("token").agg(F.count("*").alias("true_count"))
-    probes = exact_tok.select(
-        "token",
-        "true_count",
-        F.posexplode(
-            F.array(*[SK._bucket(i, F.col("token")) for i in range(SK.CMS_D)])
-        ).alias("row_idx", "bucket"),
-    )
-    est_rows = (
-        probes.join(F.broadcast(sketch), ["row_idx", "bucket"])
-        .groupBy("token", "true_count")
-        .agg(F.min("cell_count").alias("est_count"))
-        .collect()
-    )
+    est_rows = SK.cms_estimates(exact_tok, sketch).collect()
     overs = [r["est_count"] - r["true_count"] for r in est_rows]
     rel = [o / max(r["true_count"], 1) for o, r in zip(overs, est_rows)]
     n_exact = sum(1 for o in overs if o == 0)
@@ -99,21 +87,7 @@ def main() -> None:
     # ~31-token vocab) to show the collision-error scaling the W knob buys.
     w_small = 4
     sk_small = SK.cms_build(tok, w=w_small)
-    probes_small = exact_tok.select(
-        "token",
-        "true_count",
-        F.posexplode(
-            F.array(
-                *[SK._bucket(i, F.col("token"), w_small) for i in range(SK.CMS_D)]
-            )
-        ).alias("row_idx", "bucket"),
-    )
-    small_rows = (
-        probes_small.join(F.broadcast(sk_small), ["row_idx", "bucket"])
-        .groupBy("token", "true_count")
-        .agg(F.min("cell_count").alias("est_count"))
-        .collect()
-    )
+    small_rows = SK.cms_estimates(exact_tok, sk_small, w=w_small).collect()
     s_overs = [r["est_count"] - r["true_count"] for r in small_rows]
     s_rel = [o / max(r["true_count"], 1) for o, r in zip(s_overs, small_rows)]
     assert all(o >= 0 for o in s_overs)

@@ -414,3 +414,72 @@ def hourly_timeseries_gapfill(events: DataFrame) -> DataFrame:
             F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events"),
         )
     )
+
+
+AB_SCALE = 100  # centi-units: BIGINT sumsq headroom to ~10^12 rows
+
+
+def ab_welch_t(events: DataFrame) -> DataFrame:
+    """Experiment analysis: Welch's t between two deterministic variants
+    (user_id parity) on the event `value` metric — the readout every
+    product-analytics pipeline runs after an A/B assignment.
+
+    Exactness: per-variant moments are EXACT BIGINT sums of centi-quantized
+    values (order-free across engines and partitionings, like
+    embedding_dim_stats); mean/variance/t derive from those integers with
+    the same IEEE double expressions on both engines, rounded 6 dp at the
+    very end.  Sample variance uses n-1.  Centi (not micro) because the
+    second moment must fit BIGINT: vq^2 <= ~3e9 here leaves headroom to
+    ~10^12 rows; past that swap the two sums to DECIMAL(38,0)/HUGEINT
+    exactly like embedding_dim_stats documents.
+
+    Scale: one map-side-combined aggregation into two groups; the t-stat
+    math runs on a 2-row frame pivoted to one row — no shuffle beyond the
+    2-group exchange."""
+    vq = F.round(F.col("value") * F.lit(AB_SCALE), 0).cast("long")
+    g = (
+        events.filter(F.col("value").isNotNull())
+        .select(
+            F.when(F.col("user_id") % 2 == 0, F.lit("A")).otherwise(F.lit("B")).alias(
+                "variant"
+            ),
+            vq.alias("vq"),
+        )
+        .groupBy("variant")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("vq").alias("sum_q"),
+            F.sum(F.col("vq") * F.col("vq")).alias("sumsq_q"),
+        )
+    )
+    one = g.groupBy().pivot("variant", ["A", "B"]).agg(
+        F.first("n").alias("n"),
+        F.first("sum_q").alias("sum_q"),
+        F.first("sumsq_q").alias("sumsq_q"),
+    )
+
+    def _stats(p: str):
+        n = F.col(f"{p}_n").cast("double")
+        s = F.col(f"{p}_sum_q").cast("double")
+        ss = F.col(f"{p}_sumsq_q").cast("double")
+        mean = s / n / AB_SCALE
+        # sample variance from exact integer moments: (ss - s^2/n) / (n-1)
+        var = (ss - s * s / n) / (n - F.lit(1.0)) / (AB_SCALE * AB_SCALE)
+        return n, mean, var
+
+    na, ma, va = _stats("A")
+    nb, mb, vb = _stats("B")
+    se2 = va / na + vb / nb
+    t = (ma - mb) / F.sqrt(se2)
+    dfree = (se2 * se2) / (
+        (va / na) * (va / na) / (na - F.lit(1.0))
+        + (vb / nb) * (vb / nb) / (nb - F.lit(1.0))
+    )
+    return one.select(
+        F.col("A_n").alias("n_a"),
+        F.col("B_n").alias("n_b"),
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(t, 6).alias("welch_t"),
+        F.round(dfree, 6).alias("welch_df"),
+    )

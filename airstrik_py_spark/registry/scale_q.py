@@ -219,6 +219,16 @@ def _bpe_ctes(rounds: int) -> str:
     return ",\n".join(parts)
 
 
+def q_events_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t between user-parity variants on the event value metric —
+    operators/events.py::ab_welch_t (exact integer moments, one 2-group
+    aggregation)."""
+    from airstrik_py_spark.operators.events import ab_welch_t
+
+    pin_session(spark)
+    return ab_welch_t(load_table(spark, sf_dir, "events"))
+
+
 def _pr_iter_ctes(iters: int) -> str:
     """Unrolled PageRank rounds mirroring operators/graph.py::pagerank:
     integer micro-unit pr, per-edge pr // outdeg, damped with integer //."""
@@ -252,7 +262,41 @@ QUERIES = {
     "profile_column_stats": q_profile_column_stats,
     "bpe_train_merges": q_bpe_train_merges,
     "basket_pair_support": q_basket_pair_support,
+    "events_ab_ttest": q_events_ab_ttest,
 }
+
+# Welch t oracle: the same double expressions in the same parenthesized
+# order as ab_welch_t, over the same exact BIGINT micro moments — final
+# round(6) on bit-identical doubles.
+_AB_T = """
+WITH v AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+         CAST(round(value * 100, 0) AS BIGINT) AS vq
+  FROM events WHERE value IS NOT NULL),
+g AS (SELECT variant, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(vq) AS BIGINT) AS sum_q,
+             CAST(sum(vq * vq) AS BIGINT) AS sumsq_q
+      FROM v GROUP BY variant),
+a AS (SELECT n, CAST(n AS DOUBLE) AS nd,
+             CAST(sum_q AS DOUBLE) AS s, CAST(sumsq_q AS DOUBLE) AS ss
+      FROM g WHERE variant = 'A'),
+b AS (SELECT n, CAST(n AS DOUBLE) AS nd,
+             CAST(sum_q AS DOUBLE) AS s, CAST(sumsq_q AS DOUBLE) AS ss
+      FROM g WHERE variant = 'B'),
+m AS (SELECT a.n AS n_a, b.n AS n_b,
+             a.s / a.nd / 100 AS ma, b.s / b.nd / 100 AS mb,
+             (a.ss - a.s * a.s / a.nd) / (a.nd - 1.0) / 10000 AS va,
+             (b.ss - b.s * b.s / b.nd) / (b.nd - 1.0) / 10000 AS vb,
+             a.nd AS na, b.nd AS nb
+      FROM a, b)
+SELECT n_a, n_b,
+       round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+       round((ma - mb) / sqrt(va / na + vb / nb), 6) AS welch_t,
+       round(((va / na + vb / nb) * (va / na + vb / nb))
+             / ((va / na) * (va / na) / (na - 1.0)
+                + (vb / nb) * (vb / nb) / (nb - 1.0)), 6) AS welch_df
+FROM m
+"""
 
 _PROFILE_ORACLE = "\nUNION ALL\n".join(
     f"SELECT '{c}' AS column_name,"
@@ -306,6 +350,7 @@ WITH {_KNN_CTES},
 SELECT node AS vec_id, pr AS pr_micro FROM pr{G.PR_ITERS}
 """,
     "profile_column_stats": _PROFILE_ORACLE,
+    "events_ab_ttest": _AB_T,
     "bpe_train_merges": f"""
 WITH {_bpe_ctes(BPE.BPE_ROUNDS)}
 {" UNION ALL ".join(f"SELECT {r} AS merge_round, pair, n AS pair_count FROM b{r}" for r in range(1, BPE.BPE_ROUNDS + 1))}

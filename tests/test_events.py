@@ -195,3 +195,28 @@ def test_gapfill_emits_zero_hours(spark):
         "2024-01-01 02:00": 0,
         "2024-01-01 03:00": 1,
     }
+
+
+def test_ab_welch_t_symmetric_variants(spark):
+    """Identical value distributions in both variants -> t == 0 and the
+    pooled df reduces to the standard equal-variance form."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from airstrik_py_spark.operators.events import ab_welch_t
+
+    rows = []
+    for uid in range(8):  # 4 even (A) + 4 odd (B), same values in each
+        for j, v in enumerate([1.0, 2.0, 3.0]):
+            rows.append((uid * 10 + j, datetime(2024, 1, 1), uid, "view", v, None))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = ab_welch_t(ev).collect()[0]
+    assert out["n_a"] == out["n_b"] == 12
+    assert out["mean_a"] == out["mean_b"] == 2.0
+    assert out["welch_t"] == 0.0
+    assert out["welch_df"] == 22.0  # equal n, equal var -> n_a + n_b - 2

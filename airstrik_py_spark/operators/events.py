@@ -452,10 +452,21 @@ def ab_welch_t(events: DataFrame) -> DataFrame:
             F.sum(F.col("vq") * F.col("vq")).alias("sumsq_q"),
         )
     )
-    one = g.groupBy().pivot("variant", ["A", "B"]).agg(
-        F.first("n").alias("n"),
-        F.first("sum_q").alias("sum_q"),
-        F.first("sumsq_q").alias("sumsq_q"),
+    # Degenerate-input contract (guarded identically in the _AB_T oracle):
+    # a variant with 0 rows would pivot to one row of NULL stats here but
+    # zero rows in the oracle's `FROM a, b`, and n=1 hits (n-1)=0 division
+    # whose semantics differ across engines.  Require n>=2 per variant —
+    # below that Welch's t is undefined anyway — so both paths emit zero
+    # rows on degenerate inputs.
+    one = (
+        g.groupBy()
+        .pivot("variant", ["A", "B"])
+        .agg(
+            F.first("n").alias("n"),
+            F.first("sum_q").alias("sum_q"),
+            F.first("sumsq_q").alias("sumsq_q"),
+        )
+        .filter((F.col("A_n") > 1) & (F.col("B_n") > 1))
     )
 
     def _stats(p: str):

@@ -49,7 +49,14 @@ def priority_sample(docs: DataFrame, k: int = PRIORITY_K) -> DataFrame:
     (doc_id, weight, rank_key) for the k smallest rank keys — deterministic,
     engine-exact, and reproducible on a backfill."""
     weight = (F.col("n_chars") + F.lit(1)).cast("long")
-    keyed = docs.select(
+    # Dirty-input guard (mirrored in the oracle WHERE): NULL n_chars would
+    # make a NULL rank_key, which sorts NULLS FIRST in Spark asc but NULLS
+    # LAST in DuckDB's ORDER BY ASC; n_chars < 0 would hit weight <= 0
+    # (div-by-zero: NULL in Spark, error in DuckDB).  Require weight >= 1
+    # identically on both engines so the pair stays bit-exact.
+    keyed = docs.filter(
+        F.col("n_chars").isNotNull() & (F.col("n_chars") >= 0)
+    ).select(
         "doc_id",
         weight.alias("weight"),
         priority_key(F.col("doc_id"), weight).alias("rank_key"),

@@ -29,8 +29,9 @@ _MODULES = (
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
-def _driver_green_counts() -> dict[str, int]:
-    """slug -> number of driver-green CORRECTNESS_r*.json rows so far.
+def _driver_green_counts() -> tuple[dict[str, int], dict[str, int]]:
+    """(full-green counts, rows-only counts) per slug across
+    CORRECTNESS_r*.json.
 
     The driver records only the first ~50 ``queries()`` entries per round
     (VERDICT r2: 50/113), so enumeration order decides which slugs ever earn
@@ -38,8 +39,12 @@ def _driver_green_counts() -> dict[str, int]:
     slugs with the FEWEST driver-green rows lead, so every round the
     never-verified tail moves into the verification window automatically —
     no manual reordering, and the full local sweep (tools/check.py) still
-    covers everything each round."""
+    covers everything each round.  Rows-only credit is returned separately:
+    it only counts for slugs that STILL have no oracle (a slug that later
+    gained one — ddl_drop_reset in r4 — must re-enter the window to earn
+    its first hash-verified row)."""
     counts: dict[str, int] = {}
+    rows_only: dict[str, int] = {}
     root = Path(__file__).resolve().parents[2]
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
         try:
@@ -62,14 +67,17 @@ def _driver_green_counts() -> dict[str, int]:
             )
             # Rows-only slugs (no oracle possible, e.g. live catalog ops)
             # record err='no_oracle' with a spark row count: that IS their
-            # maximum achievable verification — count it, or they burn a
-            # window slot every round forever.
-            rows_only_green = (
-                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
-            )
-            if full_green or rows_only_green:
+            # maximum achievable verification — count it (for oracle-less
+            # slugs only; collect() decides), or they burn a window slot
+            # every round forever.
+            if full_green:
                 counts[slug] = counts.get(slug, 0) + 1
-    return counts
+            elif (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            ):
+                rows_only[slug] = rows_only.get(slug, 0) + 1
+    return counts, rows_only
 
 
 def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
@@ -87,7 +95,14 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
         queries.update(mod_queries)
         oracles.update(getattr(mod, "ORACLES", {}))
     # Stable rotation: fewest driver-green rows first, insertion order within.
-    green = _driver_green_counts()
+    # Rows-only rows count as green only while the slug still lacks an
+    # oracle; once one is registered the slug re-enters the window.
+    full, rows_only = _driver_green_counts()
+    green = {
+        slug: full.get(slug, 0)
+        + (rows_only.get(slug, 0) if slug not in oracles else 0)
+        for slug in queries
+    }
     order = sorted(queries, key=lambda slug: green.get(slug, 0))
     queries = {slug: queries[slug] for slug in order}
     oracles = {slug: oracles[slug] for slug in order if slug in oracles}

@@ -288,7 +288,8 @@ m AS (SELECT a.n AS n_a, b.n AS n_b,
              (a.ss - a.s * a.s / a.nd) / (a.nd - 1.0) / 10000 AS va,
              (b.ss - b.s * b.s / b.nd) / (b.nd - 1.0) / 10000 AS vb,
              a.nd AS na, b.nd AS nb
-      FROM a, b)
+      FROM a, b
+      WHERE a.n > 1 AND b.n > 1)
 SELECT n_a, n_b,
        round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
        round((ma - mb) / sqrt(va / na + vb / nb), 6) AS welch_t,
@@ -312,7 +313,8 @@ WITH k AS (
   SELECT doc_id, CAST(n_chars + 1 AS BIGINT) AS weight,
          ((('0x' || substr(md5('{SAMP.PRIORITY_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
           * {SAMP.PRIORITY_SCALE}) // (n_chars + 1) AS rank_key
-  FROM documents)
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars >= 0)
 SELECT doc_id, weight, CAST(rank_key AS BIGINT) AS rank_key
 FROM k ORDER BY rank_key ASC, doc_id ASC LIMIT {SAMP.PRIORITY_K}
 """,

@@ -196,19 +196,35 @@ def q_sink_json_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DDL_PROBE_OBJECTS = (
+    "airstrik_ddl_trips",
+    "airstrik_ddl_decimated",
+    "airstrik_ddl_stats",
+)
+
+
 def q_ddl_drop_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S10 — drop/reset catalog objects with confirmation left to the shell
-    (drop_command/reset_command, dbread.py:62-76, 157-169).  Rows-only check:
-    exercises real temp-view DDL on the live session."""
+    (drop_command/reset_command, dbread.py:62-76, 157-169).  Mirrors
+    reset_command's whole-store sweep: create the three collection analogs
+    (trips / decimated / stats), verify they list, drop ALL of them, verify
+    the post-drop catalog.  Exercises real temp-view DDL on the live
+    session, and the lifecycle outcome is deterministic — so unlike the
+    old single-probe rows-only form this has a static hash-verifiable
+    oracle (every row must come back created=true, verified_gone=true)."""
     pin_session(spark)
-    name = "airstrik_ddl_probe"
-    spark.range(1).createOrReplaceTempView(name)
-    existed = any(t.name == name for t in spark.catalog.listTables())
-    dropped = spark.catalog.dropTempView(name)
-    gone = not any(t.name == name for t in spark.catalog.listTables())
+    for n in DDL_PROBE_OBJECTS:
+        spark.range(1).createOrReplaceTempView(n)
+    listed = {t.name for t in spark.catalog.listTables()}
+    created = {n: n in listed for n in DDL_PROBE_OBJECTS}
+    for n in DDL_PROBE_OBJECTS:
+        spark.catalog.dropTempView(n)
+    after = {t.name for t in spark.catalog.listTables()}
+    rows = [
+        (n, bool(created[n]), n not in after) for n in DDL_PROBE_OBJECTS
+    ]
     return spark.createDataFrame(
-        [(name, bool(existed), bool(dropped), bool(gone))],
-        "object string, created boolean, dropped boolean, verified_gone boolean",
+        rows, "object string, created boolean, verified_gone boolean"
     )
 
 

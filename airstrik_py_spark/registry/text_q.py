@@ -160,18 +160,31 @@ def q_corpus_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     chars, exact median token count.  One map-side-combined shuffle on a
     low-cardinality key; the exact median is fine at any scale because
     groups stay small in count-space (swap to approx_percentile only if a
-    single group's token-count SET can't be sorted — it always can)."""
+    single group's token-count SET can't be sorted — it always can).
+
+    Integer-exact outputs (house rule — this slug was the last float
+    emitter and the one r3 driver-hash mismatch): `avg_chars_micro` is
+    round-half-away(mean * 1e6) via true IntegralDivide over
+    decimal(38,0) (no engine float path, no 2^53 loss at 100 TB sums),
+    and `median_tokens_x2` is 2x the median of an integer column — the
+    half-sum of the two middle values, always an integer, exact in
+    double up to 2^52 so the cast is lossless on both engines."""
     pin_session(spark)
     d = load_table(spark, sf_dir, "documents")
     n_tok = F.size(F.split("text", " "))
+    sum_chars = F.sum("n_chars").cast("decimal(38,0)")
+    n_docs = F.count("*").cast("decimal(38,0)")
+    avg_micro = F.call_function(
+        "div", sum_chars * 2_000_000 + n_docs, n_docs * 2
+    ).cast("long")
     return (
         d.groupBy("source", "lang")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum(n_tok).alias("total_tokens"),
             F.sum("n_chars").alias("total_chars"),
-            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
-            F.round(F.median(n_tok.cast("double")), 1).alias("median_tokens"),
+            avg_micro.alias("avg_chars_micro"),
+            (F.median(n_tok) * 2).cast("long").alias("median_tokens_x2"),
         )
     )
 
@@ -486,8 +499,9 @@ SELECT source, lang,
        count(*) AS n_docs,
        sum(len(string_split(text, ' '))) AS total_tokens,
        sum(n_chars) AS total_chars,
-       round(avg(n_chars), 6) AS avg_chars,
-       round(median(CAST(len(string_split(text, ' ')) AS DOUBLE)), 1) AS median_tokens
+       CAST((CAST(sum(n_chars) AS HUGEINT) * 2000000 + count(*))
+            // (CAST(count(*) AS HUGEINT) * 2) AS BIGINT) AS avg_chars_micro,
+       CAST(2 * median(len(string_split(text, ' '))) AS BIGINT) AS median_tokens_x2
 FROM documents
 GROUP BY source, lang
 """,

@@ -73,12 +73,17 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # Round-over-round comparability (VERDICT r3 #7): publish BOTH totals —
+    # the full headline AND the unchanged-since-r1 original-10 subset — so
+    # cross-round comparisons never need per-query arithmetic.
+    original10 = round(sum(timings[n] for n in HEADLINE[:10]), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_sec",
                 "value": total,
                 "unit": "sec",
+                "original10_total_sec": original10,
                 "queries": timings,
                 "sf": sf,
                 "runs_per_query": 3,

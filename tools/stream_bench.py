@@ -1,20 +1,30 @@
-"""Streaming throughput benchmark: replay the sf-dir observation stream
-through the Structured Streaming pipelines (availableNow drain) and
-measure end-to-end rows/second.
+"""Streaming benchmark: throughput + state-scale for the Structured
+Streaming pipelines (availableNow drain of a parquet tape).
 
 The reference engine is a single-thread Python loop that re-parses one
 aircraft.json per decoder tick (airstrik.py:189-208) — its ceiling is one
 snapshot per poll interval on an RPi-class host (BASELINE.md publishes no
-numbers).  This artifact records what the SAME trip semantics sustain as
-a watermarked session_window stream on local[32]; on a cluster the state
-store shards by key, so the rate scales with executors until the state
-backend saturates.
+numbers).  This artifact records two axes:
 
-Usage: python tools/stream_bench.py [sf_dir]  ->  one JSON line + STREAMBENCH.md
+1. Throughput — end-to-end rows/second of the three pipelines at the
+   given sf_dir.
+2. State scale — the 100x claim: replay the SAME trip semantics with a
+   synthetic key fan-out (hex -> hex#0..hex#K-1, so KX concurrent
+   sessions AND KX input rows) and record peak state-store rows, state
+   memory, throughput, and final watermark lag for the default
+   (HDFS-backed) and RocksDB state providers.
+
+Environment strings (master, parallelism) are derived from the live
+SparkContext — nothing in the generated report is hardcoded to the
+machine this was first written on.
+
+Usage: python tools/stream_bench.py [sf_dir] [state_sf_dir]
+  -> one JSON line + STREAMBENCH.md
 """
 
 from __future__ import annotations
 
+import datetime
 import json
 import shutil
 import sys
@@ -22,6 +32,8 @@ import tempfile
 import time
 
 sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
 
 from airstrik_py_spark.config import TESTDATA  # noqa: E402
 from airstrik_py_spark.session import get_spark, pin_session  # noqa: E402
@@ -33,31 +45,74 @@ from airstrik_py_spark.streaming.pipeline import (  # noqa: E402
 )
 
 TAPE_FILES = 16  # splits for the file source -> parallel micro-batch work
+FANOUTS = (1, 10, 100)
+ROCKSDB = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+HDFS_DEFAULT = (
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+)
+
+
+def _run_query(make_stream):
+    """Drain one streaming DataFrame to the noop sink; return (sec, query)."""
+    t0 = time.time()
+    q = (
+        make_stream()
+        .writeStream.format("noop")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return time.time() - t0, q
 
 
 def _drain(make_stream) -> float:
-    """Run a streaming DataFrame factory to the noop sink with availableNow,
-    best-of-2 (the first drain pays JVM/state-store cold start — observed
-    5x inflation on the heaviest pipeline)."""
+    """Best-of-2 wall-clock (the first drain pays JVM/state-store cold
+    start — observed 5x inflation on the heaviest pipeline)."""
     best = None
     for _ in range(2):
-        t0 = time.time()
-        q = (
-            make_stream()
-            .writeStream.format("noop")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        dt = time.time() - t0
+        dt, _q = _run_query(make_stream)
         best = dt if best is None else min(best, dt)
     return best
 
 
+def _state_metrics(q):
+    """Peak state rows / memory bytes and the final watermark across the
+    drain's batches, from the query's progress events."""
+    rows = mem = 0
+    watermark = None
+    for p in q.recentProgress:
+        for so in p.get("stateOperators", []):
+            rows = max(rows, so.get("numRowsTotal", 0))
+            m = so.get("memoryUsedBytes", 0)
+            cm = so.get("customMetrics", {}) or {}
+            m = max(m, cm.get("rocksdbTotalMemoryUsage", 0))
+            mem = max(mem, m)
+        wm = (p.get("eventTime") or {}).get("watermark")
+        if wm:
+            watermark = wm
+    return rows, mem, watermark
+
+
+def _wm_lag_s(watermark_iso, max_ts_epoch) -> float | None:
+    """Lag in seconds between the tape's max event time and the final
+    watermark — both as UTC epoch seconds (naive-datetime comparisons pick
+    up the Python process's local timezone; epoch math cannot)."""
+    if watermark_iso is None or max_ts_epoch is None:
+        return None
+    wm = datetime.datetime.fromisoformat(watermark_iso.replace("Z", "+00:00"))
+    return round(max_ts_epoch - wm.timestamp(), 1)
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    # State-scale replays KX the rows; run it on the smaller dir by default.
+    state_sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
     spark = pin_session(get_spark("stream_bench"))
+    sc = spark.sparkContext
+    env = f"{sc.master}, parallelism={sc.defaultParallelism}"
     scratch = tempfile.mkdtemp(prefix="stream_bench_")
     try:
         obs = observations(spark, sf_dir)
@@ -92,9 +147,62 @@ def main() -> None:
             _drain(lambda: stream_sessionize_events(ev_stream())),
         )
 
+        # ---- state-scale axis: key fan-out x state-store provider -------
+        sobs = observations(spark, state_sf_dir)
+        state_tape = f"{scratch}/state_obs"
+        sobs.repartition(TAPE_FILES).write.parquet(state_tape)
+        n_sobs = spark.read.parquet(state_tape).count()
+        s_schema = spark.read.parquet(state_tape).schema
+        max_ts = (
+            spark.read.parquet(state_tape)
+            .agg(F.max(F.col("ts").cast("double")))
+            .first()[0]
+        )
+
+        def fan_stream(k: int):
+            base = spark.readStream.schema(s_schema).parquet(state_tape)
+            if k == 1:
+                return base
+            # KX concurrent keys: every observation replicated under K
+            # distinct synthetic hexes -> K independent sessions in state.
+            return (
+                base.withColumn(
+                    "rep", F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
+                )
+                .withColumn("hex", F.concat_ws("#", "hex", "rep"))
+                .drop("rep")
+            )
+
+        state_rows = []
+        for provider, pname in ((HDFS_DEFAULT, "default"), (ROCKSDB, "rocksdb")):
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", provider
+            )
+            for k in FANOUTS:
+                sec, q = _run_query(
+                    lambda k=k: stream_trips(fan_stream(k), TESTDATA)
+                )
+                srows, smem, wm = _state_metrics(q)
+                state_rows.append(
+                    {
+                        "provider": pname,
+                        "fanout": k,
+                        "input_rows": n_sobs * k,
+                        "sec": round(sec, 2),
+                        "rows_per_sec": int(n_sobs * k / sec),
+                        "state_rows_peak": srows,
+                        "state_mb_peak": round(smem / 1e6, 1),
+                        "watermark_lag_s": _wm_lag_s(wm, max_ts),
+                    }
+                )
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", HDFS_DEFAULT
+        )
+
         payload = {
             "metric": "streaming_rows_per_sec",
             "sf_dir": sf_dir,
+            "env": env,
             "pipelines": {
                 name: {
                     "rows": rows,
@@ -103,20 +211,18 @@ def main() -> None:
                 }
                 for name, (rows, sec) in results.items()
             },
+            "state_scale": state_rows,
         }
         print(json.dumps(payload))
 
         lines = [
             "# STREAMBENCH — Structured Streaming throughput (availableNow replay)",
             "",
-            f"sf_dir: `{sf_dir}`, local[32], {TAPE_FILES}-file parquet tape,",
+            f"sf_dir: `{sf_dir}`, {env}, {TAPE_FILES}-file parquet tape,",
             "noop sink, best-of-2 wall-clock from query start to drain.  The",
             "reference's live loop processes ONE snapshot per poll tick",
             "single-threaded (airstrik.py:189-208); these are the same",
-            "semantics as keyed, watermarked streaming state.  RocksDB state",
-            "provider measured at parity with the default at this state size",
-            "(35.9k vs 35.3k rows/s on stream_trips) — the swap matters when",
-            "keyed state exceeds executor heap, not here:",
+            "semantics as keyed, watermarked streaming state:",
             "",
             "| pipeline | input rows | sec | rows/sec |",
             "|---|---|---|---|",
@@ -130,6 +236,35 @@ def main() -> None:
             "(hex, ts) keys inside the watermark; sessionize_events is the",
             "event-table twin.  State shards by key on a cluster — rate",
             "scales with executors until the state store saturates.",
+            "",
+            "## State scale — key fan-out x state-store provider",
+            "",
+            f"stream_trips over `{state_sf_dir}` observations with every hex",
+            "replicated K ways (hex#0..hex#K-1): KX concurrent sessions AND",
+            "KX input rows, so per-key state is constant while TOTAL state",
+            "grows KX — the axis that decides provider choice at 100x scale.",
+            "Peak state rows/bytes from the query's stateOperators progress;",
+            "watermark lag = tape max event time minus final watermark — a",
+            "lag EQUAL to the configured 2x-remember delay means state growth",
+            "adds zero extra lag, i.e. the store is not the bottleneck:",
+            "",
+            "| provider | fan-out | input rows | sec | rows/sec |"
+            " peak state rows | peak state MB | wm lag (s) |",
+            "|---|---|---|---|---|---|---|---|",
+        ]
+        for r in state_rows:
+            lines.append(
+                f"| {r['provider']} | {r['fanout']}x | {r['input_rows']} |"
+                f" {r['sec']} | {r['rows_per_sec']} | {r['state_rows_peak']} |"
+                f" {r['state_mb_peak']} | {r['watermark_lag_s']} |"
+            )
+        lines += [
+            "",
+            "RocksDB keeps state off-heap/on-disk — at sizes where the",
+            "HDFS-backed map store would exceed executor heap (beyond this",
+            "table's range) it is the survival path; within the table's",
+            "range the two providers' throughput should be read relative to",
+            "each other on the run's own hardware, not against prior runs.",
             "",
         ]
         with open("/root/repo/STREAMBENCH.md", "w") as f:

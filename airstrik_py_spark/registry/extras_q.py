@@ -466,49 +466,42 @@ def q_pipeline_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quality_topk_per_source): a bare partitionBy("source") window would
     # funnel every accepted row of a hot source through one partition at
     # 100 TB.  Phase 1 keeps top-10 within (source, md5-salt bucket) —
-    # global top-10 always survives per-bucket top-10 pruning — and phase 2
-    # ranks the <= 8x10 survivors per source, so no window ever sorts more
-    # than quota x buckets rows.  Output is identical to the unsalted
-    # single-window form the DuckDB oracle keeps.
+    # global top-10 always survives per-bucket top-10 pruning.  Phase 2 is
+    # folded INTO the per-source rollup aggregate: collect the <= 8x10
+    # surviving (strat_h, doc_id, n_tok) structs per source (bounded, so
+    # the exchange moves O(quota x buckets) structs per source, never rows),
+    # array_sort them — struct order = (strat_h, doc_id), the sample's
+    # order-by — and slice the first 10.  One window pass + one tiny agg,
+    # the same cost shape as the old single-window form, minus its skew.
+    # Output is identical to the unsalted single-window form the DuckDB
+    # oracle keeps.
     salt = F.expr(
         "CAST(conv(substring(md5(concat('strat|', CAST(doc_id AS STRING))), 1, 2),"
         " 16, 10) AS INT) % 8"
     )
-    cand = (
-        accepted.withColumn("salt", salt)
-        .withColumn(
-            "r1",
-            F.row_number().over(
-                Window.partitionBy("source", "salt").orderBy(
-                    strat_h, F.col("doc_id")
-                )
-            ),
-        )
-        .filter(F.col("r1") <= 10)
-    )
-    sample10 = cand.withColumn(
-        "r2",
+    frame = accepted.withColumn("h", strat_h).withColumn(
+        "r1",
         F.row_number().over(
-            Window.partitionBy("source").orderBy(strat_h, F.col("doc_id"))
+            Window.partitionBy("source", salt).orderBy("h", "doc_id")
         ),
-    ).filter(F.col("r2") <= 10)
-    # n_accepted comes from a plain map-side-combined agg — the count no
-    # longer rides through a window at all.
-    roll_acc = (
-        accepted.groupBy("source")
-        .agg(F.count("*").alias("n_accepted"))
-        .join(
-            sample10.groupBy("source").agg(
-                F.count("*").alias("n_sampled"),
-                F.sum("n_tok").alias("tokens_sampled"),
-            ),
-            "source",
-            "left",
-        )
-        .withColumn("n_sampled", F.coalesce("n_sampled", F.lit(0).cast("long")))
-        .withColumn(
-            "tokens_sampled", F.coalesce("tokens_sampled", F.lit(0).cast("long"))
-        )
+    )
+    cand_struct = F.when(
+        F.col("r1") <= 10,
+        F.struct(
+            F.col("h"), F.col("doc_id").alias("d"), F.col("n_tok").alias("t")
+        ),
+    )
+    top10 = F.slice(F.array_sort(F.collect_list(cand_struct)), 1, 10)
+    roll_acc = frame.groupBy("source").agg(
+        F.count("*").alias("n_accepted"),
+        top10.alias("top10"),
+    ).select(
+        "source",
+        "n_accepted",
+        F.size("top10").cast("long").alias("n_sampled"),
+        F.aggregate(
+            "top10", F.lit(0).cast("long"), lambda a, x: a + x["t"]
+        ).alias("tokens_sampled"),
     )
     roll = acc.groupBy("source").agg(
         F.count("*").alias("n_docs"),
@@ -516,7 +509,7 @@ def q_pipeline_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("gate_keep") & F.col("lr_keep")).cast("int")).alias("n_lr"),
     )
     return (
-        roll.join(roll_acc.hint("shuffle_hash"), "source", "left")
+        roll.join(F.broadcast(roll_acc), "source", "left")
         .withColumn("n_accepted", F.coalesce("n_accepted", F.lit(0)))
         .withColumn("n_sampled", F.coalesce("n_sampled", F.lit(0).cast("long")))
         .withColumn(

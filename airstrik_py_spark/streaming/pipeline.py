@@ -153,6 +153,43 @@ def stream_sessionize_events(events: DataFrame, gap_s: int = 1800) -> DataFrame:
     )
 
 
+def stream_dedup_docs(
+    docs: DataFrame,
+    corpus_digests: DataFrame | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming ingest dedup for the documents table — the streaming twin
+    of operators/dedup.py::dedup_incremental (the LLM-data-curation
+    extension family's streaming lane; the reference engine has no document
+    pipeline).  Content digest = md5(text), same as every batch dedup
+    operator, so the accepted-digest set matches the batch decision
+    exactly (tests/test_streaming_docs.py).
+
+    Two layers, mirroring the batch accept rule:
+      * stream-vs-CORPUS (`seen_before`): a stream-static LEFT ANTI join
+        against the accepted corpus' distinct digest set.  The static side
+        is re-read per micro-batch; at 100 TB this side is a digest-only
+        column scan (16 B/doc) served from a bucketed digest dim — or the
+        whole operator becomes a Delta/Iceberg MERGE — never a scan of the
+        corpus text.
+      * stream-vs-STREAM (`first_in_batch`): dropDuplicatesWithinWatermark
+        on digest — first arrival wins and later replays are suppressed,
+        with per-digest state held only inside the watermark horizon, so
+        state = ingest rate x watermark, never corpus-sized.
+
+    The stream must carry an `ingest_ts` timestamp column (arrival time);
+    accepted rows are emitted immediately (append mode), the watermark
+    only bounds suppression state."""
+    d = docs.withColumn("digest", F.md5("text"))
+    if corpus_digests is not None:
+        d = d.join(
+            corpus_digests.select("digest").distinct(), "digest", "left_anti"
+        )
+    return d.withWatermark("ingest_ts", watermark).dropDuplicatesWithinWatermark(
+        ["digest"]
+    )
+
+
 def run_to_memory(trips_stream: DataFrame, name: str) -> None:
     """Drive a bounded replay to completion synchronously (availableNow) into
     an in-memory table — the test/replay harness."""

@@ -220,3 +220,32 @@ def test_ab_welch_t_symmetric_variants(spark):
     assert out["mean_a"] == out["mean_b"] == 2.0
     assert out["welch_t"] == 0.0
     assert out["welch_df"] == 22.0  # equal n, equal var -> n_a + n_b - 2
+
+
+def test_ab_welch_t_degenerate_inputs_emit_zero_rows(spark):
+    """The n>=2-per-variant contract (ADVICE r3): one empty variant, or a
+    variant with a single row, must produce ZERO rows — matching the
+    oracle's cross-join + WHERE n>1 semantics — never a row of NULL/inf
+    stats."""
+    from datetime import datetime
+
+    from airstrik_py_spark.operators.events import ab_welch_t
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    # Only even user_ids -> variant B empty.
+    only_a = spark.createDataFrame(
+        [(i, datetime(2024, 1, 1), 2 * i, "view", float(i), None) for i in range(6)],
+        schema,
+    )
+    assert ab_welch_t(only_a).count() == 0
+    # Variant B has exactly one row -> (n-1)=0 division is engine-dependent;
+    # the guard keeps it out entirely.
+    one_b = spark.createDataFrame(
+        [(i, datetime(2024, 1, 1), 2 * i, "view", float(i), None) for i in range(6)]
+        + [(99, datetime(2024, 1, 1), 1, "view", 5.0, None)],
+        schema,
+    )
+    assert ab_welch_t(one_b).count() == 0

@@ -161,3 +161,22 @@ class TestStreamingSketch:
         got = sorted(map(tuple, spark.read.parquet(store).collect()))
         want = sorted(map(tuple, SK.cms_build(batch).collect()))
         assert got == want
+
+
+class TestPrioritySampleDirtyInputs:
+    def test_null_and_negative_weights_excluded(self, spark):
+        """NULL n_chars sorts NULLS FIRST in Spark asc but NULLS LAST in
+        DuckDB, and n_chars < 0 divides by zero on one engine only (ADVICE
+        r3) — the guard drops both classes identically, so the sample over
+        a dirty frame equals the sample over its clean subset."""
+        clean = _docs(spark, n=200)
+        dirty = clean.unionByName(
+            spark.createDataFrame(
+                [(1000, None), (1001, -1), (1002, -50)],
+                "doc_id long, n_chars long",
+            )
+        )
+        got = [tuple(r) for r in SAMP.priority_sample(dirty, k=40).collect()]
+        want = [tuple(r) for r in SAMP.priority_sample(clean, k=40).collect()]
+        assert got == want
+        assert all(r[1] >= 1 for r in got)  # weight = n_chars + 1 >= 1

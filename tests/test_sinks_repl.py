@@ -270,3 +270,21 @@ def test_decimate_zero_mode_schema_matches_live_branch(spark):
     zero = decimate(df, EngineConfig(remember_s=60.0, min_trip_length_s=0.0, decimation_factor=0))
     assert zero.schema == live.schema
     assert zero.count() == 0
+
+
+def test_ddl_drop_reset_lifecycle_rows(spark):
+    """S10 (dbread.py:62-76, 157-169): the reshaped reset cycle creates the
+    three collection analogs, drops them all, and reports a deterministic
+    all-green lifecycle — the static shape its DuckDB oracle pins."""
+    from airstrik_py_spark.registry.sinks_q import (
+        DDL_PROBE_OBJECTS,
+        q_ddl_drop_reset,
+    )
+
+    rows = q_ddl_drop_reset(spark, "/root/testdata/sf0.001").collect()
+    assert [(r["object"], r["created"], r["verified_gone"]) for r in rows] == [
+        (n, True, True) for n in DDL_PROBE_OBJECTS
+    ]
+    # and the probes really are gone from the live catalog
+    names = {t.name for t in spark.catalog.listTables()}
+    assert not (set(DDL_PROBE_OBJECTS) & names)

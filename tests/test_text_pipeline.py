@@ -83,3 +83,39 @@ def test_eval_contamination_bounds_and_coverage(spark):
         assert splits[r["doc_id"]] == "eval"  # only eval docs scored
         assert 0 <= r["n_contaminated"] <= r["n_grams"]
         assert 0.0 <= r["contamination"] <= 1.0
+
+
+def test_corpus_rollup_integer_exact_vs_python(spark):
+    """The r4 integer-exact contract: avg_chars_micro is round-half-away
+    ((sum*1e6)/count) by pure integer math and median_tokens_x2 is the
+    half-sum-of-middles doubled — recomputed here from scratch in Python
+    over the raw fixture, no engine aggregate trusted."""
+    import statistics
+
+    from airstrik_py_spark.sources.tables import load_table
+
+    raw = load_table(spark, SF, "documents").select(
+        "source", "lang", "n_chars", "text"
+    ).collect()
+    groups = {}
+    for r in raw:
+        groups.setdefault((r["source"], r["lang"]), []).append(
+            (r["n_chars"], len(r["text"].split(" ")))
+        )
+    out = {
+        (r["source"], r["lang"]): r
+        for r in text_q.q_corpus_stats_rollup(spark, SF).collect()
+    }
+    assert set(out) == set(groups)
+    for key, vals in groups.items():
+        chars = [c for c, _ in vals]
+        toks = sorted(t for _, t in vals)
+        n = len(vals)
+        want_avg = (sum(chars) * 2_000_000 + n) // (2 * n)
+        mid = n // 2
+        want_med2 = (
+            2 * toks[mid] if n % 2 else toks[mid - 1] + toks[mid]
+        )
+        assert out[key]["avg_chars_micro"] == want_avg, key
+        assert out[key]["median_tokens_x2"] == want_med2, key
+        assert int(statistics.median(toks) * 2) == want_med2

@@ -39,6 +39,7 @@ from airstrik_py_spark.config import TESTDATA  # noqa: E402
 from airstrik_py_spark.session import get_spark, pin_session  # noqa: E402
 from airstrik_py_spark.sources.tables import load_table, observations  # noqa: E402
 from airstrik_py_spark.streaming.pipeline import (  # noqa: E402
+    stream_dedup_docs,
     stream_dedup_events,
     stream_sessionize_events,
     stream_trips,
@@ -147,6 +148,30 @@ def main() -> None:
             _drain(lambda: stream_sessionize_events(ev_stream())),
         )
 
+        # Document ingest dedup: even doc_ids play the accepted corpus
+        # (static digest side), odd doc_ids arrive as the stream.
+        docs = load_table(spark, sf_dir, "documents")
+        corpus_digests = docs.filter(F.col("doc_id") % 2 == 0).select(
+            F.md5("text").alias("digest")
+        )
+        dn = docs.filter(F.col("doc_id") % 2 == 1).withColumn(
+            "ingest_ts",
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")),
+        )
+        doc_tape = f"{scratch}/docs"
+        dn.repartition(TAPE_FILES).write.parquet(doc_tape)
+        n_docs = spark.read.parquet(doc_tape).count()
+        doc_schema = spark.read.parquet(doc_tape).schema
+        results["stream_dedup_docs"] = (
+            n_docs,
+            _drain(
+                lambda: stream_dedup_docs(
+                    spark.readStream.schema(doc_schema).parquet(doc_tape),
+                    corpus_digests,
+                )
+            ),
+        )
+
         # ---- state-scale axis: key fan-out x state-store provider -------
         sobs = observations(spark, state_sf_dir)
         state_tape = f"{scratch}/state_obs"
@@ -234,7 +259,9 @@ def main() -> None:
             "stream_trips carries the heaviest state (session_window +",
             "7-aggregate trip fold per plane); dedup keeps only",
             "(hex, ts) keys inside the watermark; sessionize_events is the",
-            "event-table twin.  State shards by key on a cluster — rate",
+            "event-table twin; dedup_docs is the LLM-ingest lane (stream-",
+            "static anti-join vs the corpus digest set + first-arrival-wins",
+            "watermark dedup).  State shards by key on a cluster — rate",
             "scales with executors until the state store saturates.",
             "",
             "## State scale — key fan-out x state-store provider",
@@ -245,8 +272,10 @@ def main() -> None:
             "grows KX — the axis that decides provider choice at 100x scale.",
             "Peak state rows/bytes from the query's stateOperators progress;",
             "watermark lag = tape max event time minus final watermark — a",
-            "lag EQUAL to the configured 2x-remember delay means state growth",
-            "adds zero extra lag, i.e. the store is not the bottleneck:",
+            "lag EQUAL to the configured 2x-remember delay",
+            f"({int(TESTDATA.remember_s * 2)} s at TESTDATA settings) means",
+            "state growth adds zero extra lag, i.e. the store is not the",
+            "bottleneck:",
             "",
             "| provider | fan-out | input rows | sec | rows/sec |"
             " peak state rows | peak state MB | wm lag (s) |",

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from airstrik_py_spark.functions.exact import ha_micro
 from airstrik_py_spark.sources.tables import load_table
 
 Q1_CUTOFF = "1998-09-01"
@@ -47,17 +48,9 @@ def _pct(col: str) -> Column:
     return F.round(F.col(col) * 100, 0).cast("long")
 
 
-def _ha_micro(num: Column, den: Column) -> Column:
-    """round-half-away((num/den) * 1e6) as exact integers, num/den >= 0.
-
-    True integer division (IntegralDivide over decimal(38,0)) — NOT
-    floor(a / b), whose double division loses bits past 2^53 (promo_units
-    * 1e6 is already ~1e17 here) and whose 2*scaled would wrap BIGINT at
-    larger SFs.  Both engines now compute the same exact quotient at any
-    operand magnitude (oracle side is integer `//`)."""
-    n = num.cast("decimal(38,0)")
-    d = den.cast("decimal(38,0)")
-    return F.call_function("div", n * 2_000_000 + d, d * 2).cast("long")
+# round-half-away micro-unit average — shared helper (functions/exact.py);
+# promo_units * 1e6 is already ~1e17 here, hence the decimal(38,0) path.
+_ha_micro = ha_micro
 
 
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:

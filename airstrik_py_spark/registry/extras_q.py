@@ -475,10 +475,9 @@ def q_pipeline_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the same cost shape as the old single-window form, minus its skew.
     # Output is identical to the unsalted single-window form the DuckDB
     # oracle keeps.
-    salt = F.expr(
-        "CAST(conv(substring(md5(concat('strat|', CAST(doc_id AS STRING))), 1, 2),"
-        " 16, 10) AS INT) % 8"
-    )
+    # salt = first byte of the already-materialized digest h — no second
+    # md5 per row (Catalyst does not CSE across a window partition spec)
+    salt = F.expr("CAST(conv(substring(h, 1, 2), 16, 10) AS INT) % 8")
     frame = accepted.withColumn("h", strat_h).withColumn(
         "r1",
         F.row_number().over(
@@ -488,7 +487,11 @@ def q_pipeline_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand_struct = F.when(
         F.col("r1") <= 10,
         F.struct(
-            F.col("h"), F.col("doc_id").alias("d"), F.col("n_tok").alias("t")
+            F.col("h"),
+            F.col("doc_id").alias("d"),
+            # NULL n_tok must contribute 0, like the oracle's null-skipping
+            # SUM — a bare fold over x["t"] would poison tokens_sampled
+            F.coalesce(F.col("n_tok").cast("long"), F.lit(0)).alias("t"),
         ),
     )
     top10 = F.slice(F.array_sort(F.collect_list(cand_struct)), 1, 10)

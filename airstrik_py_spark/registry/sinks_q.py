@@ -1,6 +1,6 @@
 """t2 queries for sink-side projections and scans: S3 trip docs, F4/S4
 decimation, S5 kafka routing, S7 catalog scan, F7/S8 CSV flatten, S9 JSON
-dump, S10 DDL (rows-only) — SURVEY §2.1/§2.2."""
+dump, S10 DDL (static-oracle lifecycle since r4) — SURVEY §2.1/§2.2."""
 
 from __future__ import annotations
 
@@ -237,9 +237,9 @@ QUERIES = {
     "project_flatten_csv": q_project_flatten_csv,
     "sink_csv_export": q_sink_csv_export,
     "sink_json_dump": q_sink_json_dump,
-    # ddl_drop_reset registers via extras_q (tail of the enumeration: its
-    # driver row is rows-only anyway, so it's the cheapest row to lose if
-    # the driver truncates)
+    # ddl_drop_reset registers via extras_q; since r4 it carries a static
+    # hash-verifiable oracle (create/reset/verify lifecycle), and the
+    # rotation queues it for a driver window until its first hash-green row
 }
 
 # OLDEST-wins as-of (min-struct) — mirrors operators/sessions.py::

@@ -172,11 +172,9 @@ def q_corpus_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_session(spark)
     d = load_table(spark, sf_dir, "documents")
     n_tok = F.size(F.split("text", " "))
-    sum_chars = F.sum("n_chars").cast("decimal(38,0)")
-    n_docs = F.count("*").cast("decimal(38,0)")
-    avg_micro = F.call_function(
-        "div", sum_chars * 2_000_000 + n_docs, n_docs * 2
-    ).cast("long")
+    from airstrik_py_spark.functions.exact import ha_micro
+
+    avg_micro = ha_micro(F.sum("n_chars"), F.count("*"))
     return (
         d.groupBy("source", "lang")
         .agg(

@@ -10,9 +10,12 @@ numbers).  This artifact records two axes:
    given sf_dir.
 2. State scale — the 100x claim: replay the SAME trip semantics with a
    synthetic key fan-out (hex -> hex#0..hex#K-1, so KX concurrent
-   sessions AND KX input rows) and record peak state-store rows, state
-   memory, throughput, and final watermark lag for the default
-   (HDFS-backed) and RocksDB state providers.
+   sessions AND KX rows entering the session operator — the scan still
+   reads the base tape; the other (K-1)X are generated in-plan by
+   explode) and record peak state-store rows, state memory, and drain
+   time for the default (HDFS-backed) and RocksDB state providers,
+   best-of-2 like the throughput section (the first drain pays
+   state-store/native-library cold start).
 
 Environment strings (master, parallelism) are derived from the live
 SparkContext — nothing in the generated report is hardcoded to the
@@ -24,7 +27,6 @@ Usage: python tools/stream_bench.py [sf_dir] [state_sf_dir]
 
 from __future__ import annotations
 
-import datetime
 import json
 import shutil
 import sys
@@ -80,10 +82,13 @@ def _drain(make_stream) -> float:
 
 
 def _state_metrics(q):
-    """Peak state rows / memory bytes and the final watermark across the
-    drain's batches, from the query's progress events."""
+    """Peak state rows / memory bytes across the drain's batches, from the
+    query's progress events.  (Watermark lag is deliberately NOT reported:
+    on a drained availableNow replay the final watermark always settles at
+    max-event-time minus the configured delay, whatever the store did, so
+    it cannot distinguish a throttled store from a healthy one — the
+    store-health signal here is drain time scaling across fan-outs.)"""
     rows = mem = 0
-    watermark = None
     for p in q.recentProgress:
         for so in p.get("stateOperators", []):
             rows = max(rows, so.get("numRowsTotal", 0))
@@ -91,20 +96,7 @@ def _state_metrics(q):
             cm = so.get("customMetrics", {}) or {}
             m = max(m, cm.get("rocksdbTotalMemoryUsage", 0))
             mem = max(mem, m)
-        wm = (p.get("eventTime") or {}).get("watermark")
-        if wm:
-            watermark = wm
-    return rows, mem, watermark
-
-
-def _wm_lag_s(watermark_iso, max_ts_epoch) -> float | None:
-    """Lag in seconds between the tape's max event time and the final
-    watermark — both as UTC epoch seconds (naive-datetime comparisons pick
-    up the Python process's local timezone; epoch math cannot)."""
-    if watermark_iso is None or max_ts_epoch is None:
-        return None
-    wm = datetime.datetime.fromisoformat(watermark_iso.replace("Z", "+00:00"))
-    return round(max_ts_epoch - wm.timestamp(), 1)
+    return rows, mem
 
 
 def main() -> None:
@@ -178,11 +170,6 @@ def main() -> None:
         sobs.repartition(TAPE_FILES).write.parquet(state_tape)
         n_sobs = spark.read.parquet(state_tape).count()
         s_schema = spark.read.parquet(state_tape).schema
-        max_ts = (
-            spark.read.parquet(state_tape)
-            .agg(F.max(F.col("ts").cast("double")))
-            .first()[0]
-        )
 
         def fan_stream(k: int):
             base = spark.readStream.schema(s_schema).parquet(state_tape)
@@ -204,20 +191,25 @@ def main() -> None:
                 "spark.sql.streaming.stateStore.providerClass", provider
             )
             for k in FANOUTS:
-                sec, q = _run_query(
-                    lambda k=k: stream_trips(fan_stream(k), TESTDATA)
-                )
-                srows, smem, wm = _state_metrics(q)
+                # best-of-2 (first drain pays provider cold start, e.g.
+                # RocksDB native-library load); metrics from the faster run
+                sec = q = None
+                for _ in range(2):
+                    s, cand_q = _run_query(
+                        lambda k=k: stream_trips(fan_stream(k), TESTDATA)
+                    )
+                    if sec is None or s < sec:
+                        sec, q = s, cand_q
+                srows, smem = _state_metrics(q)
                 state_rows.append(
                     {
                         "provider": pname,
                         "fanout": k,
-                        "input_rows": n_sobs * k,
+                        "session_rows": n_sobs * k,
                         "sec": round(sec, 2),
-                        "rows_per_sec": int(n_sobs * k / sec),
+                        "session_rows_per_sec": int(n_sobs * k / sec),
                         "state_rows_peak": srows,
                         "state_mb_peak": round(smem / 1e6, 1),
-                        "watermark_lag_s": _wm_lag_s(wm, max_ts),
                     }
                 )
         spark.conf.set(
@@ -267,25 +259,29 @@ def main() -> None:
             "## State scale — key fan-out x state-store provider",
             "",
             f"stream_trips over `{state_sf_dir}` observations with every hex",
-            "replicated K ways (hex#0..hex#K-1): KX concurrent sessions AND",
-            "KX input rows, so per-key state is constant while TOTAL state",
-            "grows KX — the axis that decides provider choice at 100x scale.",
-            "Peak state rows/bytes from the query's stateOperators progress;",
-            "watermark lag = tape max event time minus final watermark — a",
-            "lag EQUAL to the configured 2x-remember delay",
-            f"({int(TESTDATA.remember_s * 2)} s at TESTDATA settings) means",
-            "state growth adds zero extra lag, i.e. the store is not the",
-            "bottleneck:",
+            "replicated K ways (hex#0..hex#K-1): KX concurrent sessions and",
+            "KX rows entering the session operator (the scan reads the base",
+            "tape once; the other (K-1)X are generated in-plan by explode,",
+            "so 'session rows/sec' is the stateful operator's ingestion",
+            "rate, NOT source-scan throughput — the throughput table above",
+            "is the scan-inclusive number).  Per-key state is constant",
+            "while TOTAL state grows KX — the axis that decides provider",
+            "choice at 100x scale.  Best-of-2 drains; peak state rows/bytes",
+            "from stateOperators progress.  The store-health signal is",
+            "drain time scaling across fan-outs (a throttled store shows",
+            "super-linear sec growth; watermark lag is not reported — on a",
+            "drained availableNow replay it is definitionally pinned at the",
+            "configured delay and cannot fire):",
             "",
-            "| provider | fan-out | input rows | sec | rows/sec |"
-            " peak state rows | peak state MB | wm lag (s) |",
-            "|---|---|---|---|---|---|---|---|",
+            "| provider | fan-out | session rows | sec | session rows/sec |"
+            " peak state rows | peak state MB |",
+            "|---|---|---|---|---|---|---|",
         ]
         for r in state_rows:
             lines.append(
-                f"| {r['provider']} | {r['fanout']}x | {r['input_rows']} |"
-                f" {r['sec']} | {r['rows_per_sec']} | {r['state_rows_peak']} |"
-                f" {r['state_mb_peak']} | {r['watermark_lag_s']} |"
+                f"| {r['provider']} | {r['fanout']}x | {r['session_rows']} |"
+                f" {r['sec']} | {r['session_rows_per_sec']} |"
+                f" {r['state_rows_peak']} | {r['state_mb_peak']} |"
             )
         lines += [
             "",

@@ -597,6 +597,30 @@ STRAT_QUOTA = 10
 STRAT_SALT = "strat|"
 
 
+def salted_sample_candidates(
+    df: DataFrame,
+    part: str = "source",
+    quota: int = STRAT_QUOTA,
+    buckets: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Phase 1 of the two-phase salted per-stratum top-`quota` (shared by
+    stratified_sample_exact and pipeline_corpus_release): rank rows within
+    (part, md5-salt bucket) by the content-free stratified hash order
+    (h, id).  A row with r1 > quota cannot be in the global per-part
+    top-quota — per-bucket pruning preserves the global top-k — so phase 2
+    only ever handles <= buckets x quota rows per stratum.  No window here
+    partitions by the bare stratum key, so a hot stratum cannot funnel
+    through one partition at 100 TB.  The salt bucket derives from the
+    already-materialized digest (no second md5 per row).  Adds columns:
+    `h` (order hash) and `r1` (phase-1 rank)."""
+    h = F.md5(F.concat(F.lit(STRAT_SALT), F.col(id_col).cast("string")))
+    d = df.withColumn("h", h)
+    salt = F.expr(f"CAST(conv(substring(h, 1, 2), 16, 10) AS INT) % {buckets}")
+    w = Window.partitionBy(part, salt).orderBy("h", id_col)
+    return d.withColumn("r1", F.row_number().over(w))
+
+
 def stratified_sample_exact(docs: DataFrame, quota: int = STRAT_QUOTA) -> DataFrame:
     """Exact-size uniform sample per source: rank documents inside each
     stratum by a content-free salted hash (idempotent across re-runs and
@@ -604,14 +628,33 @@ def stratified_sample_exact(docs: DataFrame, quota: int = STRAT_QUOTA) -> DataFr
     domain_balance's keep-rate thresholding (which is only exact in
     expectation).
 
-    Shape: one hash exchange on source + a per-stratum rank window.  For
-    skewed strata at corpus scale, swap the window for the two-phase
-    salted top-k in quality_topk_per_source (same contract, same output)."""
-    h = F.md5(F.concat(F.lit(STRAT_SALT), F.col("doc_id").cast("string")))
-    w = Window.partitionBy("source").orderBy(h, F.col("doc_id"))
-    return (
-        docs.select("doc_id", "source", h.alias("h"))
-        .withColumn("rank_in_source", F.row_number().over(w))
-        .filter(F.col("rank_in_source") <= quota)
-        .select("doc_id", "source", "rank_in_source")
+    Skew-safe since r4: phase 1 ranks within (source, salt bucket)
+    (salted_sample_candidates), and phase 2 folds the <= buckets x quota
+    survivors per source into a sorted bounded array whose posexplode
+    yields the final ranks — so no window ever sorts a whole hot stratum,
+    and the exchange after phase 1 moves O(buckets x quota) structs per
+    source, never rows.  Output identical to the unsalted single-window
+    form (the DuckDB oracle keeps that formulation; hypothesis
+    property-tests pin the equivalence on skewed/dirty inputs)."""
+    cand = salted_sample_candidates(
+        docs.select("doc_id", "source"), quota=quota
+    )
+    top = cand.groupBy("source").agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("r1") <= quota,
+                        F.struct("h", F.col("doc_id").alias("d")),
+                    )
+                )
+            ),
+            1,
+            quota,
+        ).alias("top")
+    )
+    return top.select("source", F.posexplode("top")).select(
+        F.col("col.d").alias("doc_id"),
+        "source",
+        (F.col("pos") + 1).cast("int").alias("rank_in_source"),
     )

@@ -460,30 +460,22 @@ def q_pipeline_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     acc = d.withColumn("first_wins", first).withColumn(
         "accept", F.col("gate_keep") & F.col("lr_keep") & F.col("first_wins")
     )
-    strat_h = F.md5(F.concat(F.lit("strat|"), F.col("doc_id").cast("string")))
     accepted = acc.filter("accept")
-    # Per-source quota via the TWO-PHASE salted top-k (same scheme as
-    # quality_topk_per_source): a bare partitionBy("source") window would
-    # funnel every accepted row of a hot source through one partition at
-    # 100 TB.  Phase 1 keeps top-10 within (source, md5-salt bucket) —
-    # global top-10 always survives per-bucket top-10 pruning.  Phase 2 is
-    # folded INTO the per-source rollup aggregate: collect the <= 8x10
-    # surviving (strat_h, doc_id, n_tok) structs per source (bounded, so
-    # the exchange moves O(quota x buckets) structs per source, never rows),
-    # array_sort them — struct order = (strat_h, doc_id), the sample's
+    # Per-source quota via the TWO-PHASE salted top-k: phase 1 is the
+    # shared operators/corpus.py::salted_sample_candidates (a bare
+    # partitionBy("source") window would funnel every accepted row of a
+    # hot source through one partition at 100 TB).  Phase 2 is folded
+    # INTO the per-source rollup aggregate: collect the <= 8x10 surviving
+    # (h, doc_id, n_tok) structs per source (bounded, so the exchange
+    # moves O(quota x buckets) structs per source, never rows),
+    # array_sort them — struct order = (h, doc_id), the sample's
     # order-by — and slice the first 10.  One window pass + one tiny agg,
     # the same cost shape as the old single-window form, minus its skew.
     # Output is identical to the unsalted single-window form the DuckDB
     # oracle keeps.
-    # salt = first byte of the already-materialized digest h — no second
-    # md5 per row (Catalyst does not CSE across a window partition spec)
-    salt = F.expr("CAST(conv(substring(h, 1, 2), 16, 10) AS INT) % 8")
-    frame = accepted.withColumn("h", strat_h).withColumn(
-        "r1",
-        F.row_number().over(
-            Window.partitionBy("source", salt).orderBy("h", "doc_id")
-        ),
-    )
+    from airstrik_py_spark.operators.corpus import salted_sample_candidates
+
+    frame = salted_sample_candidates(accepted, quota=10)
     cand_struct = F.when(
         F.col("r1") <= 10,
         F.struct(

@@ -383,3 +383,48 @@ def test_bpe_merges_match_python_reference(spark, words):
                     i += 1
             seqs[w] = out
     assert got == want
+
+
+# Skewed strata: one hot source with many docs, small ones, empty overlap.
+strata_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["hot", "a", "b", "c"]),
+        st.integers(min_value=0, max_value=10_000),
+    ),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda t: t[1],
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=strata_strategy, quota=st.integers(min_value=1, max_value=4))
+def test_salted_stratified_sample_equals_unsalted_reference(spark, rows, quota):
+    """The two-phase salted sample (phase-1 (source, salt-bucket) window +
+    bounded-array phase 2) must equal the unsalted single-window
+    formulation — the DuckDB-oracle form — on arbitrary skewed strata:
+    per source, the quota smallest (md5('strat|'||id), id) keys with
+    1-based ranks."""
+    import hashlib
+
+    from airstrik_py_spark.operators.corpus import (
+        STRAT_SALT,
+        stratified_sample_exact,
+    )
+
+    docs = spark.createDataFrame(rows, "source string, doc_id long")
+    got = sorted(
+        (r["source"], r["rank_in_source"], r["doc_id"])
+        for r in stratified_sample_exact(docs, quota=quota).collect()
+    )
+
+    by_source: dict[str, list[tuple[str, int]]] = {}
+    for source, doc_id in rows:
+        h = hashlib.md5(f"{STRAT_SALT}{doc_id}".encode()).hexdigest()
+        by_source.setdefault(source, []).append((h, doc_id))
+    want = sorted(
+        (source, rank, doc_id)
+        for source, pairs in by_source.items()
+        for rank, (_h, doc_id) in enumerate(sorted(pairs)[:quota], start=1)
+    )
+    assert got == want

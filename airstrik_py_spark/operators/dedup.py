@@ -91,10 +91,13 @@ def minhash_signature(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(docs: DataFrame, k: int = MINHASH_K, rows_per_band: int = 2) -> DataFrame:
-    """MinHash-LSH candidate duplicate pairs: docs sharing >= 1 band bucket.
-    Band key = md5(band_index | h_i .. h_j); self-join per bucket only."""
-    sig = minhash_signature(docs, k)
+def lsh_band_keys(
+    sig: DataFrame, k: int = MINHASH_K, rows_per_band: int = 2
+) -> DataFrame:
+    """(doc_id, band, bkey) band-bucket keys from a MinHash signature frame —
+    band key = md5(band_index | h_i .. h_j).  Shared by the batch pair
+    finder and the incremental ingest path (whose persisted signature
+    store is exactly this frame)."""
     n_bands = k // rows_per_band
     bands = [
         F.struct(
@@ -109,9 +112,15 @@ def lsh_candidate_pairs(docs: DataFrame, k: int = MINHASH_K, rows_per_band: int 
         )
         for b in range(n_bands)
     ]
-    keyed = sig.select(
+    return sig.select(
         "doc_id", F.explode(F.array(*bands)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+
+
+def lsh_candidate_pairs(docs: DataFrame, k: int = MINHASH_K, rows_per_band: int = 2) -> DataFrame:
+    """MinHash-LSH candidate duplicate pairs: docs sharing >= 1 band bucket.
+    Band key = md5(band_index | h_i .. h_j); self-join per bucket only."""
+    keyed = lsh_band_keys(minhash_signature(docs, k), k, rows_per_band)
     a = keyed.alias("a")
     b = keyed.alias("b")
     return (
@@ -259,16 +268,26 @@ def ngram_jaccard_pairs(
     filtering drops shingles with df > df_max from the REPRESENTATION (both
     intersection and sizes), so Jaccard stays a true set similarity over the
     capped vocabulary and the join's per-key fan-out is bounded by df_max^2.
-    The DF count is a count-over-window on the shingle key, whose hash
-    exchange the self-join then reuses — the cap costs no extra shuffle.
 
     (minhash_signature needs no such cap: it never joins on shingles — the
-    min-agg is keyed by doc_id and hot shingles cost it only linear work.)"""
-    from pyspark.sql import Window
+    min-agg is keyed by doc_id and hot shingles cost it only linear work.)
 
-    sh = shingles(docs, n).withColumn(
-        "df", F.count("*").over(Window.partitionBy("shingle"))
-    ).filter(F.col("df") <= F.lit(df_max)).drop("df")
+    DF-cap shape (r4): a count-over-window on shingle would SORT a hot
+    shingle's rows inside one task (10^8-row spill for a stop-phrase in
+    1% of a 10^10-doc corpus); instead the DF comes from a
+    map-side-combined groupBy — hot shingles collapse to one partial row
+    per map task — and the capped vocabulary joins back as the BUILD side
+    of a shuffled-hash join whose probe STREAMS the shingle rows, so a
+    hot key costs streaming time, never a sort.  The self-join then
+    reuses the same shingle-hash exchange."""
+    sh_all = shingles(docs, n)
+    capped_vocab = (
+        sh_all.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= F.lit(df_max))
+        .drop("df")
+    )
+    sh = sh_all.join(capped_vocab.hint("shuffle_hash"), "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -335,4 +354,35 @@ def dedup_incremental(
         F.col("_seen").isNotNull().alias("seen_before"),
         "first_in_batch",
         (F.col("_seen").isNull() & F.col("first_in_batch")).alias("accept"),
+    )
+
+
+def minhash_lsh_incremental(
+    new_docs: DataFrame,
+    corpus_bands: DataFrame,
+    k: int = MINHASH_K,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """NEAR-dup analog of dedup_incremental: candidate near-duplicate hits
+    of each NEW document against the ACCEPTED corpus, via shared MinHash
+    band buckets.
+
+    `corpus_bands` is the persisted (doc_id, band, bkey) signature store
+    (lsh_band_keys output, appended per ingest batch) — the corpus is
+    never re-shingled, never re-banded, and its TEXT is never read; the
+    join touches only bucket-matching rows, so a daily batch costs
+    O(batch) signature work + a bucket-local join against a store that is
+    ~n_bands rows per corpus doc.  Returns
+    (new_doc_id, corpus_doc_id, n_shared_bands) — the candidate set a
+    curation pipeline re-ranks (exact Jaccard / cosine) or blocks on.
+    """
+    nb = lsh_band_keys(minhash_signature(new_docs, k), k, rows_per_band)
+    return (
+        nb.withColumnRenamed("doc_id", "new_doc_id")
+        .join(
+            corpus_bands.withColumnRenamed("doc_id", "corpus_doc_id"),
+            ["band", "bkey"],
+        )
+        .groupBy("new_doc_id", "corpus_doc_id")
+        .agg(F.count("*").alias("n_shared_bands"))
     )

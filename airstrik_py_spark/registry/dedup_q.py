@@ -5,6 +5,7 @@ training-data-pipeline extensions)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from airstrik_py_spark.operators import dedup as D
 from airstrik_py_spark.operators.dedup import NGRAM_DF_MAX
@@ -81,6 +82,26 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.lsh_candidate_pairs(load_table(spark, sf_dir, "documents"))
 
 
+def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup ingest check (operators/dedup.py::minhash_lsh_incremental):
+    each NEW doc (doc_id >= INCR_SPLIT) vs the ACCEPTED corpus via shared
+    MinHash band buckets.  In production the corpus side is the persisted
+    (doc_id, band, bkey) signature store appended per batch — the corpus
+    text is never re-read (tests/test_dedup_similarity.py pins the
+    store-roundtrip equivalence); this slug derives it from the fixture
+    split so the DuckDB oracle can mirror it."""
+    from airstrik_py_spark.operators.dedup import INCR_SPLIT
+
+    pin_session(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_bands = D.lsh_band_keys(
+        D.minhash_signature(docs.filter(F.col("doc_id") < INCR_SPLIT))
+    )
+    return D.minhash_lsh_incremental(
+        docs.filter(F.col("doc_id") >= INCR_SPLIT), corpus_bands
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-16 near-dup pairs at hamming <= 3 via 4-block pigeonhole
     bucketing."""
@@ -129,6 +150,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_normalized": q_dedup_normalized,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_minhash_incremental": q_dedup_minhash_incremental,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -162,6 +184,26 @@ bands AS (
   SELECT doc_id, 2 AS band, md5('2' || '|' || h4 || '|' || h5) AS bkey FROM sig)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
 FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+""",
+    "dedup_minhash_incremental": f"""
+WITH {_SH},
+sig AS (
+  SELECT doc_id,
+         min(md5('0|' || s)) AS h0, min(md5('1|' || s)) AS h1,
+         min(md5('2|' || s)) AS h2, min(md5('3|' || s)) AS h3,
+         min(md5('4|' || s)) AS h4, min(md5('5|' || s)) AS h5
+  FROM sh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 0 AS band, md5('0' || '|' || h0 || '|' || h1) AS bkey FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5('1' || '|' || h2 || '|' || h3) AS bkey FROM sig
+  UNION ALL
+  SELECT doc_id, 2 AS band, md5('2' || '|' || h4 || '|' || h5) AS bkey FROM sig)
+SELECT n.doc_id AS new_doc_id, c.doc_id AS corpus_doc_id,
+       count(*) AS n_shared_bands
+FROM bands n JOIN bands c ON n.band = c.band AND n.bkey = c.bkey
+WHERE n.doc_id >= {D.INCR_SPLIT} AND c.doc_id < {D.INCR_SPLIT}
 GROUP BY 1, 2
 """,
     "dedup_simhash": f"""

@@ -334,3 +334,41 @@ def test_pq_adc_recall_monotone_in_codebook(spark):
     r_small, r_full = recall(2), recall(SIM.PQ_K)
     assert r_full >= 0.5, r_full          # registered config (32x2x16)
     assert r_full > r_small + 0.1, (r_small, r_full)  # monotone with margin
+
+
+def test_minhash_incremental_store_roundtrip(spark, tmp_path):
+    """The ingest contract: corpus band keys persisted to a parquet store
+    and read back must give the SAME hits as computing them inline, and
+    the hits must equal the full batch pair-finder restricted to
+    (corpus, new) pairs — i.e. incremental ingest loses nothing vs a full
+    re-dedup, without ever re-reading corpus text."""
+    from airstrik_py_spark.operators import dedup as D
+    from airstrik_py_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    split = D.INCR_SPLIT
+    corpus = docs.filter(F.col("doc_id") < split)
+    new = docs.filter(F.col("doc_id") >= split)
+
+    store = str(tmp_path / "band_store")
+    D.lsh_band_keys(D.minhash_signature(corpus)).write.parquet(store)
+    from_store = {
+        (r["new_doc_id"], r["corpus_doc_id"], r["n_shared_bands"])
+        for r in D.minhash_lsh_incremental(
+            new, spark.read.parquet(store)
+        ).collect()
+    }
+    inline = {
+        (r["new_doc_id"], r["corpus_doc_id"], r["n_shared_bands"])
+        for r in D.minhash_lsh_incremental(
+            new, D.lsh_band_keys(D.minhash_signature(corpus))
+        ).collect()
+    }
+    assert from_store == inline
+
+    full_cross = {
+        (r["doc_b"], r["doc_a"], r["n_shared_bands"])
+        for r in D.lsh_candidate_pairs(docs).collect()
+        if r["doc_a"] < split <= r["doc_b"]
+    }
+    assert from_store == full_cross

@@ -97,6 +97,63 @@ def cosine_dup_pairs(
     )
 
 
+EMB_INCR_SPLIT = 250  # fixture boundary: vec_id < EMB_INCR_SPLIT = corpus
+
+
+def embedding_bucket_store(
+    emb: DataFrame, bands: int = COSINE_BANDS, bits: int = SRP_BITS
+) -> DataFrame:
+    """The persisted SRP bucket index: (vec_id, vec, band, bkey) — one row
+    per (vector, band).  This is what an ingest pipeline appends per batch
+    so later batches can probe the corpus without re-reading the embedding
+    table (~bands x vector bytes per doc; swap `vec` for PQ codes — see
+    pq_codes — to cut the store ~16x when the re-rank tolerates ADC)."""
+    return (
+        _with_vec(emb)
+        .withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))))
+        .withColumn("bkey", srp_band_key(F.col("vec"), F.col("band"), bits))
+        .select("vec_id", "vec", "band", "bkey")
+    )
+
+
+def cosine_dups_incremental(
+    new_emb: DataFrame,
+    corpus_store: DataFrame,
+    threshold: float,
+    bands: int = COSINE_BANDS,
+    bits: int = SRP_BITS,
+) -> DataFrame:
+    """Embedding near-dup ingest check — the third incremental-dedup
+    modality beside dedup_incremental (exact digest) and
+    minhash_lsh_incremental (text near-dup): each NEW vector's
+    above-threshold cosine hits against the ACCEPTED corpus, probing the
+    persisted SRP bucket store.  Candidates = shared (band, bkey); exact
+    cosine re-rank inside buckets only; DISTINCT collapses multi-band
+    hits.  Work is bucket-local (sum over buckets of |new| x |corpus|
+    within the bucket), never |new| x |corpus| all-pairs, and the corpus
+    embedding table itself is never scanned."""
+    nb = embedding_bucket_store(new_emb, bands, bits).select(
+        F.col("vec_id").alias("new_vec_id"),
+        F.col("vec").alias("vn"),
+        "band",
+        "bkey",
+    )
+    cs = corpus_store.select(
+        F.col("vec_id").alias("corpus_vec_id"),
+        F.col("vec").alias("vc"),
+        "band",
+        "bkey",
+    )
+    cos = F.round(cosine(F.col("vn"), F.col("vc")), 4)
+    return (
+        nb.join(cs, ["band", "bkey"])
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= F.lit(threshold))
+        .select("new_vec_id", "corpus_vec_id", "cos")
+        .distinct()
+    )
+
+
 def ann_bruteforce(emb: DataFrame, n_queries: int, k: int) -> DataFrame:
     """Exact top-k cosine neighbors for vec_id < n_queries (excluding self),
     rank ties broken by neighbor id."""

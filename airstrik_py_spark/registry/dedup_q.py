@@ -13,6 +13,8 @@ from airstrik_py_spark.operators.similarity import cosine_dup_pairs
 from airstrik_py_spark.session import pin_session
 from airstrik_py_spark.sources.tables import load_table
 
+from airstrik_py_spark.operators.similarity import EMB_INCR_SPLIT as S_EMB_SPLIT
+
 JACCARD_THRESHOLD = 0.1
 COSINE_THRESHOLD = 0.4
 _COS_BANDS = 8
@@ -102,6 +104,28 @@ def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup ingest check
+    (operators/similarity.py::cosine_dups_incremental): NEW vectors
+    (vec_id >= EMB_INCR_SPLIT) vs the ACCEPTED corpus via the persisted
+    SRP bucket store — the third incremental-dedup modality (exact digest
+    / text MinHash / embedding cosine).  This slug derives the store from
+    the fixture split so the DuckDB oracle can mirror it; the
+    store-roundtrip equivalence is pinned in tests."""
+    from airstrik_py_spark.operators.similarity import (
+        EMB_INCR_SPLIT,
+        cosine_dups_incremental,
+        embedding_bucket_store,
+    )
+
+    pin_session(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    store = embedding_bucket_store(emb.filter(F.col("vec_id") < EMB_INCR_SPLIT))
+    return cosine_dups_incremental(
+        emb.filter(F.col("vec_id") >= EMB_INCR_SPLIT), store, COSINE_THRESHOLD
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-16 near-dup pairs at hamming <= 3 via 4-block pigeonhole
     bucketing."""
@@ -151,6 +175,7 @@ QUERIES = {
     "dedup_normalized": q_dedup_normalized,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_incremental": q_dedup_minhash_incremental,
+    "dedup_embedding_incremental": q_dedup_embedding_incremental,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -258,6 +283,22 @@ FROM banded a JOIN banded b
   ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.v, b.v)
             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= {COSINE_THRESHOLD}
+""",
+    # Incremental lane: same SRP banding + exact re-rank, restricted to
+    # (new >= split) x (corpus < split) — mirrors cosine_dups_incremental
+    "dedup_embedding_incremental": f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+banded AS (
+  SELECT vec_id, v, b.band, {_COS_BAND_KEY} AS bkey
+  FROM e, (SELECT unnest(range(0, {_COS_BANDS})) AS band) b)
+SELECT DISTINCT n.vec_id AS new_vec_id, c.vec_id AS corpus_vec_id,
+       round(list_dot_product(n.v, c.v)
+             / (sqrt(list_dot_product(n.v, n.v)) * sqrt(list_dot_product(c.v, c.v))), 4) AS cos
+FROM banded n JOIN banded c ON n.band = c.band AND n.bkey = c.bkey
+WHERE n.vec_id >= {S_EMB_SPLIT} AND c.vec_id < {S_EMB_SPLIT}
+  AND round(list_dot_product(n.v, c.v)
+            / (sqrt(list_dot_product(n.v, n.v)) * sqrt(list_dot_product(c.v, c.v))), 4) >= {COSINE_THRESHOLD}
 """,
     # Same operator at the tight 16x4 operating point — mirrors
     # cosine_dup_pairs(bands=16, bits=4)

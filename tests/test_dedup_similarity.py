@@ -372,3 +372,46 @@ def test_minhash_incremental_store_roundtrip(spark, tmp_path):
         if r["doc_a"] < split <= r["doc_b"]
     }
     assert from_store == full_cross
+
+
+def test_embedding_incremental_store_roundtrip(spark, tmp_path):
+    """Embedding modality of the ingest contract: the persisted SRP bucket
+    store, read back from parquet, must give the same hits as the inline
+    store — and the hits must equal cosine_dup_pairs restricted to
+    (corpus, new) pairs, i.e. incremental probing loses nothing vs full
+    re-dedup."""
+    from airstrik_py_spark.operators.similarity import (
+        EMB_INCR_SPLIT,
+        cosine_dup_pairs,
+        cosine_dups_incremental,
+        embedding_bucket_store,
+    )
+    from airstrik_py_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    corpus = emb.filter(F.col("vec_id") < EMB_INCR_SPLIT)
+    new = emb.filter(F.col("vec_id") >= EMB_INCR_SPLIT)
+
+    store = str(tmp_path / "srp_store")
+    embedding_bucket_store(corpus).write.parquet(store)
+    from_store = {
+        (r["new_vec_id"], r["corpus_vec_id"], r["cos"])
+        for r in cosine_dups_incremental(
+            new, spark.read.parquet(store), 0.4
+        ).collect()
+    }
+    inline = {
+        (r["new_vec_id"], r["corpus_vec_id"], r["cos"])
+        for r in cosine_dups_incremental(
+            new, embedding_bucket_store(corpus), 0.4
+        ).collect()
+    }
+    assert from_store == inline
+    assert from_store  # fixture must exercise the path
+
+    full_cross = {
+        (r["id_b"], r["id_a"], r["cos"])
+        for r in cosine_dup_pairs(emb, 0.4).collect()
+        if r["id_a"] < EMB_INCR_SPLIT <= r["id_b"]
+    }
+    assert from_store == full_cross

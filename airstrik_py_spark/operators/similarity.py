@@ -55,7 +55,8 @@ def cosine_dup_pairs(
     """Embedding-cosine near-duplicate pairs via SRP-banded candidate
     generation: vectors sharing the sign pattern of ANY 8-dim block become
     candidates (banded LSH, same shape as MinHash bands), exact cosine
-    re-rank inside buckets only, DISTINCT collapses multi-band hits.
+    re-rank inside buckets only, a first-vector pair aggregate collapses
+    multi-band hits before the cosine (one evaluation per pair).
 
     NEVER all-pairs: the join is an equi-join on (band, bucket-key), so at
     10^9 vectors work is sum of squared bucket sizes, not N^2/2 — the same
@@ -79,21 +80,22 @@ def cosine_dup_pairs(
     reaches 0.966 recall at the same threshold for ~21x the candidate
     volume (~81k pairs) — the knob VERDICT r2 asked to register as a
     first-class slug."""
-    base = (
-        _with_vec(emb)
-        .withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))))
-        .withColumn("bkey", srp_band_key(F.col("vec"), F.col("band"), bits))
-    )
+    base = embedding_bucket_store(emb, bands, bits)
     a = base.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("va"), "band", "bkey")
     b = base.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"), "band", "bkey")
+    # collapse multi-band collisions BEFORE the cosine: a near-identical
+    # pair (the hot dedup case) hits all `bands` buckets — first-vector
+    # aggregate keeps the join bucket-local but evaluates the exact
+    # cosine once per pair instead of once per shared band
     cos = F.round(cosine(F.col("va"), F.col("vb")), 4)
     return (
         a.join(b, ["band", "bkey"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.first("va").alias("va"), F.first("vb").alias("vb"))
         .withColumn("cos", cos)
         .filter(F.col("cos") >= F.lit(threshold))
         .select("id_a", "id_b", "cos")
-        .distinct()
     )
 
 
@@ -128,8 +130,8 @@ def cosine_dups_incremental(
     minhash_lsh_incremental (text near-dup): each NEW vector's
     above-threshold cosine hits against the ACCEPTED corpus, probing the
     persisted SRP bucket store.  Candidates = shared (band, bkey); exact
-    cosine re-rank inside buckets only; DISTINCT collapses multi-band
-    hits.  Work is bucket-local (sum over buckets of |new| x |corpus|
+    cosine re-rank inside buckets only; a first-vector pair aggregate
+    collapses multi-band hits before the cosine.  Work is bucket-local (sum over buckets of |new| x |corpus|
     within the bucket), never |new| x |corpus| all-pairs, and the corpus
     embedding table itself is never scanned."""
     nb = embedding_bucket_store(new_emb, bands, bits).select(
@@ -144,13 +146,15 @@ def cosine_dups_incremental(
         "band",
         "bkey",
     )
+    # same one-cosine-per-pair collapse as cosine_dup_pairs
     cos = F.round(cosine(F.col("vn"), F.col("vc")), 4)
     return (
         nb.join(cs, ["band", "bkey"])
+        .groupBy("new_vec_id", "corpus_vec_id")
+        .agg(F.first("vn").alias("vn"), F.first("vc").alias("vc"))
         .withColumn("cos", cos)
         .filter(F.col("cos") >= F.lit(threshold))
         .select("new_vec_id", "corpus_vec_id", "cos")
-        .distinct()
     )
 
 

@@ -9,11 +9,14 @@ from pyspark.sql import functions as F
 
 from airstrik_py_spark.operators import dedup as D
 from airstrik_py_spark.operators.dedup import NGRAM_DF_MAX
-from airstrik_py_spark.operators.similarity import cosine_dup_pairs
+from airstrik_py_spark.operators.similarity import (
+    EMB_INCR_SPLIT,
+    cosine_dup_pairs,
+    cosine_dups_incremental,
+    embedding_bucket_store,
+)
 from airstrik_py_spark.session import pin_session
 from airstrik_py_spark.sources.tables import load_table
-
-from airstrik_py_spark.operators.similarity import EMB_INCR_SPLIT as S_EMB_SPLIT
 
 JACCARD_THRESHOLD = 0.1
 COSINE_THRESHOLD = 0.4
@@ -112,12 +115,6 @@ def q_dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     / text MinHash / embedding cosine).  This slug derives the store from
     the fixture split so the DuckDB oracle can mirror it; the
     store-roundtrip equivalence is pinned in tests."""
-    from airstrik_py_spark.operators.similarity import (
-        EMB_INCR_SPLIT,
-        cosine_dups_incremental,
-        embedding_bucket_store,
-    )
-
     pin_session(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     store = embedding_bucket_store(emb.filter(F.col("vec_id") < EMB_INCR_SPLIT))
@@ -296,7 +293,7 @@ SELECT DISTINCT n.vec_id AS new_vec_id, c.vec_id AS corpus_vec_id,
        round(list_dot_product(n.v, c.v)
              / (sqrt(list_dot_product(n.v, n.v)) * sqrt(list_dot_product(c.v, c.v))), 4) AS cos
 FROM banded n JOIN banded c ON n.band = c.band AND n.bkey = c.bkey
-WHERE n.vec_id >= {S_EMB_SPLIT} AND c.vec_id < {S_EMB_SPLIT}
+WHERE n.vec_id >= {EMB_INCR_SPLIT} AND c.vec_id < {EMB_INCR_SPLIT}
   AND round(list_dot_product(n.v, c.v)
             / (sqrt(list_dot_product(n.v, n.v)) * sqrt(list_dot_product(c.v, c.v))), 4) >= {COSINE_THRESHOLD}
 """,

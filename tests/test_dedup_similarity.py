@@ -365,6 +365,7 @@ def test_minhash_incremental_store_roundtrip(spark, tmp_path):
         ).collect()
     }
     assert from_store == inline
+    assert from_store  # fixture must exercise the path (11 hits today)
 
     full_cross = {
         (r["doc_b"], r["doc_a"], r["n_shared_bands"])

@@ -190,6 +190,62 @@ def stream_dedup_docs(
     )
 
 
+def docs_ingest_foreach_batch(out_dir: str, digest_store_dir: str):
+    """The durable completion of stream_dedup_docs: a foreachBatch ingest
+    loop whose accepted digests FEED BACK into the persistent corpus
+    digest store, closing the late-replay window that watermark-bounded
+    state alone leaves open (dropDuplicatesWithinWatermark evicts a
+    digest once the watermark passes, so a duplicate arriving later
+    would be re-accepted; the store is permanent, so it is not).
+
+    Per micro-batch: digest the batch, keep the first arrival per digest
+    within the batch (min (ingest_ts, doc_id) — deterministic under any
+    partitioning), LEFT ANTI join the store, append accepted rows to
+    `out_dir` and their digests to `digest_store_dir` — both
+    epoch-partitioned overwrites, so a retried batch rewrites its own
+    partition instead of double-inserting (same idempotency contract as
+    foreach_batch_idempotent_parquet).  At 100 TB the store is a
+    digest-only column table (16 B/doc), bucketable by digest so the
+    anti-join is bucket-local."""
+
+    def run(batch_df: DataFrame, epoch_id: int) -> None:
+        b = batch_df.withColumn("digest", F.md5("text"))
+        first = b.groupBy("digest").agg(
+            F.min(F.struct("ingest_ts", "doc_id")).alias("w")
+        )
+        winners = b.join(
+            first.select(
+                "digest",
+                F.col("w.ingest_ts").alias("ingest_ts"),
+                F.col("w.doc_id").alias("doc_id"),
+            ),
+            ["digest", "ingest_ts", "doc_id"],
+        )
+        spark = batch_df.sparkSession
+        try:
+            # exclude THIS epoch's partition: a retried batch must not
+            # anti-join against its own failed attempt's digests (it
+            # would reject itself and overwrite its partition as empty)
+            store = (
+                spark.read.parquet(digest_store_dir)
+                .filter(F.col("epoch") != epoch_id)
+                .select("digest")
+            )
+        except Exception:  # first batch: no store yet
+            store = None
+        accepted = (
+            winners if store is None else winners.join(store, "digest", "left_anti")
+        )
+        accepted.withColumn("_epoch", F.lit(epoch_id)).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/epoch={epoch_id}")
+        accepted.select("digest").write.mode("overwrite").parquet(
+            f"{digest_store_dir}/epoch={epoch_id}"
+        )
+
+    return run
+
+
 def run_to_memory(trips_stream: DataFrame, name: str) -> None:
     """Drive a bounded replay to completion synchronously (availableNow) into
     an in-memory table — the test/replay harness."""

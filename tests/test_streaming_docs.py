@@ -100,3 +100,52 @@ def test_stream_dedup_docs_suppresses_corpus_and_replays(spark, tmp_path):
         r["doc_id"] for r in spark.table("docs_dedup_mini").collect()
     )
     assert got == [101, 103]
+
+
+def test_docs_ingest_foreach_batch_rejects_late_replay(spark, tmp_path):
+    """The durable ingest loop: accepted digests feed the persistent
+    store, so a duplicate arriving in a LATER run — far beyond any
+    watermark horizon, where dropDuplicatesWithinWatermark state is long
+    evicted — is still rejected.  Two availableNow drains share one
+    checkpoint (epoch ids continue, as in production restarts)."""
+    from airstrik_py_spark.streaming.pipeline import docs_ingest_foreach_batch
+
+    tape = str(tmp_path / "tape")
+    out = str(tmp_path / "out")
+    store = str(tmp_path / "digests")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string, ingest_ts timestamp"
+
+    def _write(rows):
+        spark.createDataFrame(
+            [(i, t, None) for i, t in rows], schema
+        ).withColumn(
+            "ingest_ts", F.timestamp_seconds(F.lit(1000) + F.col("doc_id"))
+        ).coalesce(1).write.mode("append").parquet(tape)
+
+    def _drain():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(tape)
+            .writeStream.foreachBatch(docs_ingest_foreach_batch(out, store))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # day 1: two distinct docs, plus an intra-batch dup of X (id 2 loses)
+    _write([(1, "text X"), (2, "text X"), (3, "text Y")])
+    _drain()
+    # day 2: late replay of X (any watermark state is long gone between
+    # runs) and one genuinely new doc
+    _write([(10, "text X"), (11, "text Z")])
+    _drain()
+
+    accepted = sorted(
+        (r["doc_id"], r["text"]) for r in spark.read.parquet(out).collect()
+    )
+    assert accepted == [(1, "text X"), (3, "text Y"), (11, "text Z")]
+    # the store holds exactly the accepted digests, each once
+    digests = [r["digest"] for r in spark.read.parquet(store).collect()]
+    assert len(digests) == len(set(digests)) == 3

@@ -164,6 +164,21 @@ def main() -> None:
             "oracle SQL\nlength (the Lloyd unroll is per-round, not "
             "per-centroid); the ADC\njoin shape — broadcast LUT, integer "
             "sums, codes-only shuffle — is\nunchanged by either knob.\n"
+            "\n"
+            # static measured-negative-result note (r3): keep it in the
+            # generator so regeneration can't silently drop it again
+            "Residual encoding (FAISS IVF-PQ's default — PQ on `vec − cell\n"
+            "centroid` instead of the raw vector) was MEASURED and deliberately\n"
+            "not adopted: numpy simulation of the exact engine pipeline (same\n"
+            "init, iters, rounding, tie-breaks) gives recall@10 0.46 residual vs\n"
+            "0.56 raw at the registered IVF(8,probe2) × PQ32x4 operating point.\n"
+            "On an isotropic fixture the coarse cells carry no real structure, so\n"
+            "subtracting centroids only shifts each subspace's distribution away\n"
+            "from the shared codebook's training mix.  On clustered production\n"
+            "corpora residuals concentrate near zero and the standard result\n"
+            "(residual > raw) returns — the swap is a ~20-line change in\n"
+            "pq_fit's input and a residual LUT keyed (query, cell); revisit\n"
+            "if the corpus stops being synthetic.\n"
         )
     print(
         f"recall@{k}: srp={r_srp:.3f} ivf={r_ivf:.3f} kmeans={r_km:.3f} "

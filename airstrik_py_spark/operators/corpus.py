@@ -484,22 +484,42 @@ def length_percentiles(docs: DataFrame) -> DataFrame:
     """Per-language exact length percentiles (p50/p90/p99 of n_chars) —
     the distribution snapshot a data card reports next to the histogram.
 
-    Uses the EXACT `percentile` aggregate (linear interpolation, the same
-    definition as DuckDB's quantile_cont) so the oracle matches to the
-    rounding digit.  Exact percentile sorts per group — fine for the
-    per-language rollup here; the documented 100 TB swap is
-    approx_percentile (t-digest, mergeable map-side) when group row counts
-    exceed executor memory."""
-    g = docs.groupBy("lang").agg(
-        F.count("*").alias("n_docs"),
-        *[
-            F.round(
-                F.percentile(F.col("n_chars"), F.lit(p)), 6
-            ).alias(f"p{int(p * 100)}_chars")
-            for p in LENGTH_PCTS
-        ],
+    Version-proofed r5 (ORACLES-PORTABILITY.md): no engine percentile
+    builtin on either side.  The continuous percentile at q over n sorted
+    values sits at 0-based position q*(n-1); with q = qnum/100 the
+    position is the INTEGER idx100 = qnum*(n-1) in centi-rank units, so
+    lo = idx100 // 100, rem = idx100 % 100, and
+    p_q = x_lo + rem * (x_hi - x_lo) / 100 — integer rank selection plus
+    one float division, identical expression on both engines (the builtin
+    interpolation was the same formula, but its float position arithmetic
+    is engine-version-owned; this form is not).
+
+    Shape: one partitioned rank window per (lang) + a conditional-sum
+    aggregate on the same key — exact percentile still sorts per group,
+    fine for the per-language rollup; the documented 100 TB swap is
+    approx_percentile (t-digest, mergeable map-side) when group row
+    counts exceed executor memory."""
+    grp = Window.partitionBy("lang")
+    ranked = docs.select(
+        "lang",
+        F.col("n_chars").cast("long").alias("x"),
+        F.row_number().over(grp.orderBy("n_chars")).alias("rn"),
+        F.count("*").over(grp).alias("cnt"),
     )
-    return g
+    aggs = [F.count("*").alias("n_docs")]
+    for p in LENGTH_PCTS:
+        qnum = int(round(p * 100))
+        idx100 = F.lit(qnum) * (F.col("cnt") - 1)
+        lo_rn = F.call_function("div", idx100, F.lit(100)) + 1
+        rem = idx100 % 100
+        x_lo = F.sum(F.when(F.col("rn") == lo_rn, F.col("x")).otherwise(0))
+        x_hi = F.sum(F.when(F.col("rn") == lo_rn + 1, F.col("x")).otherwise(0))
+        rem_first = F.first(rem)
+        val = F.when(
+            rem_first == 0, x_lo.cast("double")
+        ).otherwise(x_lo + rem_first * (x_hi - x_lo) / F.lit(100.0))
+        aggs.append(F.round(val, 6).alias(f"p{qnum}_chars"))
+    return ranked.groupBy("lang").agg(*aggs)
 
 
 def mixture_weights(docs: DataFrame, alpha: float = MIX_ALPHA) -> DataFrame:

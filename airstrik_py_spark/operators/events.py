@@ -21,7 +21,7 @@ Scale notes (100 TB of events ≈ 10^12 rows over ~10^9 users):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 FUNNEL_STAGES = ("view", "click", "purchase")
 
@@ -276,22 +276,40 @@ def value_anomalies_mad(events: DataFrame, k: float = MAD_K) -> DataFrame:
     absolute deviation) — the classic robust z-score, immune to the
     outliers it is hunting (unlike mean/stddev).
 
-    Shape: one user-keyed exact-percentile aggregate for the median, a
-    second for the MAD (both map-side partial where the engine allows,
-    exact `percentile` by contract — approx_percentile is the documented
-    100 TB swap), then the per-user stats join back on user_id (linear
-    equi-join; broadcastable when the user dimension fits).  Returns only
-    the anomalous rows."""
+    Version-proofed r5 (ORACLES-PORTABILITY.md): no engine median /
+    percentile builtin on either side — both medians are the explicit
+    half-sum of the two middle order statistics (rank within user, pick
+    ranks (n+1)//2 and (n+2)//2; odd n collapses both onto the middle
+    row).  (x_lo + x_hi) / 2.0 divides by a power of two, so it is
+    IEEE-exact and engine-version-independent.
+
+    Shape: one user-keyed rank window + conditional-sum aggregate for the
+    median, a second pair for the MAD (exact by contract —
+    approx_percentile is the documented 100 TB swap), then the per-user
+    stats join back on user_id (linear equi-join; broadcastable when the
+    user dimension fits).  Returns only the anomalous rows."""
     v = events.select("event_id", "user_id", "value")
-    med = v.groupBy("user_id").agg(
-        F.percentile(F.col("value"), F.lit(0.5)).alias("med")
-    )
+
+    def exact_median(df: DataFrame, col: str) -> DataFrame:
+        grp = Window.partitionBy("user_id")
+        ranked = df.select(
+            "user_id",
+            F.col(col).alias("x"),
+            F.row_number().over(grp.orderBy(col)).alias("rn"),
+            F.count("*").over(grp).alias("cnt"),
+        )
+        lo = F.call_function("div", F.col("cnt") + 1, F.lit(2))
+        hi = F.call_function("div", F.col("cnt") + 2, F.lit(2))
+        weight = (F.col("rn") == lo).cast("int") + (F.col("rn") == hi).cast("int")
+        return ranked.groupBy("user_id").agg(
+            (F.sum(F.col("x") * weight) / F.lit(2.0)).alias("med")
+        )
+
+    med = exact_median(v, "value")
     dev = v.join(med, "user_id").withColumn(
         "adev", F.abs(F.col("value") - F.col("med"))
     )
-    mad = dev.groupBy("user_id").agg(
-        F.percentile(F.col("adev"), F.lit(0.5)).alias("mad")
-    )
+    mad = exact_median(dev, "adev").withColumnRenamed("med", "mad")
     flagged = dev.join(mad, "user_id").filter(
         (F.col("mad") > 0) & (F.col("adev") > F.lit(k) * F.col("mad"))
     )

@@ -990,11 +990,25 @@ FROM dau JOIN wau ON dau.day = wau.report_day
 """,
     "events_anomaly_mad": """
 WITH v AS (SELECT event_id, user_id, value FROM events),
-med AS (SELECT user_id, quantile_cont(value, 0.5) AS med FROM v GROUP BY user_id),
+vr AS (SELECT user_id, value AS x,
+              row_number() OVER (PARTITION BY user_id ORDER BY value) AS rn,
+              count(*) OVER (PARTITION BY user_id) AS cnt
+       FROM v),
+med AS (SELECT user_id,
+               sum(x * (CASE WHEN rn = (cnt + 1) // 2 THEN 1 ELSE 0 END
+                      + CASE WHEN rn = (cnt + 2) // 2 THEN 1 ELSE 0 END)) / 2.0 AS med
+        FROM vr GROUP BY user_id),
 dev AS (SELECT v.event_id, v.user_id, v.value, med.med,
                abs(v.value - med.med) AS adev
         FROM v JOIN med USING (user_id)),
-mad AS (SELECT user_id, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY user_id)
+dr AS (SELECT user_id, adev AS x,
+              row_number() OVER (PARTITION BY user_id ORDER BY adev) AS rn,
+              count(*) OVER (PARTITION BY user_id) AS cnt
+       FROM dev),
+mad AS (SELECT user_id,
+               sum(x * (CASE WHEN rn = (cnt + 1) // 2 THEN 1 ELSE 0 END
+                      + CASE WHEN rn = (cnt + 2) // 2 THEN 1 ELSE 0 END)) / 2.0 AS mad
+        FROM dr GROUP BY user_id)
 SELECT d.event_id, d.user_id,
        round(d.value, 6) AS value,
        round(d.med, 6) AS med,
@@ -1056,12 +1070,39 @@ FROM s
 GROUP BY user_id, session_n
 """,
     "doc_length_percentiles": """
+WITH ranked AS (
+  SELECT lang, CAST(n_chars AS BIGINT) AS x,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+         count(*) OVER (PARTITION BY lang) AS cnt
+  FROM documents),
+p AS (
+  SELECT lang, x, rn, cnt,
+         50 * (cnt - 1) AS i50, 90 * (cnt - 1) AS i90, 99 * (cnt - 1) AS i99
+  FROM ranked)
 SELECT lang,
        count(*) AS n_docs,
-       round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
-       round(quantile_cont(n_chars, 0.9), 6) AS p90_chars,
-       round(quantile_cont(n_chars, 0.99), 6) AS p99_chars
-FROM documents
+       round(CASE WHEN max(i50) % 100 = 0
+                  THEN CAST(sum(CASE WHEN rn = i50 // 100 + 1 THEN x ELSE 0 END) AS DOUBLE)
+                  ELSE sum(CASE WHEN rn = i50 // 100 + 1 THEN x ELSE 0 END)
+                       + max(i50) % 100
+                         * (sum(CASE WHEN rn = i50 // 100 + 2 THEN x ELSE 0 END)
+                            - sum(CASE WHEN rn = i50 // 100 + 1 THEN x ELSE 0 END)) / 100.0
+             END, 6) AS p50_chars,
+       round(CASE WHEN max(i90) % 100 = 0
+                  THEN CAST(sum(CASE WHEN rn = i90 // 100 + 1 THEN x ELSE 0 END) AS DOUBLE)
+                  ELSE sum(CASE WHEN rn = i90 // 100 + 1 THEN x ELSE 0 END)
+                       + max(i90) % 100
+                         * (sum(CASE WHEN rn = i90 // 100 + 2 THEN x ELSE 0 END)
+                            - sum(CASE WHEN rn = i90 // 100 + 1 THEN x ELSE 0 END)) / 100.0
+             END, 6) AS p90_chars,
+       round(CASE WHEN max(i99) % 100 = 0
+                  THEN CAST(sum(CASE WHEN rn = i99 // 100 + 1 THEN x ELSE 0 END) AS DOUBLE)
+                  ELSE sum(CASE WHEN rn = i99 // 100 + 1 THEN x ELSE 0 END)
+                       + max(i99) % 100
+                         * (sum(CASE WHEN rn = i99 // 100 + 2 THEN x ELSE 0 END)
+                            - sum(CASE WHEN rn = i99 // 100 + 1 THEN x ELSE 0 END)) / 100.0
+             END, 6) AS p99_chars
+FROM p
 GROUP BY lang
 """,
     "mixture_weights_temperature": """

@@ -157,32 +157,54 @@ def q_text_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_corpus_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level rollup by (source, lang): doc/token/char totals, mean
-    chars, exact median token count.  One map-side-combined shuffle on a
-    low-cardinality key; the exact median is fine at any scale because
-    groups stay small in count-space (swap to approx_percentile only if a
-    single group's token-count SET can't be sorted — it always can).
+    chars, exact median token count.  One partitioned window (rank within
+    group) + one map-side-combined shuffle on the same low-cardinality
+    key — AQE reuses the window's hash partitioning for the groupBy.
 
-    Integer-exact outputs (house rule — this slug was the last float
-    emitter and the one r3 driver-hash mismatch): `avg_chars_micro` is
-    round-half-away(mean * 1e6) via true IntegralDivide over
-    decimal(38,0) (no engine float path, no 2^53 loss at 100 TB sums),
-    and `median_tokens_x2` is 2x the median of an integer column — the
-    half-sum of the two middle values, always an integer, exact in
-    double up to 2^52 so the cast is lossless on both engines."""
+    Integer-exact AND median-free (house rule, hardened r5): the r3/r4
+    driver-hash mismatches traced to engine `median()` builtins — DuckDB
+    versions disagree on interpolated-vs-discrete median for even-count
+    groups (55 of 97 fixture groups have an even count with differing
+    middle values).  So neither engine's median builtin appears on either
+    side: `median_tokens_x2` is the explicit SUM OF THE TWO MIDDLE ORDER
+    STATISTICS — rank the per-doc token counts within each group
+    (row_number over n_tok; ties share the same value, so the ranked
+    value is deterministic), then sum n_tok over ranks (n+1)//2 and
+    (n+2)//2 (odd n: both ranks coincide, weight 2).  Pure integer
+    arithmetic — no engine version can reinterpret it.
+    `avg_chars_micro` is round-half-away(mean * 1e6) via true
+    IntegralDivide over decimal(38,0) (no engine float path, no 2^53
+    loss at 100 TB sums)."""
     pin_session(spark)
+    from pyspark.sql import Window
+
     d = load_table(spark, sf_dir, "documents")
-    n_tok = F.size(F.split("text", " "))
     from airstrik_py_spark.functions.exact import ha_micro
 
+    base = d.select(
+        "source", "lang", "n_chars", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    grp = Window.partitionBy("source", "lang")
+    ranked = base.select(
+        "source",
+        "lang",
+        "n_chars",
+        "n_tok",
+        F.row_number().over(grp.orderBy("n_tok")).alias("rn"),
+        F.count("*").over(grp).alias("cnt"),
+    )
+    lo = F.call_function("div", F.col("cnt") + 1, F.lit(2))
+    hi = F.call_function("div", F.col("cnt") + 2, F.lit(2))
+    mid_weight = (F.col("rn") == lo).cast("long") + (F.col("rn") == hi).cast("long")
     avg_micro = ha_micro(F.sum("n_chars"), F.count("*"))
     return (
-        d.groupBy("source", "lang")
+        ranked.groupBy("source", "lang")
         .agg(
             F.count("*").alias("n_docs"),
-            F.sum(n_tok).alias("total_tokens"),
+            F.sum("n_tok").alias("total_tokens"),
             F.sum("n_chars").alias("total_chars"),
             avg_micro.alias("avg_chars_micro"),
-            (F.median(n_tok) * 2).cast("long").alias("median_tokens_x2"),
+            F.sum(F.col("n_tok") * mid_weight).alias("median_tokens_x2"),
         )
     )
 
@@ -493,14 +515,25 @@ SELECT doc_id,
 FROM m
 """,
     "corpus_stats_rollup": """
+WITH base AS (
+  SELECT source, lang, n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents),
+ranked AS (
+  SELECT source, lang, n_chars, n_tok,
+         row_number() OVER (PARTITION BY source, lang ORDER BY n_tok) AS rn,
+         count(*) OVER (PARTITION BY source, lang) AS cnt
+  FROM base)
 SELECT source, lang,
        count(*) AS n_docs,
-       sum(len(string_split(text, ' '))) AS total_tokens,
+       sum(n_tok) AS total_tokens,
        sum(n_chars) AS total_chars,
        CAST((CAST(sum(n_chars) AS HUGEINT) * 2000000 + count(*))
             // (CAST(count(*) AS HUGEINT) * 2) AS BIGINT) AS avg_chars_micro,
-       CAST(2 * median(len(string_split(text, ' '))) AS BIGINT) AS median_tokens_x2
-FROM documents
+       CAST(sum(n_tok * (CASE WHEN rn = (cnt + 1) // 2 THEN 1 ELSE 0 END
+                       + CASE WHEN rn = (cnt + 2) // 2 THEN 1 ELSE 0 END))
+            AS BIGINT) AS median_tokens_x2
+FROM ranked
 GROUP BY source, lang
 """,
     "split_train_eval": """

@@ -526,8 +526,8 @@ ranked AS (
   FROM base)
 SELECT source, lang,
        count(*) AS n_docs,
-       sum(n_tok) AS total_tokens,
-       sum(n_chars) AS total_chars,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
        CAST((CAST(sum(n_chars) AS HUGEINT) * 2000000 + count(*))
             // (CAST(count(*) AS HUGEINT) * 2) AS BIGINT) AS avg_chars_micro,
        CAST(sum(n_tok * (CASE WHEN rn = (cnt + 1) // 2 THEN 1 ELSE 0 END

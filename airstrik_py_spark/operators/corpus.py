@@ -498,9 +498,14 @@ def length_percentiles(docs: DataFrame) -> DataFrame:
     aggregate on the same key — exact percentile still sorts per group,
     fine for the per-language rollup; the documented 100 TB swap is
     approx_percentile (t-digest, mergeable map-side) when group row
-    counts exceed executor memory."""
+    counts exceed executor memory.
+
+    NULL hardening (r6, ORACLES-PORTABILITY.md): NULL n_chars rows are
+    filtered before the rank window on BOTH engines — the replaced
+    percentile builtin ignored NULLs, and a ranked NULL would diverge
+    anyway (Spark NULLS FIRST ascending vs DuckDB NULLS LAST)."""
     grp = Window.partitionBy("lang")
-    ranked = docs.select(
+    ranked = docs.filter(F.col("n_chars").isNotNull()).select(
         "lang",
         F.col("n_chars").cast("long").alias("x"),
         F.row_number().over(grp.orderBy("n_chars")).alias("rn"),

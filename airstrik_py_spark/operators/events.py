@@ -287,8 +287,18 @@ def value_anomalies_mad(events: DataFrame, k: float = MAD_K) -> DataFrame:
     median, a second pair for the MAD (exact by contract —
     approx_percentile is the documented 100 TB swap), then the per-user
     stats join back on user_id (linear equi-join; broadcastable when the
-    user dimension fits).  Returns only the anomalous rows."""
-    v = events.select("event_id", "user_id", "value")
+    user dimension fits).  Returns only the anomalous rows.
+
+    NULL/NaN hardening (r6, ORACLES-PORTABILITY.md): NULL `value` rows are
+    filtered before the rank window on BOTH engines — the replaced median
+    builtin ignored NULLs, and a ranked NULL would diverge anyway (Spark
+    ranks NULLS FIRST ascending, DuckDB NULLS LAST).  The middle-row
+    contribution is a CASE that emits literal 0 for non-selected rows
+    instead of multiplying every row's value by 0/1, so a single NaN/±Inf
+    value elsewhere in a group cannot poison the sum (NaN*0 = NaN)."""
+    v = events.select("event_id", "user_id", "value").filter(
+        F.col("value").isNotNull()
+    )
 
     def exact_median(df: DataFrame, col: str) -> DataFrame:
         grp = Window.partitionBy("user_id")
@@ -300,9 +310,11 @@ def value_anomalies_mad(events: DataFrame, k: float = MAD_K) -> DataFrame:
         )
         lo = F.call_function("div", F.col("cnt") + 1, F.lit(2))
         hi = F.call_function("div", F.col("cnt") + 2, F.lit(2))
-        weight = (F.col("rn") == lo).cast("int") + (F.col("rn") == hi).cast("int")
+        contrib = F.when(F.col("rn") == lo, F.col("x")).otherwise(
+            F.lit(0.0)
+        ) + F.when(F.col("rn") == hi, F.col("x")).otherwise(F.lit(0.0))
         return ranked.groupBy("user_id").agg(
-            (F.sum(F.col("x") * weight) / F.lit(2.0)).alias("med")
+            (F.sum(contrib) / F.lit(2.0)).alias("med")
         )
 
     med = exact_median(v, "value")

@@ -989,14 +989,15 @@ SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, wau.wau,
 FROM dau JOIN wau ON dau.day = wau.report_day
 """,
     "events_anomaly_mad": """
-WITH v AS (SELECT event_id, user_id, value FROM events),
+WITH v AS (SELECT event_id, user_id, value FROM events
+           WHERE value IS NOT NULL),
 vr AS (SELECT user_id, value AS x,
               row_number() OVER (PARTITION BY user_id ORDER BY value) AS rn,
               count(*) OVER (PARTITION BY user_id) AS cnt
        FROM v),
 med AS (SELECT user_id,
-               sum(x * (CASE WHEN rn = (cnt + 1) // 2 THEN 1 ELSE 0 END
-                      + CASE WHEN rn = (cnt + 2) // 2 THEN 1 ELSE 0 END)) / 2.0 AS med
+               sum(CASE WHEN rn = (cnt + 1) // 2 THEN x ELSE 0 END
+                 + CASE WHEN rn = (cnt + 2) // 2 THEN x ELSE 0 END) / 2.0 AS med
         FROM vr GROUP BY user_id),
 dev AS (SELECT v.event_id, v.user_id, v.value, med.med,
                abs(v.value - med.med) AS adev
@@ -1006,8 +1007,8 @@ dr AS (SELECT user_id, adev AS x,
               count(*) OVER (PARTITION BY user_id) AS cnt
        FROM dev),
 mad AS (SELECT user_id,
-               sum(x * (CASE WHEN rn = (cnt + 1) // 2 THEN 1 ELSE 0 END
-                      + CASE WHEN rn = (cnt + 2) // 2 THEN 1 ELSE 0 END)) / 2.0 AS mad
+               sum(CASE WHEN rn = (cnt + 1) // 2 THEN x ELSE 0 END
+                 + CASE WHEN rn = (cnt + 2) // 2 THEN x ELSE 0 END) / 2.0 AS mad
         FROM dr GROUP BY user_id)
 SELECT d.event_id, d.user_id,
        round(d.value, 6) AS value,
@@ -1074,7 +1075,7 @@ WITH ranked AS (
   SELECT lang, CAST(n_chars AS BIGINT) AS x,
          row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
          count(*) OVER (PARTITION BY lang) AS cnt
-  FROM documents),
+  FROM documents WHERE n_chars IS NOT NULL),
 p AS (
   SELECT lang, x, rn, cnt,
          50 * (cnt - 1) AS i50, 90 * (cnt - 1) AS i90, 99 * (cnt - 1) AS i99

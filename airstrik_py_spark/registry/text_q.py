@@ -181,7 +181,13 @@ def q_corpus_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     from airstrik_py_spark.functions.exact import ha_micro
 
-    base = d.select(
+    # NULL hardening (r6, ORACLES-PORTABILITY.md): the rollup covers
+    # complete rows only — a NULL text/n_chars would rank divergently
+    # (Spark NULLS FIRST vs DuckDB NULLS LAST) and size(split(NULL)) is
+    # engine-config-sensitive; the filter is mirrored in the oracle.
+    base = d.filter(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    ).select(
         "source", "lang", "n_chars", F.size(F.split("text", " ")).alias("n_tok")
     )
     grp = Window.partitionBy("source", "lang")
@@ -518,7 +524,8 @@ FROM m
 WITH base AS (
   SELECT source, lang, n_chars,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
-  FROM documents),
+  FROM documents
+  WHERE text IS NOT NULL AND n_chars IS NOT NULL),
 ranked AS (
   SELECT source, lang, n_chars, n_tok,
          row_number() OVER (PARTITION BY source, lang ORDER BY n_tok) AS rn,

@@ -364,3 +364,20 @@ def test_stratified_sample_exact_quota_and_idempotence(spark):
     assert set(per) == {"s0", "s1", "s2"}
     for ranks in per.values():
         assert sorted(ranks) == [1, 2, 3, 4, 5]
+
+
+def test_length_percentiles_ignore_null_n_chars(spark):
+    """r6 hardening (ADVICE r5): NULL n_chars must be filtered before the
+    rank window (the replaced percentile builtin ignored NULLs; a ranked
+    NULL would also order divergently across engines)."""
+    from airstrik_py_spark.operators.corpus import length_percentiles
+
+    df = spark.createDataFrame(
+        [("en", 10), ("en", 20), ("en", 30), ("en", 40), ("en", None)],
+        "lang string, n_chars long",
+    )
+    row = length_percentiles(df).collect()[0]
+    # 4 non-null values; p50 at 0-based pos 1.5 -> 25.0
+    assert row["n_docs"] == 4
+    assert row["p50_chars"] == 25.0
+    assert row["p99_chars"] == 39.7

@@ -134,6 +134,38 @@ def test_mad_anomalies_flags_only_outliers(spark):
     assert got[0]["robust_z"] > 3.0
 
 
+def test_mad_null_and_nan_hardening(spark):
+    """r6 hardening (ADVICE r5): NULL values are dropped before ranking and
+    a NaN value elsewhere in a group must not poison the group's median
+    (the old sum(x*weight) form made NaN*0 = NaN)."""
+    import math
+
+    from airstrik_py_spark.operators.events import value_anomalies_mad
+
+    # user 1: clean cluster + one outlier, plus a NULL and a NaN row.
+    # NaN sorts last on both engines, so with 11 non-null values the median
+    # ranks stay inside the finite cluster and the outlier is still flagged.
+    rows = [(i, 1, 10.0 + (i % 3) * 0.5) for i in range(9)] + [
+        (9, 1, 500.0),
+        (10, 1, None),
+        (11, 1, float("nan")),
+    ]
+    ev = spark.createDataFrame(
+        [(eid, datetime(2024, 1, 1, 12, 0, eid).replace(tzinfo=None), uid,
+          "view", val, None) for eid, uid, val in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = value_anomalies_mad(ev).collect()
+    flagged = sorted(r["event_id"] for r in got)
+    # 500.0 flagged; NaN row has adev = NaN which fails the > k*mad filter;
+    # NULL row was dropped; medians are finite (not poisoned by the NaN)
+    assert 9 in flagged
+    assert 10 not in flagged
+    for r in got:
+        assert not math.isnan(r["med"]) and not math.isnan(r["mad"])
+
+
 def test_rolling_wau_counts_window_distinct(spark):
     from airstrik_py_spark.operators.events import rolling_active_users
 

@@ -381,3 +381,22 @@ def test_length_percentiles_ignore_null_n_chars(spark):
     assert row["n_docs"] == 4
     assert row["p50_chars"] == 25.0
     assert row["p99_chars"] == 39.7
+
+
+def test_lm_perplexity_buckets_ntile_arithmetic_edges(spark):
+    """r6 distributed-rank rewrite: the arithmetic bucket must match engine
+    ntile semantics at the edges — n not divisible by k (first n%k buckets
+    one larger) and n < k (first n buckets get one row each)."""
+    from collections import Counter
+
+    from airstrik_py_spark.operators.corpus import lm_perplexity_buckets
+
+    # n=7, k=3 -> bucket sizes 3,2,2
+    rows7 = [(i, " ".join(["tok"] * (i + 1))) for i in range(7)]
+    out = lm_perplexity_buckets(docs_df(spark, rows7), buckets=3).collect()
+    assert Counter(r["ppl_bucket"] for r in out) == {1: 3, 2: 2, 3: 2}
+
+    # n=2, k=3 -> buckets 1 and 2 only, one row each
+    rows2 = [(0, "a a"), (1, "a b")]
+    out2 = lm_perplexity_buckets(docs_df(spark, rows2), buckets=3).collect()
+    assert Counter(r["ppl_bucket"] for r in out2) == {1: 1, 2: 1}

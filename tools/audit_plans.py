@@ -1,6 +1,17 @@
 """Physical-plan audit: for every registered query, record exchange count,
-join strategies, whole-stage-codegen coverage, and scan pruning into
-PLANS.md.  The scale review artifact — run after operator changes.
+join strategies, whole-stage-codegen coverage, scan pruning, and scale
+flags into PLANS.md.  The scale review artifact — run after operator
+changes.
+
+r6 upgrades (VERDICT r4 #4/#6, r5 #5):
+- **unpart-window flag**: any `Exchange SinglePartition` that feeds a
+  Window/Sort and whose input subtree is NOT a bounded aggregate (no
+  HashAggregate before the next shuffle below it) is a global
+  single-partition sort over data-sized rows — the lm_perplexity_buckets
+  r4/r5 smell, now a hard audit flag.
+- **checkpoint footnote**: plans truncated at a (local)checkpoint show as
+  `Scan ExistingRDD` with artificially low exchange counts; those queries
+  are marked `ckpt†` and footnoted with their true upstream cost.
 
 Usage: python tools/audit_plans.py [sf_dir]
 """
@@ -18,6 +29,117 @@ from airstrik_py_spark.session import get_spark  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
 
+# True upstream cost of checkpoint-truncated plans (judge-requested
+# footnotes).  Keyed by query name; shown under the table.
+CKPT_NOTES = {
+    "dedup_clusters": (
+        "driver loop is control-only; EACH label-propagation iteration is a "
+        "full pass: candidate-pair equi-join + min-label aggregate "
+        "(2 exchanges/iteration, bounded by the measured convergence depth "
+        "in RECALL.md) — the 0-exchange static plan is the post-checkpoint "
+        "final projection only"
+    ),
+    "lm_perplexity_buckets": (
+        "upstream of the checkpoint: token explode + model broadcast join + "
+        "per-doc aggregate + rangepartition exchange (3 exchanges, one "
+        "corpus pass, shared by the rank and partition-size branches); the "
+        "static plan shows only the post-checkpoint partitioned rank window"
+    ),
+    "dedup_semantic": (
+        "canonical-per-cluster projection over dedup_clusters' checkpointed "
+        "labels — per-iteration cost is dedup_clusters' (see above)"
+    ),
+    "ann_ivf_kmeans": (
+        "Lloyd training upstream: each iteration = one embeddings pass "
+        "(broadcast-centroid assign) + a k-row centroid update aggregate "
+        "(2 exchanges/iteration); the k-row centroid frame checkpoints per "
+        "iteration — shown exchanges cover final assignment + probe only"
+    ),
+    "pq_codes": (
+        "PQ codebook training upstream (per-subspace kmeans, "
+        "2 exchanges/round over subvectors); codebook checkpoints per "
+        "round — shown plan is the encode pass only"
+    ),
+    "ann_pq_adc": (
+        "same codebook-training upstream as pq_codes; shown plan is the "
+        "ADC scan + top-k only"
+    ),
+    "ann_ivf_pq": (
+        "IVF (kmeans) + PQ codebook training upstream, each "
+        "2 exchanges/iteration on bounded model frames + one data pass; "
+        "shown plan is list-probe + ADC re-rank only"
+    ),
+    "embedding_pca_power": (
+        "power-iteration upstream: each iteration one embeddings-pass "
+        "matvec aggregate (1 exchange); the d-row eigenvector frame "
+        "checkpoints per iteration"
+    ),
+    "quality_lr_score": (
+        "features frame localCheckpoints ONCE (one corpus featurize pass); "
+        "each GD step is a gradient aggregate over it "
+        "(1 exchange/step, fixed step count) on a bounded weight frame"
+    ),
+    "pipeline_corpus_release": (
+        "embeds quality_lr_score's checkpointed features (one extra corpus "
+        "featurize pass + fixed GD steps); the 14 shown exchanges are the "
+        "release pipeline itself (salted single-pass phase-1, "
+        "broadcast-only joins — audited r5)"
+    ),
+    "ddl_drop_reset": (
+        "driver-built constant lifecycle fixture (bounded rows), no "
+        "upstream data pass at all"
+    ),
+    "graph_pagerank_knn": (
+        "3 unrolled PageRank iterations upstream, each = contribution "
+        "equi-join + per-node aggregate (2 exchanges/iteration) over the "
+        "bounded kNN edge frame; rank frame checkpoints per iteration"
+    ),
+}
+
+
+def _tree_lines(plan: str) -> list[tuple[int, str]]:
+    """(indent_depth, text) per physical-tree line of a simple explain."""
+    out = []
+    for line in plan.splitlines():
+        if not line.strip() or line.startswith("=="):
+            continue
+        m = re.match(r"^[\s:+\-*]*", line)
+        out.append((len(m.group(0)), line.strip()))
+    return out
+
+
+def unpartitioned_window_flags(simple_plan: str) -> int:
+    """Count SinglePartition exchanges feeding a Window/Sort whose input is
+    not a bounded aggregate (no HashAggregate strictly below the exchange
+    before the next shuffle)."""
+    lines = _tree_lines(simple_plan)
+    flags = 0
+    for i, (depth, text) in enumerate(lines):
+        if "Exchange SinglePartition" not in text:
+            continue
+        # parent = nearest preceding line with smaller indent
+        parent = ""
+        for j in range(i - 1, -1, -1):
+            if lines[j][0] < depth:
+                parent = lines[j][1]
+                break
+        if not re.search(r"\b(Window|Sort)\b", parent):
+            continue
+        # input subtree = following lines deeper than this exchange
+        bounded = False
+        for k in range(i + 1, len(lines)):
+            d2, t2 = lines[k]
+            if d2 <= depth:
+                break
+            if "HashAggregate" in t2 or "SortAggregate" in t2:
+                bounded = True
+                break
+            if "Exchange" in t2 and "Broadcast" not in t2:
+                break  # hit another shuffle before any aggregate
+        if not bounded:
+            flags += 1
+    return flags
+
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -27,6 +149,7 @@ def main() -> None:
     # Runtime sessions keep AQE enabled (session.py).
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     rows = []
+    footnotes = []
     for name, fn in entrymod.queries().items():
         try:
             df = fn(spark, sf_dir)
@@ -35,20 +158,32 @@ def main() -> None:
                 df.explain("formatted")
             plan = buf.getvalue()
         except Exception as exc:  # noqa: BLE001
-            rows.append((name, "ERROR", str(exc)[:60], "", "", ""))
+            rows.append((name, "ERROR", str(exc)[:60], "", "", "", ""))
             continue
         n_ex = len(re.findall(r"\bExchange\b", plan))
         bhj = plan.count("BroadcastHashJoin")
         smj = plan.count("SortMergeJoin")
-        # AQE formatted plans omit codegen markers entirely; simple mode
-        # stars codegen stages as "*(N)" — count distinct stage ids there
         sbuf = io.StringIO()
         with contextlib.redirect_stdout(sbuf):
             df.explain()
-        codegen = len(set(re.findall(r"\*\((\d+)\)", sbuf.getvalue())))
+        simple = sbuf.getvalue()
+        codegen = len(set(re.findall(r"\*\((\d+)\)", simple)))
         scans = re.findall(r"ReadSchema: struct<([^>]*)", plan)
         widest = max((s.count(",") + 1 for s in scans), default=0)
-        rows.append((name, n_ex, bhj, smj, codegen, widest))
+
+        flags = []
+        n_unpart = unpartitioned_window_flags(simple)
+        if n_unpart:
+            flags.append(f"UNPART-WINDOW x{n_unpart}")
+        if "Scan ExistingRDD" in plan or "LogicalRDD" in plan:
+            flags.append("ckpt†")
+            if name in CKPT_NOTES:
+                footnotes.append((name, CKPT_NOTES[name]))
+            else:
+                footnotes.append(
+                    (name, "checkpoint-truncated plan; upstream cost not shown")
+                )
+        rows.append((name, n_ex, bhj, smj, codegen, widest, " ".join(flags)))
 
     with open("/root/repo/PLANS.md", "w") as f:
         f.write(
@@ -58,17 +193,28 @@ def main() -> None:
             "summarized.\n"
             "Exchanges are shuffles (lower = better); SMJ>0 flags a join that\n"
             "did not broadcast; widest-scan counts columns actually read from\n"
-            "parquet (pruning check).\n\n"
-            "| query | exchanges | broadcast joins | sort-merge joins | codegen stages | widest scan (cols) |\n"
-            "|---|---|---|---|---|---|\n"
+            "parquet (pruning check).  Flags: UNPART-WINDOW = a\n"
+            "single-partition global sort feeding a Window/Sort whose input\n"
+            "is NOT a bounded aggregate (scale-killer shape); ckpt† = plan\n"
+            "truncated at a checkpoint — exchange count excludes the real\n"
+            "upstream cost, see footnotes.\n\n"
+            "| query | exchanges | broadcast joins | sort-merge joins |"
+            " codegen stages | widest scan (cols) | flags |\n"
+            "|---|---|---|---|---|---|---|\n"
         )
         for r in rows:
             f.write("| " + " | ".join(str(x) for x in r) + " |\n")
+        if footnotes:
+            f.write("\n## ckpt† footnotes (true upstream cost)\n\n")
+            for name, note in footnotes:
+                f.write(f"- **{name}**: {note}\n")
     print(f"wrote PLANS.md ({len(rows)} queries)")
     smj_queries = [r[0] for r in rows if isinstance(r[3], int) and r[3] > 0]
     heavy = [r[0] for r in rows if isinstance(r[1], int) and r[1] > 4]
+    flagged = [r[0] for r in rows if r[-1] and "UNPART" in str(r[-1])]
     print("SMJ present:", smj_queries or "none")
     print(">4 exchanges:", heavy or "none")
+    print("UNPART-WINDOW:", flagged or "none")
 
 
 if __name__ == "__main__":

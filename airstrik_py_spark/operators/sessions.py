@@ -109,7 +109,13 @@ def trips(df: DataFrame, cfg: EngineConfig) -> DataFrame:
     """A3 — fold each session into one trip row (airstrik.py:498-543):
     bounds + A2 argmin-closest + A4 first callsign + sticky alarm flag.
     `df` needs `distance` (W4) and `session_id` (W5).  Single groupBy —
-    map-side partial aggs."""
+    map-side partial aggs.
+
+    Legacy `commentary` pass-through (r6, VERDICT r4 #8): when the input
+    carries a `commentary` column (legacy stores — dbread.py:48 prints it
+    per trip; csvdump.py:89 skips it on export), the earliest non-null
+    value rides the same fold as the callsign; absent column, absent
+    output — non-legacy schemas are unchanged."""
     clean_flight = F.regexp_replace("flight", " ", "")
     closest = F.min(
         F.struct(
@@ -117,6 +123,11 @@ def trips(df: DataFrame, cfg: EngineConfig) -> DataFrame:
             F.col("ts_sec").alias("t"),
             F.col("event_id").alias("e"),
         )
+    )
+    extra = (
+        [_first_nonnull(F.col("commentary")).alias("commentary")]
+        if "commentary" in df.columns
+        else []
     )
     return (
         df.withColumn("_alarmed_row", _alarmed_row(cfg))
@@ -129,6 +140,7 @@ def trips(df: DataFrame, cfg: EngineConfig) -> DataFrame:
             closest.getField("d").alias("closest_dist"),
             closest.getField("t").alias("closest_sec"),
             F.max(F.coalesce(F.col("_alarmed_row"), F.lit(False))).alias("alarmed"),
+            *extra,
         )
     )
 
@@ -179,6 +191,11 @@ def trips_with_asof(df: DataFrame, cfg: EngineConfig) -> DataFrame:
         # i.e. the as-of distance, NOT closest_dist
         "dist": _asof_struct_before(F.col("distance"), cutoff),
     }
+    extra = (
+        [_first_nonnull(F.col("commentary")).alias("commentary")]
+        if "commentary" in df.columns
+        else []
+    )
     agged = (
         with_cutoff.groupBy(F.col("hex").alias("flight_id"), "session_id")
         .agg(
@@ -189,6 +206,7 @@ def trips_with_asof(df: DataFrame, cfg: EngineConfig) -> DataFrame:
             closest.getField("d").alias("closest_dist"),
             closest.getField("t").alias("closest_sec"),
             F.max(F.coalesce(F.col("_alarmed_row"), F.lit(False))).alias("alarmed"),
+            *extra,
             *[s.alias(f"_asof_{k}") for k, s in asof_cols.items()],
         )
     )

@@ -8,6 +8,10 @@ to a DataFrame/SQL plan, so pushdown/pruning/joins come from Catalyst.  The
 
 Commands (dbread.py:180-187 dispatch table):
   list            -> store enumeration + per-plane trip counts
+  plane <hex>     -> per-trip detail for one aircraft (dbread.py:42-57
+                     `plane/<hex>`): trip number in start order, the legacy
+                     `commentary` field when the store carries it (printed
+                     "Trip N: <commentary>" there), callsign, message count
   search <preds>  -> F6 predicate search; caches view `last_search`
   dump <path>     -> S9 JSON dump of the last search
   drop <name>     -> S10 drop, name-typed confirmation (drop_command,
@@ -60,6 +64,8 @@ class Repl:
                 "SELECT flight_id, count(*) AS n_trips, sum(n_obs) AS n_msgs "
                 "FROM trips GROUP BY flight_id ORDER BY flight_id"
             )
+        if cmd == "plane":
+            return self._plane(args[0])
         if cmd == "search":
             preds = [self._parse_pred(a) for a in args]
             out = search_planes(self.obs, preds)
@@ -78,6 +84,30 @@ class Repl:
         if cmd == "sql":  # escape hatch the reference never had
             return self.spark.sql(stmt[4:])
         raise ValueError(f"unknown command: {cmd}")
+
+    def _plane(self, flight_id: str) -> DataFrame:
+        """dbread.py:42-57 `plane/<hex>`: one row per trip in start order —
+        trip number, the legacy `commentary` (top-level trip-document field
+        the reference prints as "Trip N: <commentary>"; NULL when the store
+        is not legacy), callsign, and the received-message count (the
+        reference counts history entries per attribute; n_obs is that
+        count in this engine's trip row)."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        t = self.trips.filter(F.col("flight_id") == flight_id)
+        commentary = (
+            F.col("commentary")
+            if "commentary" in self.trips.columns
+            else F.lit(None).cast("string")
+        )
+        w = Window.partitionBy("flight_id").orderBy("start_sec", "session_id")
+        return t.select(
+            F.row_number().over(w).alias("trip"),
+            commentary.alias("commentary"),
+            F.col("callsign"),
+            F.col("n_obs").alias("n_msgs"),
+        )
 
     def _drop(self, name: str) -> DataFrame:
         """Name-typed confirmation then drop: temp view first, else catalog

@@ -77,6 +77,13 @@ def trip_documents(assembled: DataFrame, cfg) -> DataFrame:
             F.col("end_sec").alias("end_time"),
         ).alias("extras"),
         F.map_from_entries(filter_entries).alias("filters"),
+        # legacy commentary rides top-level, where dbread.py:48 reads it
+        # ("Trip N: <commentary>"); absent in non-legacy assemblies
+        *(
+            [F.col("commentary")]
+            if "commentary" in assembled.columns
+            else []
+        ),
     )
 
 
@@ -131,8 +138,16 @@ def write_kafka(payload_df: DataFrame, bootstrap: str) -> None:
 
 
 def write_csv(df: DataFrame, out_dir: str) -> None:
-    """S8 — header CSV export (csvdump.py:39-101)."""
-    df.write.option("header", True).mode("overwrite").csv(out_dir)
+    """S8 — header CSV export (csvdump.py:39-101).
+
+    Legacy `commentary` never reaches CSV: csvdump.py:89 skips the field
+    explicitly ("commentary for legacy db" — it is a string among
+    epoch-valued extras and would crash the datetime conversion there);
+    the skip is mirrored at this sink boundary so every CSV path shares
+    it."""
+    df.drop("commentary").write.option("header", True).mode("overwrite").csv(
+        out_dir
+    )
 
 
 def write_json(df: DataFrame, out_dir: str) -> None:

@@ -288,3 +288,48 @@ def test_ddl_drop_reset_lifecycle_rows(spark):
     # and the probes really are gone from the live catalog
     names = {t.name for t in spark.catalog.listTables()}
     assert not (set(DDL_PROBE_OBJECTS) & names)
+
+
+def test_legacy_commentary_passthrough(spark, tmp_path):
+    """r6 (VERDICT r4 #8): a legacy store's `commentary` field rides trip
+    assembly into the REPL plane view (dbread.py:48 prints it per trip) and
+    is SKIPPED by csv export (csvdump.py:89's legacy-db skip rule); a
+    non-legacy schema is untouched."""
+    legacy = _obs(spark).withColumn(
+        "commentary", F.lit("logged by legacy collector")
+    )
+    sess = S.with_session_id(K.with_distance_home(legacy, CFG), CFG)
+    trips = S.trips(sess, CFG)
+    assert "commentary" in trips.columns
+
+    repl = Repl(spark, legacy, trips)
+    plane = repl.execute("plane a")[0].collect()
+    assert plane[0]["trip"] == 1
+    assert plane[0]["commentary"] == "logged by legacy collector"
+
+    # csv export mirrors csvdump.py:89 and drops the field
+    out_dir = str(tmp_path / "legacy_csv")
+    write_csv(trips, out_dir)
+    back = spark.read.option("header", True).csv(out_dir)
+    assert "commentary" not in back.columns
+    assert back.count() == trips.count()
+
+    # trip_documents carries it top-level (where dbread reads it)
+    from airstrik_py_spark.sinks import trip_documents
+
+    assembled = S.trips_with_asof(sess, CFG).withColumn(
+        "trip_name", F.col("callsign")
+    )
+    assert "commentary" in assembled.columns
+    docs = trip_documents(assembled, CFG)
+    assert "commentary" in docs.columns
+    assert docs.collect()[0]["commentary"] == "logged by legacy collector"
+
+    # non-legacy input: no commentary column materializes anywhere
+    plain_trips = S.trips(
+        S.with_session_id(K.with_distance_home(_obs(spark), CFG), CFG), CFG
+    )
+    assert "commentary" not in plain_trips.columns
+    repl2 = Repl(spark, _obs(spark), plain_trips)
+    plane2 = repl2.execute("plane a")[0].collect()
+    assert plane2[0]["commentary"] is None

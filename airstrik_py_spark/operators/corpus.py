@@ -573,6 +573,43 @@ def length_percentiles(docs: DataFrame) -> DataFrame:
     return ranked.groupBy("lang").agg(*aggs)
 
 
+ENTROPY_MICRO = 1_000_000
+
+
+def char_entropy(docs: DataFrame) -> DataFrame:
+    """Per-document character-level Shannon entropy — the classic
+    cheap quality signal (low entropy = boilerplate / repeated spans /
+    degenerate generations; high = encrypted or binary junk) that
+    pretraining filters threshold alongside the length/stopword gates.
+
+    Exactness contract (ORACLES-PORTABILITY.md SS11): each character
+    class's term -p*log2(p) is ONE deterministic double expression on the
+    exact integer pair (n_c, n) — both engines compute identical bits
+    (log2 verified bit-identical libm) — rounded to integer micro-nats
+    PER TERM, then integer-summed (order-free).  Terms are nonnegative
+    (p <= 1), so round-half-up and round-half-away coincide.
+
+    Scale: char explode fans out x n_chars, but the first aggregate
+    collapses to (doc, char-class) — alphabet-bounded (~10^2 rows/doc);
+    everything downstream is keyed on doc_id and rides one hash
+    partitioning.  No window, no self-join."""
+    ch = docs.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+    per = ch.groupBy("doc_id", "ch").agg(F.count("*").alias("n_c"))
+    tot = per.groupBy("doc_id").agg(
+        F.sum("n_c").alias("n"), F.count("*").alias("n_distinct")
+    )
+    j = per.join(tot, "doc_id")
+    p_ratio = F.col("n_c").cast("double") / F.col("n").cast("double")
+    term_micro = F.round(
+        -(p_ratio * F.log2(p_ratio)) * F.lit(float(ENTROPY_MICRO)), 0
+    ).cast("long")
+    return j.groupBy("doc_id").agg(
+        F.max("n").alias("n_chars_counted"),
+        F.max("n_distinct").alias("n_distinct_chars"),
+        F.sum(term_micro).alias("entropy_micro"),
+    )
+
+
 def mixture_weights(docs: DataFrame, alpha: float = MIX_ALPHA) -> DataFrame:
     """Temperature-scaled source mixture weights: w_src ∝ tokens_src^alpha,
     normalized — the multinomial sampling-temperature recipe from

@@ -335,6 +335,57 @@ def value_anomalies_mad(events: DataFrame, k: float = MAD_K) -> DataFrame:
     )
 
 
+ATTRIB_TOUCH = "click"
+ATTRIB_CONVERSION = "purchase"
+
+
+def attribution_last_touch(
+    events: DataFrame,
+    touch: str = ATTRIB_TOUCH,
+    conversion: str = ATTRIB_CONVERSION,
+) -> DataFrame:
+    """Last-touch attribution: each conversion event joins to the SAME
+    user's most recent strictly-earlier touch event — the classic
+    marketing-attribution as-of join, expressed as a stream-local window
+    instead of a self-join.
+
+    Shape: one window PARTITIONED by user_id ordered by (epoch_us,
+    event_id), frame (unbounded preceding, -1): `last(touch-struct,
+    ignorenulls)` carries the latest preceding touch to every row, and a
+    filter keeps conversions.  Linear in events, hash-partitioned on
+    user_id, zero self-joins — the equivalent range self-join would
+    shuffle the table against itself.  Unattributed conversions (no prior
+    touch) survive with NULL touch columns, so funnel-entry analysis
+    keeps them.  Both engines order by the identical (us, event_id) total
+    key; DuckDB mirrors with last_value(... IGNORE NULLS)."""
+    us = F.unix_micros("ts")
+    e = events.select(
+        "event_id", "user_id", "event_type", "value", us.alias("us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch_struct = F.last(
+        F.when(
+            F.col("event_type") == touch,
+            F.struct(F.col("us").alias("t_us"), F.col("event_id").alias("t_id")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    attributed = e.withColumn("_touch", touch_struct).filter(
+        F.col("event_type") == conversion
+    )
+    return attributed.select(
+        F.col("event_id").alias("conversion_id"),
+        "user_id",
+        F.round("value", 6).alias("value"),
+        F.col("_touch.t_id").alias("touch_id"),
+        (F.col("us") - F.col("_touch.t_us")).alias("gap_us"),
+    )
+
+
 WAU_DAYS = 7
 
 

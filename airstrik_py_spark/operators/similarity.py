@@ -716,6 +716,58 @@ def embedding_dim_stats(emb: DataFrame) -> DataFrame:
     )
 
 
+SQ8_OUT_VECS = 500
+
+
+def embedding_quantize_int8(emb: DataFrame, out_vecs: int = SQ8_OUT_VECS) -> DataFrame:
+    """Per-dimension symmetric int8 scalar quantization (the FAISS
+    ScalarQuantizer / SQ8 layout): scale_d = max|x_d| over the corpus,
+    code = round-half-away(x / scale_d * 127) in [-127, 127] — 4x smaller
+    than float32 with near-lossless recall for rerank candidates, and the
+    cheapest compression tier below PQ.
+
+    Exactness contract (house rule, ORACLES-PORTABILITY.md SS3/SS11):
+    coordinates quantize to integer micro-units first, the per-dim
+    max(abs(vq)) is an exact integer aggregate, and the code derives by
+    pure integer round-half-away division with an explicit sign split
+    ((2*127*vq + amax) div (2*amax), negated branch for vq < 0) — no
+    float division anywhere, so no engine can disagree.  amax = 0 (a
+    constant-zero dimension) emits code 0.
+
+    Scale (100 TB): pass 1 is a posexplode into a map-side-combined
+    64-row max aggregate; pass 2 re-scans and broadcast-joins the 64-row
+    scale table — two corpus passes, zero data-sized shuffles.  `out_vecs`
+    caps only the EMITTED rows (fixture-sized verification surface); the
+    scale training always uses the full table, like pq_codes."""
+    v = _with_vec(emb).select(
+        "vec_id", F.posexplode(F.col("vec")).alias("dim", "val")
+    )
+    vq = F.round(F.col("val") * F.lit(DIM_MICRO), 0).cast("long")
+    rows = v.select("vec_id", "dim", vq.alias("vq"))
+    scales = rows.groupBy("dim").agg(F.max(F.abs(F.col("vq"))).alias("amax"))
+
+    def ha_div(num, den):
+        return F.call_function("div", num, den)
+
+    pos = ha_div(2 * 127 * F.col("vq") + F.col("amax"), 2 * F.col("amax"))
+    neg = -ha_div(2 * 127 * (-F.col("vq")) + F.col("amax"), 2 * F.col("amax"))
+    code = (
+        F.when(F.col("amax") == 0, F.lit(0))
+        .when(F.col("vq") >= 0, pos)
+        .otherwise(neg)
+    )
+    return (
+        rows.filter(F.col("vec_id") < out_vecs)
+        .join(F.broadcast(scales), "dim")
+        .select(
+            "vec_id",
+            F.col("dim").cast("int").alias("dim"),
+            code.cast("int").alias("code"),
+            F.col("amax").alias("amax_micro"),
+        )
+    )
+
+
 def ann_ivf_pq(
     emb: DataFrame,
     n_queries: int,

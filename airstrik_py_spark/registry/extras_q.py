@@ -513,6 +513,27 @@ def q_pipeline_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_attribution_lastclick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution (as-of join within the event stream) —
+    operators/events.py::attribution_last_touch: each purchase joins to
+    the same user's most recent strictly-earlier click via a user-keyed
+    ignorenulls window; unattributed purchases keep NULL touch columns."""
+    from airstrik_py_spark.operators.events import attribution_last_touch
+
+    pin_session(spark)
+    return attribution_last_touch(load_table(spark, sf_dir, "events"))
+
+
+def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy quality signal —
+    operators/corpus.py::char_entropy: per-term micro-quantized
+    -p*log2(p) integer sums (ORACLES-PORTABILITY.md SS11)."""
+    from airstrik_py_spark.operators.corpus import char_entropy
+
+    pin_session(spark)
+    return char_entropy(load_table(spark, sf_dir, "documents"))
+
+
 def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-user MAD outliers on event values —
     operators/events.py::value_anomalies_mad."""
@@ -715,6 +736,40 @@ def _pii_oracle() -> str:
 _SHUF_NIB = _nib4("h")
 
 ORACLES = {
+    "events_attribution_lastclick": """
+WITH e AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us
+           FROM events),
+t AS (SELECT *,
+             last_value(CASE WHEN event_type = 'click'
+                             THEN struct_pack(t_us := us, t_id := event_id)
+                        END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+      FROM e)
+SELECT event_id AS conversion_id, user_id,
+       round(value, 6) AS value,
+       touch.t_id AS touch_id,
+       us - touch.t_us AS gap_us
+FROM t WHERE event_type = 'purchase'
+""",
+    "text_char_entropy": """
+WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+per AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS n_c
+        FROM ch GROUP BY doc_id, ch),
+tot AS (SELECT doc_id, CAST(sum(n_c) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_distinct
+        FROM per GROUP BY doc_id),
+j AS (SELECT per.doc_id, n_c, n, n_distinct,
+             CAST(round(-((CAST(n_c AS DOUBLE) / CAST(n AS DOUBLE))
+                          * log2(CAST(n_c AS DOUBLE) / CAST(n AS DOUBLE)))
+                        * 1000000, 0) AS BIGINT) AS term_micro
+      FROM per JOIN tot USING (doc_id))
+SELECT doc_id,
+       CAST(max(n) AS BIGINT) AS n_chars_counted,
+       CAST(max(n_distinct) AS BIGINT) AS n_distinct_chars,
+       CAST(sum(term_micro) AS BIGINT) AS entropy_micro
+FROM j GROUP BY doc_id
+""",
     # ddl_drop_reset's lifecycle outcome is deterministic (create 3 temp
     # views -> reset-style drop-all -> verify gone), so the oracle is the
     # static expected catalog state — this turns the one historical
@@ -1296,6 +1351,8 @@ QUERIES = {
     "events_timeseries_gapfill": q_events_timeseries_gapfill,
     "ann_ivf_label": q_ann_ivf_label,
     "ddl_drop_reset": q_ddl_drop_reset,
+    "events_attribution_lastclick": q_events_attribution_lastclick,
+    "text_char_entropy": q_text_char_entropy,
 }
 # (oracles for the re-registered round-1 slugs merge from their home
 # modules; ORACLES above holds only the extras-native entries)

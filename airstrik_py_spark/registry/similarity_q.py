@@ -331,14 +331,38 @@ knn AS (
   QUALIFY rank <= {SIM.KNN_GRAPH_K})"""
 
 
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar quantization — operators/similarity.py::
+    embedding_quantize_int8: full-corpus per-dim max|micro| scales,
+    sign-split integer round-half-away codes, first-500-vec emission."""
+    pin_session(spark)
+    return SIM.embedding_quantize_int8(load_table(spark, sf_dir, "embeddings"))
+
+
 QUERIES = {
     "ann_bruteforce_cosine": q_ann_bruteforce_cosine,
     "ann_lsh_srp": q_ann_lsh_srp,
+    "embedding_quantize_int8": q_embedding_quantize_int8,
     # ann_ivf_label (fixture-label quantizer, superseded by the trained
     # k-means variant) and ann_ivf_kmeans register via extras_q
 }
 
 ORACLES = {
+    "embedding_quantize_int8": f"""
+WITH idx AS (SELECT vec_id, embedding, unnest(range(0, len(embedding))) AS dim
+             FROM embeddings),
+v AS (SELECT vec_id, CAST(dim AS INTEGER) AS dim,
+             CAST(round(CAST(embedding[dim + 1] AS DOUBLE) * {SIM.DIM_MICRO}, 0) AS BIGINT) AS vq
+      FROM idx),
+s AS (SELECT dim, CAST(max(abs(vq)) AS BIGINT) AS amax FROM v GROUP BY dim)
+SELECT vec_id, dim,
+       CAST(CASE WHEN amax = 0 THEN 0
+                 WHEN vq >= 0 THEN (2 * 127 * vq + amax) // (2 * amax)
+                 ELSE -((2 * 127 * (-vq) + amax) // (2 * amax)) END AS INTEGER) AS code,
+       amax AS amax_micro
+FROM v JOIN s USING (dim)
+WHERE vec_id < {SIM.SQ8_OUT_VECS}
+""",
     "embedding_pca_power": f"""
 WITH {_E},
 {_pca_ctes(SIM.PCA_ITERS, SIM.SRP_DIM)}

@@ -400,3 +400,19 @@ def test_lm_perplexity_buckets_ntile_arithmetic_edges(spark):
     rows2 = [(0, "a a"), (1, "a b")]
     out2 = lm_perplexity_buckets(docs_df(spark, rows2), buckets=3).collect()
     assert Counter(r["ppl_bucket"] for r in out2) == {1: 1, 2: 1}
+
+
+def test_char_entropy_hand_cases(spark):
+    """'aaaa' -> 0 entropy; 'ab' -> exactly 1 bit; uniform 4-char doc ->
+    exactly 2 bits (powers of two avoid rounding in micro units)."""
+    from airstrik_py_spark.operators.corpus import char_entropy
+
+    df = spark.createDataFrame(
+        [(0, "aaaa"), (1, "ab"), (2, "abcd")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in char_entropy(df).collect()}
+    assert out[0]["entropy_micro"] == 0
+    assert out[0]["n_distinct_chars"] == 1 and out[0]["n_chars_counted"] == 4
+    assert out[1]["entropy_micro"] == 1_000_000
+    assert out[2]["entropy_micro"] == 2_000_000

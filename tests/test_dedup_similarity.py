@@ -416,3 +416,20 @@ def test_embedding_incremental_store_roundtrip(spark, tmp_path):
         if r["id_a"] < EMB_INCR_SPLIT <= r["id_b"]
     }
     assert from_store == full_cross
+
+
+def test_embedding_quantize_int8_hand_case(spark):
+    """The per-dim max|x| maps to code +/-127 exactly; half-scale maps to
+    round-half-away(63.5) = 64; a constant-zero dim emits code 0."""
+    from airstrik_py_spark.operators.similarity import embedding_quantize_int8
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, -2.0, 0.0]), (1, [0.5, 2.0, 0.0]), (2, [-1.0, 1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {(r["vec_id"], r["dim"]): r for r in embedding_quantize_int8(emb).collect()}
+    assert out[(0, 0)]["code"] == 127 and out[(2, 0)]["code"] == -127
+    assert out[(1, 0)]["code"] == 64  # 0.5/1.0*127 = 63.5 -> away from zero
+    assert out[(0, 1)]["code"] == -127 and out[(1, 1)]["code"] == 127
+    assert all(out[(v, 2)]["code"] == 0 for v in (0, 1, 2))  # amax = 0 dim
+    assert out[(0, 0)]["amax_micro"] == 1_000_000

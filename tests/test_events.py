@@ -281,3 +281,27 @@ def test_ab_welch_t_degenerate_inputs_emit_zero_rows(spark):
         schema,
     )
     assert ab_welch_t(one_b).count() == 0
+
+
+def test_attribution_last_touch_hand_case(spark):
+    """purchase joins to the latest strictly-earlier click of the SAME
+    user; later clicks don't count; no prior click -> NULL touch."""
+    from airstrik_py_spark.operators.events import attribution_last_touch
+
+    # (eid, second, uid, type): user 1 click@1, click@3, purchase@4,
+    # click@5; user 2 purchase@2 with no prior click
+    rows = [
+        (0, 1, 1, "click"), (1, 3, 1, "click"), (2, 4, 1, "purchase"),
+        (3, 5, 1, "click"), (4, 2, 2, "purchase"), (5, 6, 2, "click"),
+    ]
+    ev = spark.createDataFrame(
+        [(eid, datetime(2024, 1, 1, 0, 0, sec).replace(tzinfo=None), uid,
+          et, 10.0, None) for eid, sec, uid, et in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r["conversion_id"]: r for r in attribution_last_touch(ev).collect()}
+    assert set(out) == {2, 4}
+    assert out[2]["touch_id"] == 1  # latest prior click, not eid 0 or 3
+    assert out[2]["gap_us"] == 1_000_000
+    assert out[4]["touch_id"] is None and out[4]["gap_us"] is None

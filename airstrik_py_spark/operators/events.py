@@ -335,6 +335,45 @@ def value_anomalies_mad(events: DataFrame, k: float = MAD_K) -> DataFrame:
     )
 
 
+ROLLING_SUM_US = 3_600_000_000  # 1 hour in integer microseconds
+
+
+def value_rolling_sum(events: DataFrame, window_us: int = ROLLING_SUM_US) -> DataFrame:
+    """Per-user trailing-hour activity load: for every event, the count
+    and value-sum of the same user's events in the inclusive time RANGE
+    [t - 1h, t] — the sliding-aggregate feature both rate limiters and
+    behavioral features feed on.
+
+    This is the RANGE-frame window (peers by ORDER VALUE, not row
+    position): both engines define the frame identically over the integer
+    microsecond key, including tied timestamps joining the same frame.
+    Values quantize to exact centi units BEFORE the window sum
+    (ORACLES-PORTABILITY.md SS11 — a double sum inside a sliding frame
+    would accumulate in engine-owned order), so the rolling sum is pure
+    integer arithmetic.
+
+    Scale: hash-partitioned on user_id, sort within partition by time —
+    one exchange; frame evaluation is the engine's sliding two-pointer,
+    linear per user.  No self-join, no explode."""
+    us = F.unix_micros("ts")
+    vc = F.round(F.col("value") * 100, 0).cast("long")
+    e = events.select(
+        "event_id", "user_id", us.alias("us"), vc.alias("value_centi")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-window_us, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "us",
+        F.count("*").over(w).alias("n_1h"),
+        F.sum("value_centi").over(w).alias("sum_1h_centi"),
+    )
+
+
 ATTRIB_TOUCH = "click"
 ATTRIB_CONVERSION = "purchase"
 

@@ -716,6 +716,45 @@ def embedding_dim_stats(emb: DataFrame) -> DataFrame:
     )
 
 
+STD_OUT_VECS = 100
+
+
+def embedding_standardize(emb: DataFrame, out_vecs: int = STD_OUT_VECS) -> DataFrame:
+    """Per-dimension z-score standardization (whitening without rotation):
+    z = (x - mean_d) / sqrt(var_d) using embedding_dim_stats' published
+    6-dp mean/variance as THE model parameters — the normalization step
+    before cosine/IP indexes when dimensions have heterogeneous scales.
+
+    Exactness contract: mean and variance come from embedding_dim_stats
+    (exact integer micro moments -> one deterministic double expression,
+    rounded to 6 dp — the published parameter IS the rounded value, like
+    the k-means/PQ codebooks), so the per-row z expression consumes
+    bit-identical inputs on both engines; sqrt is IEEE-correctly-rounded.
+    Zero-variance dimensions emit z = 0.
+
+    Scale: the 64-row stats table broadcasts back onto the vector stream;
+    one corpus pass for moments, one for the map — no data-sized shuffle.
+    `out_vecs` caps the emitted verification surface only."""
+    stats = embedding_dim_stats(emb).select("dim", "mean", "variance")
+    v = _with_vec(emb).select(
+        "vec_id", F.posexplode(F.col("vec")).alias("dim", "val")
+    )
+    vq = F.round(F.col("val") * F.lit(DIM_MICRO), 0).cast("long")
+    x = vq.cast("double") / F.lit(float(DIM_MICRO))
+    z = F.when(F.col("variance") <= 0, F.lit(0.0)).otherwise(
+        F.round((x - F.col("mean")) / F.sqrt(F.col("variance")), 6)
+    )
+    return (
+        v.filter(F.col("vec_id") < out_vecs)
+        .join(F.broadcast(stats), v["dim"] == stats["dim"])
+        .select(
+            "vec_id",
+            v["dim"].cast("int").alias("dim"),
+            z.alias("z"),
+        )
+    )
+
+
 SQ8_OUT_VECS = 500
 
 

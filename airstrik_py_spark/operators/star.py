@@ -279,6 +279,43 @@ def shipmode_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q4_YEAR_START, Q4_YEAR_END = "1997-01-01", "1998-01-01"
+
+
+def priority_semijoin_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: the EXISTS semi-join — count one year's orders that have
+    AT LEAST ONE returned line (l_returnflag = 'R'), per order priority.
+    TPC-H Q4's commit<receipt predicate has no fixture columns, so the
+    returned-line flag stands in; the join SHAPE is the point: a LEFT
+    SEMI equi-join on orderkey (first match wins, probe rows never
+    duplicate — an inner join + distinct would shuffle the multiplicity
+    it is about to throw away).
+
+    Scale: both sides prune to 2 columns at the scan; the semi side is
+    fact-sized, so shuffle-hash (not broadcast, not SMJ) like the other
+    fact-fact star joins; the rollup key is the tiny priority domain,
+    map-side combined."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit(Q4_YEAR_START).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(Q4_YEAR_END).cast("timestamp"))
+        )
+        .select("o_orderkey", "o_orderpriority")
+    )
+    returned = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    j = orders.join(
+        returned.hint("shuffle_hash"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+        "left_semi",
+    )
+    return j.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
 Q6_START, Q6_END = "1997-01-01", "1998-01-01"
 
 

@@ -534,6 +534,34 @@ def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_entropy(load_table(spark, sf_dir, "documents"))
 
 
+def q_star_order_priority_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4-shape EXISTS semi-join — operators/star.py::
+    priority_semijoin_counts: one year's orders with >= 1 returned line,
+    counted per priority via LEFT SEMI shuffle-hash on orderkey."""
+    from airstrik_py_spark.operators.star import priority_semijoin_counts
+
+    pin_session(spark)
+    return priority_semijoin_counts(spark, sf_dir)
+
+
+def q_events_value_rolling_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-1h RANGE-frame sliding aggregate per user —
+    operators/events.py::value_rolling_sum (centi-exact window sum)."""
+    from airstrik_py_spark.operators.events import value_rolling_sum
+
+    pin_session(spark)
+    return value_rolling_sum(load_table(spark, sf_dir, "events"))
+
+
+def q_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score standardization — operators/similarity.py::
+    embedding_standardize (published 6-dp dim-stats as the model)."""
+    from airstrik_py_spark.operators.similarity import embedding_standardize
+
+    pin_session(spark)
+    return embedding_standardize(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-user MAD outliers on event values —
     operators/events.py::value_anomalies_mad."""
@@ -736,6 +764,49 @@ def _pii_oracle() -> str:
 _SHUF_NIB = _nib4("h")
 
 ORACLES = {
+    "star_order_priority_semijoin": """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+""",
+    "events_value_rolling_sum": """
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+                  CAST(round(value * 100, 0) AS BIGINT) AS vc
+           FROM events)
+SELECT event_id, user_id, us,
+       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+       CAST(sum(vc) OVER w AS BIGINT) AS sum_1h_centi
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""",
+    "embedding_standardize": """
+WITH idx AS (SELECT vec_id, embedding, unnest(range(0, len(embedding))) AS dim
+             FROM embeddings),
+v AS (SELECT vec_id, CAST(dim AS INTEGER) AS dim,
+             CAST(round(CAST(embedding[dim + 1] AS DOUBLE) * 1000000, 0) AS BIGINT) AS vq
+      FROM idx),
+g AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(vq) AS BIGINT) AS sum_q,
+             CAST(sum(vq * vq) AS BIGINT) AS sumsq_q
+      FROM v GROUP BY dim),
+m AS (SELECT dim,
+             round((CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE)) / 1000000.0, 6) AS mean,
+             round((CAST(sumsq_q AS DOUBLE) / CAST(n AS DOUBLE)
+                    - (CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE)))
+                   / 1000000000000.0, 6) AS variance
+      FROM g)
+SELECT vec_id, v.dim AS dim,
+       CASE WHEN variance <= 0 THEN 0.0
+            ELSE round((CAST(vq AS DOUBLE) / 1000000.0 - mean) / sqrt(variance), 6)
+       END AS z
+FROM v JOIN m ON v.dim = m.dim
+WHERE vec_id < 100
+""",
     "events_attribution_lastclick": """
 WITH e AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us
            FROM events),
@@ -1353,6 +1424,9 @@ QUERIES = {
     "ddl_drop_reset": q_ddl_drop_reset,
     "events_attribution_lastclick": q_events_attribution_lastclick,
     "text_char_entropy": q_text_char_entropy,
+    "star_order_priority_semijoin": q_star_order_priority_semijoin,
+    "events_value_rolling_sum": q_events_value_rolling_sum,
+    "embedding_standardize": q_embedding_standardize,
 }
 # (oracles for the re-registered round-1 slugs merge from their home
 # modules; ORACLES above holds only the extras-native entries)

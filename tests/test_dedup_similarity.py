@@ -433,3 +433,17 @@ def test_embedding_quantize_int8_hand_case(spark):
     assert out[(0, 1)]["code"] == -127 and out[(1, 1)]["code"] == 127
     assert all(out[(v, 2)]["code"] == 0 for v in (0, 1, 2))  # amax = 0 dim
     assert out[(0, 0)]["amax_micro"] == 1_000_000
+
+
+def test_embedding_standardize_zscores(spark):
+    """z-scores from the published 6-dp moments: a two-value dimension
+    standardizes to +/-1; constant dimension emits 0."""
+    from airstrik_py_spark.operators.similarity import embedding_standardize
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 7.0]), (1, [3.0, 7.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {(r["vec_id"], r["dim"]): r["z"] for r in embedding_standardize(emb).collect()}
+    assert out[(0, 0)] == -1.0 and out[(1, 0)] == 1.0
+    assert out[(0, 1)] == 0.0 and out[(1, 1)] == 0.0

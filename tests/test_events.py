@@ -305,3 +305,29 @@ def test_attribution_last_touch_hand_case(spark):
     assert out[2]["touch_id"] == 1  # latest prior click, not eid 0 or 3
     assert out[2]["gap_us"] == 1_000_000
     assert out[4]["touch_id"] is None and out[4]["gap_us"] is None
+
+
+def test_value_rolling_sum_range_frame(spark):
+    """RANGE frame includes events exactly 1h back (inclusive) and tied
+    timestamps as peers; sums are exact centi units."""
+    from airstrik_py_spark.operators.events import value_rolling_sum
+
+    # user 1: events at 0s, 1800s, 3600s, 7201s; ties at 1800s
+    rows = [
+        (0, 0, 1, 10.00), (1, 1800, 1, 5.25), (2, 1800, 1, 2.00),
+        (3, 3600, 1, 1.00), (4, 7201, 1, 4.00),
+    ]
+    ev = spark.createDataFrame(
+        [(eid, datetime(2024, 1, 1) + __import__("datetime").timedelta(seconds=sec),
+          uid, "view", val, None) for eid, sec, uid, val in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r["event_id"]: r for r in value_rolling_sum(ev).collect()}
+    # event 1 and 2 are RANGE peers: both frames include both tied rows
+    assert out[1]["n_1h"] == 3 and out[2]["n_1h"] == 3
+    assert out[1]["sum_1h_centi"] == 1725 and out[2]["sum_1h_centi"] == 1725
+    # event 3 at 3600s still includes event 0 at 0s (inclusive bound)
+    assert out[3]["n_1h"] == 4 and out[3]["sum_1h_centi"] == 1825
+    # event 4 at 7201s: frame [3601, 7201] excludes even the 3600s event
+    assert out[4]["n_1h"] == 1 and out[4]["sum_1h_centi"] == 400

@@ -40,3 +40,39 @@ def test_region_revenue_plan_broadcasts_dims(spark):
     plan = buf.getvalue()
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_priority_semijoin_no_duplicate_counting(spark, tmp_path):
+    """LEFT SEMI semantics: an order with many returned lines counts ONCE;
+    orders with no returned line don't count; out-of-window orders drop."""
+    import datetime as dt
+
+    orders = spark.createDataFrame(
+        [
+            (1, 1, "O", 10.0, dt.datetime(1997, 3, 1), "1-URGENT"),
+            (2, 1, "O", 10.0, dt.datetime(1997, 3, 1), "1-URGENT"),
+            (3, 1, "O", 10.0, dt.datetime(1996, 3, 1), "1-URGENT"),  # out of window
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    li = spark.createDataFrame(
+        [(1, "R"), (1, "R"), (1, "R"), (2, "N"), (3, "R")],
+        "l_orderkey long, l_returnflag string",
+    )
+    d = str(tmp_path / "sf")
+    orders.write.parquet(d + "/orders.parquet")
+    li.selectExpr(
+        "l_orderkey", "CAST(0 AS LONG) l_partkey", "CAST(0 AS LONG) l_suppkey",
+        "CAST(0 AS INT) l_linenumber", "CAST(1 AS DOUBLE) l_quantity",
+        "CAST(1 AS DOUBLE) l_extendedprice", "CAST(0 AS DOUBLE) l_discount",
+        "CAST(0 AS DOUBLE) l_tax", "l_returnflag", "'O' AS l_linestatus",
+        "TIMESTAMP '1997-06-01' AS l_shipdate",
+    ).write.parquet(d + "/lineitem.parquet")
+
+    from airstrik_py_spark.operators.star import priority_semijoin_counts
+
+    out = priority_semijoin_counts(spark, d).collect()
+    # order 1 (3 returned lines) counts once; order 2 has none; order 3 out
+    assert len(out) == 1
+    assert out[0]["o_orderpriority"] == "1-URGENT" and out[0]["order_count"] == 1

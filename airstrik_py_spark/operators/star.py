@@ -279,6 +279,57 @@ def shipmode_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: the NOT EXISTS anti-join — above-average-balance
+    customers who have never placed an URGENT order, counted per nation
+    with their total balance (the urgent-order predicate keeps the
+    fixture surface non-trivial: every fixture customer has SOME order).
+    Completes the join-type coverage next to Q4's LEFT SEMI: a LEFT ANTI
+    equi-join on custkey keeps exactly the probe rows with zero matches
+    (an outer join + IS NULL filter would materialize the matched
+    multiplicity first).
+
+    Exactness: balances quantize to integer cents; the "above the mean
+    positive balance" threshold is the integer CROSS-MULTIPLY
+    cents * n > total_cents (never a float division), and the output sum
+    is an exact BIGINT.  Scale: the 1-row (total, n) aggregate
+    broadcasts; the anti side prunes to the single o_custkey column;
+    nation is a broadcast dim; rollup key is the tiny nation domain."""
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select("c_custkey", "c_nationkey", cents.alias("cents"))
+    )
+    tot = cust.agg(
+        F.sum("cents").alias("total_cents"), F.count("*").alias("n_pos")
+    )
+    rich = cust.crossJoin(F.broadcast(tot)).filter(
+        F.col("cents") * F.col("n_pos") > F.col("total_cents")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    anti = rich.join(
+        o.hint("shuffle_hash"),
+        F.col("c_custkey") == F.col("o_custkey"),
+        "left_anti",
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        anti.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("cents").alias("total_acctbal_cents"),
+        )
+    )
+
+
 Q4_YEAR_START, Q4_YEAR_END = "1997-01-01", "1998-01-01"
 
 

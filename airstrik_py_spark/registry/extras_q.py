@@ -534,6 +534,16 @@ def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_entropy(load_table(spark, sf_dir, "documents"))
 
 
+def q_star_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22-shape NOT-EXISTS anti-join — operators/star.py::
+    customers_without_orders (integer cross-multiplied mean threshold,
+    LEFT ANTI on custkey, broadcast nation rollup)."""
+    from airstrik_py_spark.operators.star import customers_without_orders
+
+    pin_session(spark)
+    return customers_without_orders(spark, sf_dir)
+
+
 def q_star_order_priority_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q4-shape EXISTS semi-join — operators/star.py::
     priority_semijoin_counts: one year's orders with >= 1 returned line,
@@ -764,6 +774,24 @@ def _pii_oracle() -> str:
 _SHUF_NIB = _nib4("h")
 
 ORACLES = {
+    "star_customers_no_orders": """
+WITH c AS (SELECT c_custkey, c_nationkey,
+                  CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+           FROM customer WHERE c_acctbal > 0),
+t AS (SELECT CAST(sum(cents) AS BIGINT) AS total_cents,
+             CAST(count(*) AS BIGINT) AS n_pos FROM c),
+rich AS (SELECT c.* FROM c CROSS JOIN t
+         WHERE cents * n_pos > total_cents),
+a AS (SELECT rich.* FROM rich
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = rich.c_custkey
+                          AND o.o_orderpriority = '1-URGENT'))
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(cents) AS BIGINT) AS total_acctbal_cents
+FROM a JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
     "star_order_priority_semijoin": """
 SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
 FROM orders o
@@ -1425,6 +1453,7 @@ QUERIES = {
     "events_attribution_lastclick": q_events_attribution_lastclick,
     "text_char_entropy": q_text_char_entropy,
     "star_order_priority_semijoin": q_star_order_priority_semijoin,
+    "star_customers_no_orders": q_star_customers_no_orders,
     "events_value_rolling_sum": q_events_value_rolling_sum,
     "embedding_standardize": q_embedding_standardize,
 }

@@ -76,3 +76,46 @@ def test_priority_semijoin_no_duplicate_counting(spark, tmp_path):
     # order 1 (3 returned lines) counts once; order 2 has none; order 3 out
     assert len(out) == 1
     assert out[0]["o_orderpriority"] == "1-URGENT" and out[0]["order_count"] == 1
+
+
+def test_customers_no_orders_anti_semantics(spark, tmp_path):
+    """LEFT ANTI: only zero-match probe rows survive; the mean threshold
+    is the integer cross-multiply (no float division)."""
+    import datetime as dt
+
+    cust = spark.createDataFrame(
+        [
+            (1, "a", 10, 100.0, "B"),   # above mean, has urgent order -> out
+            (2, "b", 10, 90.0, "B"),    # above mean, no urgent order -> in
+            (3, "c", 20, 5.0, "B"),     # below mean -> out
+            (4, "d", 20, -50.0, "B"),   # nonpositive balance -> out
+        ],
+        "c_custkey long, c_name string, c_nationkey long, c_acctbal double, "
+        "c_mktsegment string",
+    )
+    orders = spark.createDataFrame(
+        [
+            (100, 1, "O", 10.0, dt.datetime(1997, 1, 1), "1-URGENT"),
+            (101, 2, "O", 10.0, dt.datetime(1997, 1, 1), "3-MEDIUM"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    nation = spark.createDataFrame(
+        [(10, "ALPHA", 1), (20, "BETA", 1)],
+        "n_nationkey long, n_name string, n_regionkey long",
+    )
+    d = str(tmp_path / "sf")
+    cust.write.parquet(d + "/customer.parquet")
+    orders.write.parquet(d + "/orders.parquet")
+    nation.write.parquet(d + "/nation.parquet")
+
+    from airstrik_py_spark.operators.star import customers_without_orders
+
+    out = customers_without_orders(spark, d).collect()
+    # mean positive balance = (100+90+5)/3 = 65 -> custs 1,2 above; only 2
+    # lacks an urgent order
+    assert len(out) == 1
+    assert out[0]["n_name"] == "ALPHA"
+    assert out[0]["n_customers"] == 1
+    assert out[0]["total_acctbal_cents"] == 9000

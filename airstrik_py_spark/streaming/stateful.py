@@ -162,3 +162,111 @@ def tracked_stream(
             timeoutConf=timeout,
         )
     )
+
+
+# --- streaming last-touch attribution (batch twin: operators/events.py::
+# attribution_last_touch) -------------------------------------------------
+
+ATTRIB_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("conversion_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("touch_id", T.LongType()),
+        T.StructField("gap_us", T.LongType()),
+    ]
+)
+
+# (latest touch event's epoch-us, its event_id) — O(1) per user, the
+# streaming analog of the batch window's last(ignorenulls) carry
+ATTRIB_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("t_us", T.LongType()),
+        T.StructField("t_id", T.LongType()),
+    ]
+)
+
+
+def make_attributor(
+    touch: str = "click", conversion: str = "purchase", live: bool = True,
+    ttl_ms: int = 24 * 3600 * 1000,
+):
+    """Keyed last-touch attribution state function: per user, remember
+    only the most recent touch event (2 longs); every conversion emits
+    with the remembered touch, exactly the batch window's strictly-
+    preceding semantics — rows are processed in (us, event_id) order and
+    a conversion reads state BEFORE a same-row-or-later touch updates it.
+    State TTL evicts idle users (live mode), bounding state linearly in
+    ACTIVE users like the plane tracker."""
+
+    def attribute(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        t_us, t_id = state.get if state.exists else (None, None)
+        out = []
+        for pdf in batches:
+            pdf = pdf.sort_values(["us", "event_id"])
+            for row in pdf.itertuples(index=False):
+                if row.event_type == conversion:
+                    out.append(
+                        (
+                            int(row.event_id),
+                            int(key[0]),
+                            float(row.value),
+                            t_id,
+                            None if t_us is None else int(row.us) - t_us,
+                        )
+                    )
+                if row.event_type == touch:
+                    t_us, t_id = int(row.us), int(row.event_id)
+        state.update((t_us, t_id))
+        if live:
+            state.setTimeoutDuration(ttl_ms)
+        if out:
+            yield pd.DataFrame(
+                out, columns=[f.name for f in ATTRIB_OUT_SCHEMA.fields]
+            )
+
+    return attribute
+
+
+def stream_attribution(
+    events: DataFrame,
+    touch: str = "click",
+    conversion: str = "purchase",
+    live: bool = True,
+) -> DataFrame:
+    """Streaming twin of attribution_last_touch over a (possibly
+    streaming) events frame.  Value is rounded by the ENGINE after the
+    stateful op so batch and stream share Spark's rounding exactly."""
+    from pyspark.sql import functions as F
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if live
+        else GroupStateTimeout.NoTimeout
+    )
+    e = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("us"),
+    )
+    out = e.groupBy("user_id").applyInPandasWithState(
+        make_attributor(touch, conversion, live),
+        outputStructType=ATTRIB_OUT_SCHEMA,
+        stateStructType=ATTRIB_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+    return out.select(
+        "conversion_id",
+        "user_id",
+        F.round("value", 6).alias("value"),
+        "touch_id",
+        "gap_us",
+    )

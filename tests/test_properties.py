@@ -428,3 +428,40 @@ def test_salted_stratified_sample_equals_unsalted_reference(spark, rows, quota):
         for rank, (_h, doc_id) in enumerate(sorted(pairs)[:quota], start=1)
     )
     assert got == want
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(n=st.integers(min_value=1, max_value=40), k=st.sampled_from([2, 3, 5]))
+def test_distributed_ntile_matches_engine_builtin(spark, n, k):
+    """r6 lm_perplexity_buckets rewrite: the arithmetic bucket over the
+    exact distributed rank must equal F.ntile for every (n, k) — sizes
+    base+1 for the first n%k buckets, order preserved."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from airstrik_py_spark.operators.corpus import lm_perplexity_buckets
+
+    # doc i repeats the common token i+1 times, so its avg log-prob
+    # strictly INCREASES with i (common tokens are likelier) and the
+    # (score DESC, doc_id) rank order is exactly doc_id DESC
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (i + 1)) + f" u{i}") for i in range(n)],
+        "doc_id long, text string",
+    )
+    ours = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in lm_perplexity_buckets(docs, buckets=k).collect()
+    }
+    scored = docs.selectExpr("doc_id")
+    builtin = {
+        r["doc_id"]: r["b"]
+        for r in scored.select(
+            "doc_id",
+            F.ntile(k).over(Window.orderBy(F.desc("doc_id"))).alias("b"),
+        ).collect()
+    }
+    assert ours == builtin

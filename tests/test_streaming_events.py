@@ -71,3 +71,54 @@ def test_stream_sessionize_equals_batch(spark, tmp_path):
     # exact-boundary 60 s gap did NOT split (strict-> batch boundary,
     # epsilon-matched in the stream)
     assert got[(7, 0)] == (60_000_000, 2, 60_000_000)
+
+
+def test_stream_attribution_equals_batch(spark, tmp_path):
+    """Stream == batch parity for last-touch attribution: the same parquet
+    tape through the keyed-state attributor and the batch window form,
+    including an unattributed conversion and a touch after a conversion."""
+    from airstrik_py_spark.operators.events import attribution_last_touch
+    from airstrik_py_spark.streaming.stateful import stream_attribution
+
+    rows = [
+        (0, 1.0, 7, "click", 5.0),
+        (1, 3.0, 7, "click", 5.0),
+        (2, 4.0, 7, "purchase", 42.5),
+        (3, 5.0, 7, "click", 5.0),
+        (4, 6.0, 7, "purchase", 7.25),
+        (5, 2.0, 8, "purchase", 9.0),   # no prior click -> NULL touch
+        (6, 8.0, 8, "click", 1.0),
+    ]
+    df = spark.createDataFrame(
+        [
+            (eid, datetime.utcfromtimestamp(t), uid, et, val, None)
+            for eid, t, uid, et, val in rows
+        ],
+        _SCHEMA,
+    )
+    tape = str(tmp_path / "attr_tape")
+    df.coalesce(1).write.parquet(tape)
+
+    stream = spark.readStream.schema(_SCHEMA).parquet(tape)
+    q = (
+        stream_attribution(stream, live=False)
+        .writeStream.format("memory")
+        .queryName("attr_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["conversion_id"]: (r["touch_id"], r["gap_us"], r["value"])
+        for r in spark.table("attr_stream").collect()
+    }
+    want = {
+        r["conversion_id"]: (r["touch_id"], r["gap_us"], r["value"])
+        for r in attribution_last_touch(df).collect()
+    }
+    assert got == want
+    assert got[2] == (1, 1_000_000, 42.5)   # latest prior click wins
+    assert got[4] == (3, 1_000_000, 7.25)   # click after eid 2 now counts
+    assert got[5] == (None, None, 9.0)      # unattributed survives

@@ -140,6 +140,13 @@ def main() -> None:
             _drain(lambda: stream_sessionize_events(ev_stream())),
         )
 
+        from airstrik_py_spark.streaming.stateful import stream_attribution
+
+        results["stream_attribution"] = (
+            n_ev,
+            _drain(lambda: stream_attribution(ev_stream(), live=False)),
+        )
+
         # Document ingest dedup: even doc_ids play the accepted corpus
         # (static digest side), odd doc_ids arrive as the stream.
         docs = load_table(spark, sf_dir, "documents")
@@ -255,7 +262,11 @@ def main() -> None:
             "static anti-join vs the corpus digest set + first-arrival-wins",
             "watermark dedup — its documents input is ~40x smaller than the",
             "event tapes, so the ~2 s micro-batch drain floor dominates its",
-            "rows/sec; read the others for sustained rate).  State shards",
+            "rows/sec; read the others for sustained rate);",
+            "stream_attribution is the applyInPandasWithState last-touch",
+            "lane — Arrow-batched Python per user group, 2 longs of state",
+            "per key (the only Python-side stateful op in the table).",
+            "State shards",
             "by key on a cluster — rate scales with executors until the",
             "state store saturates.",
             "",

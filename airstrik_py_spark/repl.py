@@ -7,7 +7,10 @@ to a DataFrame/SQL plan, so pushdown/pruning/joins come from Catalyst.  The
 `last_planes` result cache (dbread.py:121-122) becomes a temp view.
 
 Commands (dbread.py:180-187 dispatch table):
-  list            -> store enumeration + per-plane trip counts
+  list            -> store enumeration + per-plane trip counts;
+                     `list db` -> SHOW DATABASES (dbread.py:27-31 size
+                     listing), `list db/<name>` -> that database's tables
+                     (dbread.py:32-35 collection listing)
   plane <hex>     -> per-trip detail for one aircraft (dbread.py:42-57
                      `plane/<hex>`): trip number in start order, the legacy
                      `commentary` field when the store carries it (printed
@@ -60,6 +63,12 @@ class Repl:
     def _dispatch(self, stmt: str) -> DataFrame:
         cmd, *args = shlex.split(stmt)
         if cmd == "list":
+            if args and args[0] in ("db", "dbs", "database", "databases"):
+                return self.spark.sql("SHOW DATABASES")
+            if args and args[0].startswith("db/"):
+                return self.spark.sql(
+                    f"SHOW TABLES IN `{args[0][3:]}`"
+                )
             return self.spark.sql(
                 "SELECT flight_id, count(*) AS n_trips, sum(n_obs) AS n_msgs "
                 "FROM trips GROUP BY flight_id ORDER BY flight_id"
@@ -81,6 +90,12 @@ class Repl:
             return self._use(args)
         if cmd == "reset":
             return self._reset()
+        if cmd == "packet":
+            # the reference's packet_command is a literal no-op stub
+            # (dbread.py:60-61: `pass`) — mirror it as an empty status
+            return self.spark.sql("SELECT 'noop' AS status WHERE 1 = 0")
+        if cmd == "exit":
+            raise SystemExit(0)  # dbread.py:187
         if cmd == "sql":  # escape hatch the reference never had
             return self.spark.sql(stmt[4:])
         raise ValueError(f"unknown command: {cmd}")

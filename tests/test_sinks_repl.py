@@ -333,3 +333,30 @@ def test_legacy_commentary_passthrough(spark, tmp_path):
     repl2 = Repl(spark, _obs(spark), plain_trips)
     plane2 = repl2.execute("plane a")[0].collect()
     assert plane2[0]["commentary"] is None
+
+
+def test_repl_list_variants_packet_exit(spark):
+    """dbread parity: `list db` lists databases, `list db/<name>` lists
+    that database's tables, `packet` is the reference's no-op stub, and
+    `exit` raises SystemExit like dbread.py:187."""
+    import pytest
+
+    obs = _obs(spark)
+    sess = S.with_session_id(K.with_distance_home(obs, CFG), CFG)
+    trips = S.trips(sess, CFG)
+    repl = Repl(spark, obs, trips)
+
+    dbs = [r[0] for r in repl.execute("list db")[0].collect()]
+    assert "default" in dbs
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS repl_lv")
+    try:
+        spark.sql("CREATE TABLE IF NOT EXISTS repl_lv.t1 (x INT) USING parquet")
+        tables = [r["tableName"] for r in repl.execute("list db/repl_lv")[0].collect()]
+        assert "t1" in tables
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS repl_lv CASCADE")
+
+    assert repl.execute("packet")[0].count() == 0
+    with pytest.raises(SystemExit):
+        repl.execute("exit")

@@ -573,6 +573,76 @@ def length_percentiles(docs: DataFrame) -> DataFrame:
     return ranked.groupBy("lang").agg(*aggs)
 
 
+BM25_QUERY = ("spark", "window", "hash")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+
+
+def bm25_topk(docs: DataFrame, query=BM25_QUERY, k: int = BM25_TOPK) -> DataFrame:
+    """BM25 retrieval scoring for a fixed query-term set, top-k documents —
+    the standard lexical ranker (Lucene idf form: ln((N-df+.5)/(df+.5)+1))
+    a retrieval-augmented pipeline runs before rerank.
+
+    Exactness contract (ORACLES-PORTABILITY.md SS11): every BM25 input is
+    an exact integer (tf, dl, N, df, total_tokens); each (doc, term)
+    score is ONE deterministic double expression over those integers with
+    IDENTICAL parenthesization on both engines (dl/avgdl expanded to
+    (dl*N)/T so no intermediate rational), micro-quantized per term, then
+    integer-summed per doc.  ln is the same correctly-rounded libm on
+    both engines (same class as the log10/log2 slugs).
+
+    Scale: dl comes from a pure map (size(split)) — no explode needed for
+    lengths; the token explode filters to the |Q| query terms BEFORE the
+    (doc, term) aggregate, so the shuffle carries at most |Q| rows per
+    doc.  df and the corpus stats are tiny broadcast aggregates; the
+    final top-k is orderBy+limit — per-partition heaps
+    (TakeOrderedAndProject), never a global sort — with rank attached by
+    a window over the <= k surviving rows."""
+    d = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("w"),
+        F.size(F.split("text", " ")).cast("long").alias("dl"),
+    )
+    stats = d.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_tok")
+    )
+    tok = d.select("doc_id", "dl", F.explode("w").alias("t")).filter(
+        F.col("t").isin(*query)
+    )
+    tf = tok.groupBy("doc_id", "t").agg(
+        F.count("*").alias("tf"), F.max("dl").alias("dl")
+    )
+    dfq = tf.groupBy("t").agg(F.count("*").alias("df"))
+    jn = tf.join(F.broadcast(dfq), "t").crossJoin(F.broadcast(stats))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf").cast("double") + F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B)
+        + F.lit(BM25_B)
+        * (
+            (F.col("dl") * F.col("n_docs")).cast("double")
+            / F.col("total_tok").cast("double")
+        )
+    )
+    term_micro = F.round(
+        idf * (F.col("tf").cast("double") * F.lit(BM25_K1 + 1.0)) / denom
+        * F.lit(1_000_000.0),
+        0,
+    ).cast("long")
+    agg = jn.select("doc_id", term_micro.alias("m")).groupBy("doc_id").agg(
+        F.sum("m").alias("bm25_micro")
+    )
+    top = agg.orderBy(F.desc("bm25_micro"), "doc_id").limit(k)
+    w = Window.orderBy(F.desc("bm25_micro"), "doc_id")
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "doc_id",
+        "bm25_micro",
+    )
+
+
 ENTROPY_MICRO = 1_000_000
 
 

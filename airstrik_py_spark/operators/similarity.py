@@ -716,6 +716,50 @@ def embedding_dim_stats(emb: DataFrame) -> DataFrame:
     )
 
 
+RRF_C = 60
+
+
+def ann_rrf_fusion(
+    emb: DataFrame, n_queries: int, k: int, c: int = RRF_C
+) -> DataFrame:
+    """Reciprocal-rank fusion of the exact brute-force cosine ranking and
+    the SRP-LSH approximate ranking — the standard zero-tuning way to
+    merge heterogeneous retrievers (lexical+dense, or here exact+ANN):
+    score(v) = sum over lists of 1/(c + rank_list(v)), c = 60 per the
+    original RRF paper.  A vector missing from one list simply
+    contributes nothing — no imputation.
+
+    Exactness: each list contribution round(1e6 / (c + rank)) is one
+    deterministic double op on integers, quantized per term, then
+    integer-summed — engine-order-free.  Scale: both input rankings are
+    existing bucketed plans; fusion adds one (query, neighbor) aggregate
+    and a query-partitioned top-k window — all keyed on query_id, no
+    data-sized global sort."""
+    from pyspark.sql import Window
+
+    lists = [
+        ann_bruteforce(emb, n_queries, k),
+        ann_srp_lsh(emb, n_queries, k),
+    ]
+    contrib = F.round(F.lit(1_000_000.0) / (F.lit(c) + F.col("rank")), 0).cast(
+        "long"
+    )
+    u = lists[0].select("query_id", "neighbor_id", contrib.alias("m")).union(
+        lists[1].select("query_id", "neighbor_id", contrib.alias("m"))
+    )
+    scores = u.groupBy("query_id", "neighbor_id").agg(
+        F.sum("m").alias("rrf_micro"), F.count("*").alias("n_lists")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_micro"), F.col("neighbor_id")
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "rrf_micro", "n_lists")
+    )
+
+
 STD_OUT_VECS = 100
 
 

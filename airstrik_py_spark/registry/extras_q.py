@@ -534,6 +534,15 @@ def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_entropy(load_table(spark, sf_dir, "documents"))
 
 
+def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval top-10 — operators/corpus.py::bm25_topk
+    (Lucene idf, k1=1.2 b=0.75, per-term micro quantization)."""
+    from airstrik_py_spark.operators.corpus import bm25_topk
+
+    pin_session(spark)
+    return bm25_topk(load_table(spark, sf_dir, "documents"))
+
+
 def q_star_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q22-shape NOT-EXISTS anti-join — operators/star.py::
     customers_without_orders (integer cross-multiplied mean threshold,
@@ -774,6 +783,35 @@ def _pii_oracle() -> str:
 _SHUF_NIB = _nib4("h")
 
 ORACLES = {
+    "text_bm25_topk": """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+           FROM documents),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(dl) AS BIGINT) AS total_tok FROM d),
+tok AS (SELECT doc_id, dl, unnest(w) AS t FROM d),
+tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf,
+              CAST(max(dl) AS BIGINT) AS dl
+       FROM tok WHERE t IN ('spark', 'window', 'hash')
+       GROUP BY doc_id, t),
+dfq AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t),
+sc AS (SELECT doc_id,
+              CAST(round(
+                ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                * (CAST(tf AS DOUBLE) * 2.2)
+                / (CAST(tf AS DOUBLE)
+                   + 1.2 * (0.25
+                            + 0.75 * (CAST(dl * n_docs AS DOUBLE)
+                                      / CAST(total_tok AS DOUBLE))))
+                * 1000000.0, 0) AS BIGINT) AS m
+      FROM tf JOIN dfq USING (t) CROSS JOIN stats),
+agg AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS bm25_micro
+        FROM sc GROUP BY doc_id)
+SELECT CAST(row_number() OVER w AS INTEGER) AS rank, doc_id, bm25_micro
+FROM agg
+WINDOW w AS (ORDER BY bm25_micro DESC, doc_id)
+QUALIFY row_number() OVER w <= 10
+""",
     "star_customers_no_orders": """
 WITH c AS (SELECT c_custkey, c_nationkey,
                   CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
@@ -1456,6 +1494,7 @@ QUERIES = {
     "star_customers_no_orders": q_star_customers_no_orders,
     "events_value_rolling_sum": q_events_value_rolling_sum,
     "embedding_standardize": q_embedding_standardize,
+    "text_bm25_topk": q_text_bm25_topk,
 }
 # (oracles for the re-registered round-1 slugs merge from their home
 # modules; ORACLES above holds only the extras-native entries)

@@ -331,6 +331,15 @@ knn AS (
   QUALIFY rank <= {SIM.KNN_GRAPH_K})"""
 
 
+def q_ann_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of exact + SRP rankings —
+    operators/similarity.py::ann_rrf_fusion (c=60, per-term micro)."""
+    pin_session(spark)
+    return SIM.ann_rrf_fusion(
+        load_table(spark, sf_dir, "embeddings"), N_QUERIES, TOP_K
+    )
+
+
 def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQ8 scalar quantization — operators/similarity.py::
     embedding_quantize_int8: full-corpus per-dim max|micro| scales,
@@ -343,6 +352,7 @@ QUERIES = {
     "ann_bruteforce_cosine": q_ann_bruteforce_cosine,
     "ann_lsh_srp": q_ann_lsh_srp,
     "embedding_quantize_int8": q_embedding_quantize_int8,
+    "ann_rrf_fusion": q_ann_rrf_fusion,
     # ann_ivf_label (fixture-label quantizer, superseded by the trained
     # k-means variant) and ann_ivf_kmeans register via extras_q
 }
@@ -462,3 +472,26 @@ SELECT label, n_vecs, CAST(pos AS INTEGER) AS pos, c[pos + 1] AS val
 FROM (SELECT label, n_vecs, c, unnest(range(0, {SIM.SRP_DIM})) AS pos FROM g)
 """,
 }
+
+ORACLES["ann_rrf_fusion"] = f"""
+WITH bf AS (SELECT query_id, neighbor_id, rank
+            FROM ({ORACLES["ann_bruteforce_cosine"]})),
+srp AS (SELECT query_id, neighbor_id, rank
+        FROM ({ORACLES["ann_lsh_srp"]})),
+u AS (SELECT query_id, neighbor_id,
+             CAST(round(1000000.0 / (60 + rank), 0) AS BIGINT) AS m
+      FROM bf
+      UNION ALL
+      SELECT query_id, neighbor_id,
+             CAST(round(1000000.0 / (60 + rank), 0) AS BIGINT) AS m
+      FROM srp),
+sc AS (SELECT query_id, neighbor_id,
+              CAST(sum(m) AS BIGINT) AS rrf_micro,
+              CAST(count(*) AS BIGINT) AS n_lists
+       FROM u GROUP BY query_id, neighbor_id)
+SELECT query_id, CAST(row_number() OVER w AS INTEGER) AS rank,
+       neighbor_id, rrf_micro, n_lists
+FROM sc
+WINDOW w AS (PARTITION BY query_id ORDER BY rrf_micro DESC, neighbor_id)
+QUALIFY row_number() OVER w <= {TOP_K}
+"""

@@ -416,3 +416,22 @@ def test_char_entropy_hand_cases(spark):
     assert out[0]["n_distinct_chars"] == 1 and out[0]["n_chars_counted"] == 4
     assert out[1]["entropy_micro"] == 1_000_000
     assert out[2]["entropy_micro"] == 2_000_000
+
+
+def test_bm25_hand_case(spark):
+    """Two query-term docs: higher tf on a rarer term must outrank; docs
+    with no query terms never appear; ranks are dense from 1."""
+    from airstrik_py_spark.operators.corpus import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            (0, "spark spark spark filler filler"),
+            (1, "spark filler filler filler filler"),
+            (2, "filler filler filler filler filler"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(df, query=("spark",), k=10).collect()
+    assert [r["doc_id"] for r in out] == [0, 1]   # tf=3 beats tf=1
+    assert [r["rank"] for r in out] == [1, 2]
+    assert out[0]["bm25_micro"] > out[1]["bm25_micro"] > 0

@@ -447,3 +447,30 @@ def test_embedding_standardize_zscores(spark):
     out = {(r["vec_id"], r["dim"]): r["z"] for r in embedding_standardize(emb).collect()}
     assert out[(0, 0)] == -1.0 and out[(1, 0)] == 1.0
     assert out[(0, 1)] == 0.0 and out[(1, 1)] == 0.0
+
+
+def test_rrf_fusion_hand_semantics(spark):
+    """RRF: a vector ranked well by BOTH lists must outscore one ranked
+    top by a single list; contributions are the quantized 1/(60+rank)."""
+    from airstrik_py_spark.operators.similarity import ann_rrf_fusion
+
+    # 6 vectors in 2D-ish 64-dim space: make vec 0/1 queries
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(8)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = ann_rrf_fusion(emb, n_queries=2, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        ranks = [r["rank"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert ranks == list(range(1, len(ranks) + 1))  # dense ranks
+        # scores non-increasing with rank; every neighbor in 1 or 2 lists
+        scores = [r["rrf_micro"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert scores == sorted(scores, reverse=True)
+        assert all(r["n_lists"] in (1, 2) for r in rs)
+        # a both-lists rank-1 vector would score 2*round(1e6/61); check the
+        # arithmetic of the top contribution bound
+        assert scores[0] <= 2 * round(1_000_000.0 / 61)

@@ -534,6 +534,45 @@ def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_entropy(load_table(spark, sf_dir, "documents"))
 
 
+def q_corpus_rollup_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP totals over (source, lang) — Spark's rollup()
+    plans ONE Expand + one aggregate (each input row fans to its 3
+    grouping sets map-side; the shuffle stays one pass, map-side
+    combined), vs 3 separate scans for a UNION of aggregates.  The
+    grouping_id bitmask disambiguates subtotal rows — verified
+    bit-identical to DuckDB's GROUPING(source, lang)."""
+    pin_session(spark)
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.rollup("source", "lang")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select("source", "lang", F.col("gid").cast("long"), "n_docs", "total_chars")
+    )
+
+
+def q_events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event counts PIVOTed to one column per event type — Spark's
+    pivot with an EXPLICIT value list (deterministic schema, single-pass
+    conditional aggregation; an implicit pivot would need a distinct-scan
+    first).  Absent (day, type) combos fill 0 like the conditional-count
+    oracle."""
+    pin_session(spark)
+    e = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        e.withColumn("day", F.date_format(F.to_date("ts"), "yyyy-MM-dd"))
+        .groupBy("day")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+    )
+    return out.select("day", *[F.col(t).cast("long").alias(t) for t in types])
+
+
 def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 lexical retrieval top-10 — operators/corpus.py::bm25_topk
     (Lucene idf, k1=1.2 b=0.75, per-term micro quantization)."""
@@ -783,6 +822,23 @@ def _pii_oracle() -> str:
 _SHUF_NIB = _nib4("h")
 
 ORACLES = {
+    "corpus_rollup_grouping_sets": """
+SELECT source, lang,
+       CAST(GROUPING(source, lang) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY ROLLUP (source, lang)
+""",
+    "events_type_pivot": """
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+       CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+       CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+       CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+       CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+FROM events GROUP BY day
+""",
     "text_bm25_topk": """
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS w,
                   CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
@@ -1495,6 +1551,8 @@ QUERIES = {
     "events_value_rolling_sum": q_events_value_rolling_sum,
     "embedding_standardize": q_embedding_standardize,
     "text_bm25_topk": q_text_bm25_topk,
+    "corpus_rollup_grouping_sets": q_corpus_rollup_grouping_sets,
+    "events_type_pivot": q_events_type_pivot,
 }
 # (oracles for the re-registered round-1 slugs merge from their home
 # modules; ORACLES above holds only the extras-native entries)

@@ -180,3 +180,46 @@ class TestPrioritySampleDirtyInputs:
         want = [tuple(r) for r in SAMP.priority_sample(clean, k=40).collect()]
         assert got == want
         assert all(r[1] >= 1 for r in got)  # weight = n_chars + 1 >= 1
+
+
+def test_rollup_grouping_sets_expand_plan(spark):
+    """rollup must plan ONE Expand + aggregate (single pass), and the
+    grouping-id bitmask must mark detail/subtotal/grand rows 0/1/3."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("s1", "en", 5), ("s1", "de", 3), ("s2", "en", 2)],
+        "source string, lang string, n_chars long",
+    )
+    out = df.rollup("source", "lang").agg(
+        F.grouping_id().alias("gid"), F.count("*").alias("n")
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Expand") == 1
+    rows = {(r["source"], r["lang"]): r["gid"] for r in out.collect()}
+    assert rows[("s1", "en")] == 0
+    assert rows[("s1", None)] == 1
+    assert rows[(None, None)] == 3
+
+
+def test_events_type_pivot_fills_absent_zero(spark):
+    from datetime import datetime
+
+    import __spark_entry__ as entrymod
+
+    # day 1 has clicks only -> the other four columns must be 0, not NULL
+    ev = spark.createDataFrame(
+        [(0, datetime(2024, 1, 1, 1), 1, "click", 1.0, None),
+         (1, datetime(2024, 1, 2, 1), 1, "view", 1.0, None)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    ev.createOrReplaceTempView("_pivot_probe")
+    from pyspark.sql import functions as F
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.withColumn("day", F.date_format(F.to_date("ts"), "yyyy-MM-dd"))
+        .groupBy("day").pivot("event_type", types).count().na.fill(0, types)
+    )
+    d1 = {r["day"]: r for r in out.collect()}["2024-01-01"]
+    assert d1["click"] == 1 and d1["error"] == 0 and d1["view"] == 0

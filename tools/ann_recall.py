@@ -41,6 +41,11 @@ def main() -> None:
     r_srp = recall_vs_brute(srp, brute)
     r_ivf = recall_vs_brute(ivf, brute)
     r_km = recall_vs_brute(ivf_km, brute)
+    # RRF fusion of (exact, SRP): by construction recall can only improve
+    # on SRP alone — the exact list re-injects what the buckets missed;
+    # the interesting number is how close the MERGED ORDER stays to truth
+    rrf = SIM.ann_rrf_fusion(emb, n_queries=n, k=k)
+    r_rrf = recall_vs_brute(rrf, brute)
 
     # PQ-ADC ranks by estimated L2, so its baseline is the EXACT-L2 top-k
     # (isolates quantization loss from the cosine-vs-L2 metric gap)
@@ -123,6 +128,8 @@ def main() -> None:
             f"multi-probe, {n_probes} probes) | {r_srp:.3f} | "
             f"~{probed:.0f} (~{probed / n:.1%} of N) |\n"
             f"| IVF (label cells) | {r_ivf:.3f} | one cell (~{1 / 10:.0%} of N) |\n"
+            f"| RRF fusion (exact + SRP, c={SIM.RRF_C}) | {r_rrf:.3f} | "
+            f"union of both lists (2k per query) |\n"
             f"| IVF (trained k-means, {SIM.KMEANS_CELLS} cells x "
             f"{SIM.KMEANS_ITERS} Lloyd iters, nprobe={SIM.KMEANS_PROBES}) "
             f"| {r_km:.3f} | {SIM.KMEANS_PROBES} cells "

@@ -190,6 +190,60 @@ def stream_dedup_docs(
     )
 
 
+def stream_touch_conversion_pairs(
+    events: DataFrame, window_s: int = 3600, watermark_s: int = 7200
+) -> DataFrame:
+    """Stream-STREAM interval join (the canonical Structured Streaming
+    two-stream pattern): every purchase pairs with every click by the
+    SAME user in the strictly-preceding `window_s` seconds.  Both sides
+    carry watermarks and the join condition bounds click_ts to
+    [purchase_ts - window, purchase_ts), so the state store can evict
+    clicks once the purchase-side watermark passes — state is bounded by
+    the window span per user, not the stream.
+
+    Batch twin for parity: the same inner join on static frames
+    (tests/test_streaming_events.py) — at batch scale the binned
+    equi-join (events.py::preceding_window_counts) is the scale shape;
+    the streaming join IS the binned form internally (symmetric hash
+    join keyed on user, state pruned by watermark)."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", f"{watermark_s} seconds")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", f"{watermark_s} seconds")
+    )
+    j = purchases.join(
+        clicks,
+        (F.col("c_user") == F.col("p_user"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {window_s} SECONDS")
+        )
+        & (F.col("click_ts") < F.col("purchase_ts")),
+        "inner",
+    )
+    return j.select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias(
+            "gap_us"
+        ),
+    )
+
+
 def docs_ingest_foreach_batch(out_dir: str, digest_store_dir: str):
     """The durable completion of stream_dedup_docs: a foreachBatch ingest
     loop whose accepted digests FEED BACK into the persistent corpus

@@ -122,3 +122,56 @@ def test_stream_attribution_equals_batch(spark, tmp_path):
     assert got[2] == (1, 1_000_000, 42.5)   # latest prior click wins
     assert got[4] == (3, 1_000_000, 7.25)   # click after eid 2 now counts
     assert got[5] == (None, None, 9.0)      # unattributed survives
+
+
+def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
+    """Stream-STREAM watermarked interval join == the same join on static
+    frames: every purchase pairs with every same-user click in the
+    preceding hour (inclusive lower bound, strict upper)."""
+    from airstrik_py_spark.streaming.pipeline import stream_touch_conversion_pairs
+
+    rows = [
+        (0, 100.0, 7, "click"),
+        (1, 200.0, 7, "click"),
+        (2, 250.0, 7, "purchase"),   # pairs with clicks 0 and 1
+        (3, 4000.0, 7, "purchase"),  # pairs with nothing (>1h later)
+        (4, 50.0, 8, "click"),
+        (5, 60.0, 8, "purchase"),    # pairs with click 4 (same user only)
+        # watermark flush far in the future so availableNow emits all pairs
+        (6, 1_000_000.0, 999, "click"),
+        (7, 1_000_001.0, 999, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        [
+            (eid, datetime.utcfromtimestamp(t), uid, et, 1.0, None)
+            for eid, t, uid, et in rows
+        ],
+        _SCHEMA,
+    )
+    tape = str(tmp_path / "ssj_tape")
+    df.coalesce(1).write.parquet(tape)
+
+    stream = spark.readStream.schema(_SCHEMA).parquet(tape)
+    q = (
+        stream_touch_conversion_pairs(stream)
+        .writeStream.format("memory")
+        .queryName("ssj_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["purchase_id"], r["click_id"]): r["gap_us"]
+        for r in spark.table("ssj_stream").collect()
+        if r["user_id"] != 999
+    }
+    want = {
+        (r["purchase_id"], r["click_id"]): r["gap_us"]
+        for r in stream_touch_conversion_pairs(df).collect()
+        if r["user_id"] != 999
+    }
+    assert got == want
+    assert set(got) == {(2, 0), (2, 1), (5, 4)}
+    assert got[(2, 0)] == 150_000_000 and got[(5, 4)] == 10_000_000

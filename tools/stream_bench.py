@@ -147,6 +147,15 @@ def main() -> None:
             _drain(lambda: stream_attribution(ev_stream(), live=False)),
         )
 
+        from airstrik_py_spark.streaming.pipeline import (
+            stream_touch_conversion_pairs,
+        )
+
+        results["stream_ss_interval_join"] = (
+            n_ev,
+            _drain(lambda: stream_touch_conversion_pairs(ev_stream())),
+        )
+
         # Document ingest dedup: even doc_ids play the accepted corpus
         # (static digest side), odd doc_ids arrive as the stream.
         docs = load_table(spark, sf_dir, "documents")
@@ -265,7 +274,12 @@ def main() -> None:
             "rows/sec; read the others for sustained rate);",
             "stream_attribution is the applyInPandasWithState last-touch",
             "lane — Arrow-batched Python per user group, 2 longs of state",
-            "per key (the only Python-side stateful op in the table).",
+            "per key (the only Python-side stateful op in the table);",
+            "stream_ss_interval_join is the two-stream watermarked",
+            "symmetric hash join (click x purchase pairs within 1 h) —",
+            "its input column counts BOTH streams' rows once (one tape",
+            "feeds both sides), and its state is the watermark-pruned",
+            "click/purchase buffers.",
             "State shards",
             "by key on a cluster — rate scales with executors until the",
             "state store saturates.",

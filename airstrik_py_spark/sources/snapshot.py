@@ -93,6 +93,54 @@ def read_snapshot_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
     )
 
 
+# PERMISSIVE + corrupt-record capture: the plain schema'd read turns a
+# malformed snapshot into an all-NULL row whose NULL aircraft array then
+# vanishes in posexplode — silent data loss at ingest.  (The reference is
+# WORSE: json.load raises and the poll loop dies, airstrik.py:195-208.)
+QUARANTINE_SCHEMA = T.StructType(
+    list(SNAPSHOT_SCHEMA.fields)
+    + [T.StructField("_corrupt_record", T.StringType())]
+)
+
+
+def read_snapshot_batch_quarantined(
+    spark: SparkSession, landing_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Batch snapshot read with corrupt-payload quarantine: returns
+    (observations from well-formed snapshots, quarantine frame carrying
+    each malformed file's raw payload + source path).  The quarantine
+    side is what an ingest pipeline counts/alerts on and replays after a
+    producer fix — never silently dropped, never engine-fatal."""
+    def raw() -> DataFrame:
+        # NOT cached: input_file_name() is only defined during the scan
+        # (a cached relation returns ''), and both branches need it — the
+        # landing dir re-scan is tiny next to losing file provenance
+        return (
+            spark.read.schema(QUARANTINE_SCHEMA)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .json(landing_dir)
+        )
+
+    good = flatten_snapshots(raw().filter(F.col("_corrupt_record").isNull()))
+    # Spark refuses a query that reads ONLY _corrupt_record from a raw
+    # scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — the documented form is to
+    # cache a projection that still carries data columns; src_file is
+    # captured inside that projection so it materializes before caching
+    quarantine = (
+        raw()
+        .select(
+            F.input_file_name().alias("src_file"),
+            F.col("now"),
+            F.col("_corrupt_record"),
+        )
+        .cache()
+        .filter(F.col("_corrupt_record").isNotNull())
+        .select("src_file", F.col("_corrupt_record").alias("raw_payload"))
+    )
+    return good, quarantine
+
+
 class DecoderAdapter:
     """S2 — manage an external decoder process (dump1090/dump978) writing
     snapshots into the landing dir; `crashed` mirrors the reference's

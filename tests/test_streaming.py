@@ -195,3 +195,37 @@ def test_stream_store_rollup_equals_batch_daily_stats(spark, tmp_path):
         for r in daily_stats(batch_trips, CFG).collect()
     }
     assert got == want
+
+
+def test_snapshot_corrupt_quarantine(spark, tmp_path):
+    """A malformed snapshot must land in quarantine with its raw payload,
+    not silently vanish (the plain read's NULL-array explode drops it) and
+    not kill the read (the reference's json.load would raise)."""
+    import json as _json
+    import os as _os
+
+    from airstrik_py_spark.sources.snapshot import (
+        read_snapshot_batch,
+        read_snapshot_batch_quarantined,
+    )
+
+    tape = str(tmp_path / "qtape")
+    _os.makedirs(tape)
+    good = {
+        "now": 1700000000.0,
+        "aircraft": [{"hex": "a", "lat": 35.0, "lon": -78.0, "seen": 0.1}],
+    }
+    with open(f"{tape}/s0.json", "w") as f:
+        _json.dump(good, f)
+    with open(f"{tape}/s1.json", "w") as f:
+        f.write('{"now": 1700000010.0, "aircraft": [BROKEN')
+
+    obs, quarantine = read_snapshot_batch_quarantined(spark, tape)
+    assert obs.count() == 1 and obs.collect()[0]["hex"] == "a"
+    qrows = quarantine.collect()
+    assert len(qrows) == 1
+    assert "BROKEN" in qrows[0]["raw_payload"]
+    assert qrows[0]["src_file"].endswith("s1.json")
+
+    # the plain read silently drops the corrupt snapshot — same good rows
+    assert read_snapshot_batch(spark, tape).count() == 1

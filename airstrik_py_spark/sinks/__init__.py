@@ -93,6 +93,17 @@ def write_store(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).parquet(path)
 
 
+def read_store(spark, path: str) -> DataFrame:
+    """Read a document store written across schema epochs: mergeSchema
+    unions the per-file schemas (e.g. a legacy epoch carrying the
+    `commentary` column next to a newer epoch without it — exactly how
+    dbread.py tolerates both store layouts), with NULLs where a file
+    lacks a column.  Schema-on-read like the Mongo original; the default
+    parquet read would pin the first footer's schema and silently drop
+    later columns."""
+    return spark.read.option("mergeSchema", True).parquet(path)
+
+
 def write_store_mongo(df: DataFrame, uri: str, database: str, collection: str) -> None:
     """Mongo connector path — guarded: raises in this container."""
     if not MONGO_CONNECTOR_AVAILABLE:  # pragma: no cover

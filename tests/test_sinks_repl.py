@@ -360,3 +360,28 @@ def test_repl_list_variants_packet_exit(spark):
     assert repl.execute("packet")[0].count() == 0
     with pytest.raises(SystemExit):
         repl.execute("exit")
+
+
+def test_store_schema_evolution_merge(spark, tmp_path):
+    """A store written in two epochs — legacy (with commentary) and
+    current (without) — must read back as ONE schema with NULLs where
+    the column is absent, mirroring dbread's tolerance of both layouts."""
+    from airstrik_py_spark.sinks import read_store, write_store
+
+    legacy = _obs(spark).withColumn("commentary", F.lit("old collector"))
+    sess_l = S.with_session_id(K.with_distance_home(legacy, CFG), CFG)
+    trips_l = S.trips(sess_l, CFG)
+
+    plain = _obs(spark).withColumn("hex", F.lit("b"))
+    sess_p = S.with_session_id(K.with_distance_home(plain, CFG), CFG)
+    trips_p = S.trips(sess_p, CFG)
+
+    store = str(tmp_path / "evolving_store")
+    write_store(trips_l, store, mode="overwrite")
+    write_store(trips_p, store, mode="append")
+
+    back = read_store(spark, store)
+    assert "commentary" in back.columns
+    rows = {r["flight_id"]: r for r in back.collect()}
+    assert rows["a"]["commentary"] == "old collector"
+    assert rows["b"]["commentary"] is None

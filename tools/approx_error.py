@@ -71,6 +71,47 @@ def main() -> None:
         "",
     ]
 
+    # 2b. MAD anomaly flags: exact rank-median vs approx_percentile twin
+    # (the documented swap in value_anomalies_mad's docstring) — the
+    # decision-level metric is flag agreement, not median error
+    from airstrik_py_spark.operators.events import value_anomalies_mad
+
+    ev = load_table(spark, sf_dir, "events")
+    exact_flags = {
+        r["event_id"] for r in value_anomalies_mad(ev).select("event_id").collect()
+    }
+    v = ev.select("event_id", "user_id", "value").filter(
+        F.col("value").isNotNull()
+    )
+    med_a = v.groupBy("user_id").agg(
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("med")
+    )
+    dev_a = v.join(med_a, "user_id").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad_a = dev_a.groupBy("user_id").agg(
+        F.expr("approx_percentile(adev, 0.5, 10000)").alias("mad")
+    )
+    approx_flags = {
+        r["event_id"]
+        for r in dev_a.join(mad_a, "user_id")
+        .filter((F.col("mad") > 0) & (F.col("adev") > 3.0 * F.col("mad")))
+        .select("event_id")
+        .collect()
+    }
+    inter = len(exact_flags & approx_flags)
+    union = len(exact_flags | approx_flags) or 1
+    lines += [
+        "## approx_percentile MAD twin vs exact rank-median "
+        "(events_anomaly_mad)",
+        "",
+        f"- exact flags {len(exact_flags)}, approx flags "
+        f"{len(approx_flags)}, agreement (Jaccard) **{inter / union:.3%}** "
+        "at accuracy=10000 — the decision set, not just the medians, "
+        "survives the swap.",
+        "",
+    ]
+
     # 3. count-min sketch estimate vs exact token counts (sketch_cms_topk)
     from airstrik_py_spark.operators import sketch as SK
 

@@ -534,6 +534,77 @@ def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_entropy(load_table(spark, sf_dir, "documents"))
 
 
+def q_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID QA: confusion counts of the n-gram guesser vs the
+    tagged lang column, with per-tag share — the accuracy readout any
+    langid gate ships with.  Composes q_text_langid (same rows, same
+    heuristic — the oracle embeds the langid oracle as a CTE so the two
+    can never drift); two tiny aggregates + a broadcast join."""
+    from airstrik_py_spark.registry.text_q import q_text_langid
+
+    base = q_text_langid(spark, sf_dir)
+    per = base.groupBy("tagged_lang", "guessed_lang").agg(
+        F.count("*").alias("n_docs")
+    )
+    tot = per.groupBy("tagged_lang").agg(F.sum("n_docs").alias("tag_total"))
+    return per.join(F.broadcast(tot), "tagged_lang").select(
+        "tagged_lang",
+        "guessed_lang",
+        "n_docs",
+        "tag_total",
+        F.round(
+            F.col("n_docs").cast("double") / F.col("tag_total").cast("double"),
+            6,
+        ).alias("share"),
+    )
+
+
+RFM_REC_DAYS = 7
+RFM_MIN_FREQ = 3
+
+
+def q_events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation over purchase events: recency = days
+    since the user's last purchase measured from the corpus max day (a
+    1-row broadcast), frequency = purchase count, monetary = exact centi
+    sum.  Segments by fixed integer thresholds (recent&frequent ->
+    'core', recent -> 'active', frequent -> 'lapsing-whale', else
+    'dormant') — threshold segmentation keeps the whole thing
+    integer-exact; quantile-based tiers would use the distributed-rank
+    ntile pattern (lm_perplexity_buckets).  One user-keyed aggregate +
+    one broadcast; no window."""
+    pin_session(spark)
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    d = e.select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("centi"),
+    )
+    anchor = d.agg(F.max("day").alias("max_day"))
+    per = d.groupBy("user_id").agg(
+        F.max("day").alias("last_day"),
+        F.count("*").alias("frequency"),
+        F.sum("centi").alias("monetary_centi"),
+    )
+    j = per.crossJoin(F.broadcast(anchor)).withColumn(
+        "recency_days", F.datediff("max_day", "last_day").cast("long")
+    )
+    recent = F.col("recency_days") <= RFM_REC_DAYS
+    frequent = F.col("frequency") >= RFM_MIN_FREQ
+    seg = (
+        F.when(recent & frequent, "core")
+        .when(recent, "active")
+        .when(frequent, "lapsing-whale")
+        .otherwise("dormant")
+    )
+    return j.select(
+        "user_id", "recency_days", "frequency", "monetary_centi",
+        seg.alias("segment"),
+    )
+
+
 def q_star_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide->long UNPIVOT of lineitem's four numeric measures with a
     per-measure rollup — the melt step feeding any generic per-metric
@@ -1588,7 +1659,41 @@ QUERIES = {
     "text_bm25_topk": q_text_bm25_topk,
     "corpus_rollup_grouping_sets": q_corpus_rollup_grouping_sets,
     "star_unpivot_measures": q_star_unpivot_measures,
+    "text_langid_confusion": q_text_langid_confusion,
+    "events_rfm_segments": q_events_rfm_segments,
     "events_type_pivot": q_events_type_pivot,
 }
 # (oracles for the re-registered round-1 slugs merge from their home
 # modules; ORACLES above holds only the extras-native entries)
+
+from airstrik_py_spark.registry import text_q as _text_q  # noqa: E402
+
+ORACLES["text_langid_confusion"] = f"""
+WITH base AS ({_text_q.ORACLES["text_langid"]}),
+per AS (SELECT tagged_lang, guessed_lang, CAST(count(*) AS BIGINT) AS n_docs
+        FROM base GROUP BY tagged_lang, guessed_lang),
+tot AS (SELECT tagged_lang, CAST(sum(n_docs) AS BIGINT) AS tag_total
+        FROM per GROUP BY tagged_lang)
+SELECT per.tagged_lang, guessed_lang, n_docs, tag_total,
+       round(CAST(n_docs AS DOUBLE) / CAST(tag_total AS DOUBLE), 6) AS share
+FROM per JOIN tot USING (tagged_lang)
+"""
+
+ORACLES["events_rfm_segments"] = """
+WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                  CAST(round(value * 100, 0) AS BIGINT) AS centi
+           FROM events WHERE event_type = 'purchase'),
+anchor AS (SELECT max(day) AS max_day FROM d),
+per AS (SELECT user_id, max(day) AS last_day,
+               CAST(count(*) AS BIGINT) AS frequency,
+               CAST(sum(centi) AS BIGINT) AS monetary_centi
+        FROM d GROUP BY user_id)
+SELECT user_id,
+       CAST(max_day - last_day AS BIGINT) AS recency_days,
+       frequency, monetary_centi,
+       CASE WHEN max_day - last_day <= 7 AND frequency >= 3 THEN 'core'
+            WHEN max_day - last_day <= 7 THEN 'active'
+            WHEN frequency >= 3 THEN 'lapsing-whale'
+            ELSE 'dormant' END AS segment
+FROM per CROSS JOIN anchor
+"""

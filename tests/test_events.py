@@ -331,3 +331,36 @@ def test_value_rolling_sum_range_frame(spark):
     assert out[3]["n_1h"] == 4 and out[3]["sum_1h_centi"] == 1825
     # event 4 at 7201s: frame [3601, 7201] excludes even the 3600s event
     assert out[4]["n_1h"] == 1 and out[4]["sum_1h_centi"] == 400
+
+
+def test_rfm_segment_boundaries(spark):
+    """Threshold edges: exactly-7-day recency is still 'recent'; exactly-3
+    purchases is 'frequent'; only purchases count."""
+    from airstrik_py_spark.registry.extras_q import q_events_rfm_segments
+
+    rows = [
+        # user 1: 3 purchases, last on day 23 (recency 7 from max day 30)
+        (0, 1, 1, "purchase"), (1, 10, 1, "purchase"), (2, 23, 1, "purchase"),
+        # user 2: 1 purchase day 30 (recency 0, freq 1) -> active
+        (3, 30, 2, "purchase"),
+        # user 3: 3 purchases, last day 1 -> lapsing-whale
+        (4, 1, 3, "purchase"), (5, 1, 3, "purchase"), (6, 1, 3, "purchase"),
+        # user 4: 1 old purchase -> dormant; clicks must not count
+        (7, 2, 4, "purchase"), (8, 30, 4, "click"),
+    ]
+    ev = spark.createDataFrame(
+        [(eid, datetime(2024, 1, day, 12), uid, et, 10.0, None)
+         for eid, day, uid, et in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        ev.write.parquet(td + "/events.parquet")
+        out = {r["user_id"]: r for r in q_events_rfm_segments(spark, td).collect()}
+    assert out[1]["segment"] == "core" and out[1]["recency_days"] == 7
+    assert out[2]["segment"] == "active"
+    assert out[3]["segment"] == "lapsing-whale"
+    assert out[4]["segment"] == "dormant" and out[4]["frequency"] == 1
+    assert out[1]["monetary_centi"] == 3000

@@ -534,6 +534,38 @@ def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_entropy(load_table(spark, sf_dir, "documents"))
 
 
+def q_corpus_manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-over-release manifest diff: FULL OUTER join of two corpus
+    snapshots on doc_id (old = doc_id % 7 != 0, new = doc_id % 5 != 0 —
+    deterministic fixture releases), classifying every doc as
+    added / removed / changed / unchanged by content digest.  The diff a
+    release pipeline publishes next to its manifest; completes the
+    join-type matrix (inner/left/semi/anti/cross/range/as-of + this full
+    outer).  Scale: one doc_id-keyed full outer join over (doc_id,
+    digest) projections — content never re-read for unchanged docs
+    beyond the digest compute; at 100 TB the digests come from the
+    persisted incremental-ingest store (dedup_incremental) instead of a
+    re-scan."""
+    pin_session(spark)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("digest")
+    )
+    old = d.filter(F.col("doc_id") % 7 != 0).withColumnRenamed(
+        "digest", "old_digest"
+    )
+    new = d.filter(F.col("doc_id") % 5 != 0).withColumnRenamed(
+        "digest", "new_digest"
+    )
+    j = old.join(new, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("old_digest").isNull(), "added")
+        .when(F.col("new_digest").isNull(), "removed")
+        .when(F.col("old_digest") == F.col("new_digest"), "unchanged")
+        .otherwise("changed")
+    )
+    return j.select("doc_id", "old_digest", "new_digest", status.alias("status"))
+
+
 def q_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID QA: confusion counts of the n-gram guesser vs the
     tagged lang column, with per-tag share — the accuracy readout any
@@ -1660,6 +1692,7 @@ QUERIES = {
     "corpus_rollup_grouping_sets": q_corpus_rollup_grouping_sets,
     "star_unpivot_measures": q_star_unpivot_measures,
     "text_langid_confusion": q_text_langid_confusion,
+    "corpus_manifest_diff": q_corpus_manifest_diff,
     "events_rfm_segments": q_events_rfm_segments,
     "events_type_pivot": q_events_type_pivot,
 }
@@ -1696,4 +1729,16 @@ SELECT user_id,
             WHEN frequency >= 3 THEN 'lapsing-whale'
             ELSE 'dormant' END AS segment
 FROM per CROSS JOIN anchor
+"""
+
+ORACLES["corpus_manifest_diff"] = """
+WITH d AS (SELECT doc_id, md5(text) AS digest FROM documents),
+old AS (SELECT doc_id, digest AS old_digest FROM d WHERE doc_id % 7 != 0),
+new AS (SELECT doc_id, digest AS new_digest FROM d WHERE doc_id % 5 != 0)
+SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id, old_digest, new_digest,
+       CASE WHEN old_digest IS NULL THEN 'added'
+            WHEN new_digest IS NULL THEN 'removed'
+            WHEN old_digest = new_digest THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
 """

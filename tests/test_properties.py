@@ -465,3 +465,104 @@ def test_distributed_ntile_matches_engine_builtin(spark, n, k):
         ).collect()
     }
     assert ours == builtin
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.floats(min_value=-4.0, max_value=4.0, allow_nan=False),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_sq8_quantization_error_bound(spark, vals):
+    """Round-half-away int8 codes must reconstruct within half a step:
+    |code*amax/127 - vq| <= amax/254 (+1 for the micro rounding), and
+    |code| <= 127 always."""
+    from airstrik_py_spark.operators.similarity import embedding_quantize_int8
+
+    emb = spark.createDataFrame(
+        [(i, [v]) for i, v in enumerate(vals)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = embedding_quantize_int8(emb, out_vecs=len(vals)).collect()
+    amax = rows[0]["amax_micro"]
+    for r in rows:
+        assert abs(r["code"]) <= 127
+        if amax > 0:
+            # reconstruct the micro value this code represents
+            vq = round(float(vals[r["vec_id"]]) * 1_000_000)
+            recon = r["code"] * amax / 127.0
+            assert abs(recon - vq) <= amax / 254.0 + 1.0
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    evs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=7200),   # second offset
+            st.integers(min_value=1, max_value=3),      # user
+            st.sampled_from(["click", "purchase", "view"]),
+        ),
+        min_size=1,
+        max_size=15,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+def test_rolling_sum_and_attribution_match_bruteforce(spark, evs):
+    """The RANGE-frame rolling sum and the last-touch attribution window
+    must equal their O(n^2) per-row brute-force definitions on random
+    event streams."""
+    from datetime import datetime, timedelta
+
+    from airstrik_py_spark.operators.events import (
+        attribution_last_touch,
+        value_rolling_sum,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (i, base + timedelta(seconds=sec), uid, et, float(i % 7) + 0.25, None)
+        for i, (sec, uid, et) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+    # brute-force rolling sum: inclusive [t-3600s, t], same user
+    got_rs = {r["event_id"]: (r["n_1h"], r["sum_1h_centi"])
+              for r in value_rolling_sum(df).collect()}
+    for i, (sec, uid, _et) in enumerate(evs):
+        inw = [
+            (j, v)
+            for j, (s2, u2, _e2) in enumerate(evs)
+            if u2 == uid and sec - 3600 <= s2 <= sec
+            for v in [round((float(j % 7) + 0.25) * 100)]
+        ]
+        assert got_rs[i] == (len(inw), sum(v for _j, v in inw))
+
+    # brute-force attribution: latest strictly-earlier click, same user,
+    # ties broken by (ts, event_id) row order
+    got_at = {r["conversion_id"]: r["touch_id"]
+              for r in attribution_last_touch(df).collect()}
+    for i, (sec, uid, et) in enumerate(evs):
+        if et != "purchase":
+            assert i not in got_at
+            continue
+        clicks = [
+            (s2, j)
+            for j, (s2, u2, e2) in enumerate(evs)
+            if u2 == uid and e2 == "click" and (s2, j) < (sec, i)
+        ]
+        want = max(clicks)[1] if clicks else None
+        assert got_at[i] == want

@@ -232,6 +232,53 @@ def main() -> None:
             "spark.sql.streaming.stateStore.providerClass", HDFS_DEFAULT
         )
 
+        # ---- attribution state-scale: user fan-out over the Python-side
+        # keyed-state lane (state = 2 longs/user; SCALE.md 3c claims it is
+        # linear in ACTIVE users — measure it)
+        sev = load_table(spark, state_sf_dir, "events")
+        ev_state_tape = f"{scratch}/state_ev"
+        sev.repartition(TAPE_FILES).write.parquet(ev_state_tape)
+        n_sev = spark.read.parquet(ev_state_tape).count()
+        se_schema = spark.read.parquet(ev_state_tape).schema
+
+        def attr_fan_stream(k: int):
+            base = spark.readStream.schema(se_schema).parquet(ev_state_tape)
+            if k == 1:
+                return base
+            return (
+                base.withColumn(
+                    "rep", F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
+                )
+                .withColumn(
+                    "user_id",
+                    F.col("user_id") * k + F.col("rep"),
+                )
+                .drop("rep")
+            )
+
+        attr_rows = []
+        for k in FANOUTS:
+            sec = q = None
+            for _ in range(2):
+                s_, cand_q = _run_query(
+                    lambda k=k: stream_attribution(
+                        attr_fan_stream(k), live=False
+                    )
+                )
+                if sec is None or s_ < sec:
+                    sec, q = s_, cand_q
+            srows, smem = _state_metrics(q)
+            attr_rows.append(
+                {
+                    "fanout": k,
+                    "event_rows": n_sev * k,
+                    "sec": round(sec, 2),
+                    "event_rows_per_sec": int(n_sev * k / sec),
+                    "state_rows_peak": srows,
+                    "state_mb_peak": round(smem / 1e6, 2),
+                }
+            )
+
         payload = {
             "metric": "streaming_rows_per_sec",
             "sf_dir": sf_dir,
@@ -245,6 +292,7 @@ def main() -> None:
                 for name, (rows, sec) in results.items()
             },
             "state_scale": state_rows,
+            "attribution_state_scale": attr_rows,
         }
         print(json.dumps(payload))
 
@@ -310,6 +358,25 @@ def main() -> None:
                 f"| {r['provider']} | {r['fanout']}x | {r['session_rows']} |"
                 f" {r['sec']} | {r['session_rows_per_sec']} |"
                 f" {r['state_rows_peak']} | {r['state_mb_peak']} |"
+            )
+        lines += [
+            "",
+            "## Attribution state scale — user fan-out (Python keyed state)",
+            "",
+            "stream_attribution over the same events tape with user_id",
+            "replicated K ways: state is 2 longs per user, so peak state",
+            "rows should track K linearly while per-row cost stays flat —",
+            "the SCALE.md 3c linear-in-active-users claim, measured:",
+            "",
+            "| fan-out | event rows | sec | event rows/sec |"
+            " peak state rows | peak state MB |",
+            "|---|---|---|---|---|---|",
+        ]
+        for r in attr_rows:
+            lines.append(
+                f"| {r['fanout']}x | {r['event_rows']} | {r['sec']} |"
+                f" {r['event_rows_per_sec']} | {r['state_rows_peak']} |"
+                f" {r['state_mb_peak']} |"
             )
         lines += [
             "",

@@ -534,6 +534,30 @@ def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_entropy(load_table(spark, sf_dir, "documents"))
 
 
+def q_dedup_best_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection per near-dup cluster: instead of
+    min-doc_id, keep the LONGEST member (n_chars, ties to the smaller
+    doc_id) — the keep-best rule real dedup pipelines apply so the
+    surviving copy is the richest one.  Composes dedup_clusters (oracle
+    embedded as a CTE, so the clustering can never drift) with one
+    broadcast-joined doc-stats lookup and an argmax-struct aggregate —
+    min(struct(-n_chars, doc_id)) IS the (longest, then smallest-id)
+    selection, one aggregate, no window."""
+    from airstrik_py_spark.registry.dedup_q import q_dedup_clusters as _qc
+
+    clusters = _qc(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = clusters.join(d, "doc_id")
+    best = F.min(
+        F.struct((-F.col("n_chars")).alias("neg"), F.col("doc_id").alias("d"))
+    )
+    return j.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        best.getField("d").alias("best_doc_id"),
+        (-best.getField("neg")).alias("best_n_chars"),
+    )
+
+
 def q_corpus_manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Release-over-release manifest diff: FULL OUTER join of two corpus
     snapshots on doc_id (old = doc_id % 7 != 0, new = doc_id % 5 != 0 —
@@ -1693,6 +1717,7 @@ QUERIES = {
     "star_unpivot_measures": q_star_unpivot_measures,
     "text_langid_confusion": q_text_langid_confusion,
     "corpus_manifest_diff": q_corpus_manifest_diff,
+    "dedup_best_quality_canonical": q_dedup_best_quality_canonical,
     "events_rfm_segments": q_events_rfm_segments,
     "events_type_pivot": q_events_type_pivot,
 }
@@ -1741,4 +1766,19 @@ SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id, old_digest, new_digest,
             WHEN old_digest = new_digest THEN 'unchanged'
             ELSE 'changed' END AS status
 FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+"""
+
+from airstrik_py_spark.registry import dedup_q as _dedup_q  # noqa: E402
+
+ORACLES["dedup_best_quality_canonical"] = f"""
+WITH clusters AS ({_dedup_q.ORACLES["dedup_clusters"]}),
+j AS (SELECT c.cluster_id, c.doc_id, d.n_chars
+      FROM clusters c JOIN documents d USING (doc_id))
+SELECT cluster_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(min(struct_pack(neg := -n_chars, d := doc_id)).d AS BIGINT)
+         AS best_doc_id,
+       CAST(-(min(struct_pack(neg := -n_chars, d := doc_id)).neg) AS BIGINT)
+         AS best_n_chars
+FROM j GROUP BY cluster_id
 """

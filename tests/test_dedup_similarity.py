@@ -474,3 +474,32 @@ def test_rrf_fusion_hand_semantics(spark):
         # a both-lists rank-1 vector would score 2*round(1e6/61); check the
         # arithmetic of the top contribution bound
         assert scores[0] <= 2 * round(1_000_000.0 / 61)
+
+
+def test_best_quality_canonical_picks_longest(spark, tmp_path):
+    """Within a near-dup cluster the longest member wins (ties to the
+    smaller doc_id) — not the min-id canonical."""
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    docs = spark.createDataFrame(
+        [
+            (0, base.strip(), "en", "s", len(base.strip())),
+            (1, (base + "extra tail tokens here").strip(), "en", "s",
+             len((base + "extra tail tokens here").strip())),
+            (2, "completely different text about spark plans and shuffles",
+             "en", "s", 56),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "sf")
+    docs.write.parquet(d + "/documents.parquet")
+
+    from airstrik_py_spark.registry.extras_q import (
+        q_dedup_best_quality_canonical,
+    )
+
+    out = q_dedup_best_quality_canonical(spark, d).collect()
+    assert len(out) == 1  # docs 0 and 1 cluster; doc 2 is clean
+    row = out[0]
+    assert row["n_members"] == 2
+    assert row["best_doc_id"] == 1  # longer member, despite larger id
+    assert row["best_n_chars"] == docs.collect()[1]["n_chars"]

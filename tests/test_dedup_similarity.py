@@ -503,3 +503,18 @@ def test_best_quality_canonical_picks_longest(spark, tmp_path):
     assert row["n_members"] == 2
     assert row["best_doc_id"] == 1  # longer member, despite larger id
     assert row["best_n_chars"] == docs.collect()[1]["n_chars"]
+
+
+def test_ngram_jaccard_reuses_shingle_exchange(spark):
+    """The docstring claims the self-join reuses the shingle-hash exchange
+    (no third tokenize+explode pass) — pin it in the AQE executed plan."""
+    from airstrik_py_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} alpha beta gamma delta epsilon zeta eta") for i in range(30)],
+        "doc_id long, text string",
+    )
+    df = ngram_jaccard_pairs(docs, threshold=0.2)
+    df.collect()  # AQE finalizes reuse at execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ReusedExchange") >= 1

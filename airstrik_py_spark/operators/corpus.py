@@ -836,3 +836,79 @@ def stratified_sample_exact(docs: DataFrame, quota: int = STRAT_QUOTA) -> DataFr
         "source",
         (F.col("pos") + 1).cast("int").alias("rank_in_source"),
     )
+
+
+DSIR_BUCKETS = 64
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_weights(docs: DataFrame, n_buckets: int = DSIR_BUCKETS) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score each document
+    by the log-likelihood ratio of a TARGET distribution (here the
+    lang-tagged reference slice) vs the RAW corpus under hashed unigram
+    features — the importance-resampling signal a pretraining pipeline
+    uses to upsample target-like data.
+
+    Exactness contract (the bm25_topk recipe): both feature distributions
+    are exact integer counts (occurrences per hashed bucket, add-one
+    smoothed); each bucket's log-ratio is ONE deterministic double
+    expression over those integers with identical parenthesization on
+    both engines, micro-quantized per bucket; a document's score is then
+    the exact integer sum of count x bucket-micro.  Feature hashing is
+    md5-hex -> first 8 nibbles -> % n_buckets, the engine-agnostic house
+    hash (sampling.py recipe).
+
+    Scale: token explode -> (doc, bucket) count is the only data-sized
+    exchange (map-side combined, bucket domain bounded at n_buckets so
+    per-doc rows are capped); the bucket distribution table is n_buckets
+    rows — a broadcast; raw totals are 1-row aggregates.  At 10^12 docs
+    the target/raw bucket tables are incrementally maintainable counters
+    (merge-able sums), so scoring a new batch never re-reads the corpus."""
+    tok = docs.select(
+        "doc_id",
+        (F.col("lang") == DSIR_TARGET_LANG).alias("is_target"),
+        F.explode(F.split("text", " ")).alias("t"),
+    ).select(
+        "doc_id",
+        "is_target",
+        (F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long") % n_buckets).alias(
+            "bucket"
+        ),
+    )
+    per_doc = tok.groupBy("doc_id", "is_target", "bucket").agg(
+        F.count("*").alias("n")
+    )
+    dist = per_doc.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), F.col("n")).otherwise(0)).alias("ct"),
+        F.sum("n").alias("cr"),
+    )
+    totals = dist.agg(
+        F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
+    )
+    lr_micro = F.round(
+        (
+            F.log(
+                (F.col("ct") + 1).cast("double")
+                / (F.col("tt") + n_buckets).cast("double")
+            )
+            - F.log(
+                (F.col("cr") + 1).cast("double")
+                / (F.col("tr") + n_buckets).cast("double")
+            )
+        )
+        * F.lit(1_000_000.0),
+        0,
+    ).cast("long")
+    table = dist.crossJoin(F.broadcast(totals)).select(
+        "bucket", lr_micro.alias("lr_micro")
+    )
+    scored = (
+        per_doc.join(F.broadcast(table), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_tok"),
+            F.sum(F.col("n") * F.col("lr_micro")).alias("dsir_micro"),
+        )
+    )
+    return scored

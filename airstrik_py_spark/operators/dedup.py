@@ -386,3 +386,55 @@ def minhash_lsh_incremental(
         .groupBy("new_doc_id", "corpus_doc_id")
         .agg(F.count("*").alias("n_shared_bands"))
     )
+
+
+CONTAIN_THRESHOLD = 0.5
+
+
+def ngram_containment_pairs(
+    docs: DataFrame, threshold: float = CONTAIN_THRESHOLD, n: int = 3,
+    df_max: int = NGRAM_DF_MAX,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT on shared-rare-shingle candidates:
+    C(A in B) = |sh(A) ∩ sh(B)| / |sh(A)|.  Jaccard misses the
+    quote/extract case — a 50-word excerpt pasted into a 5000-word doc has
+    Jaccard ~0.01 but containment ~1.0 — so sub-document duplication
+    screens on max(C(A in B), C(B in A)) (Broder's containment measure).
+
+    Same scale contract as ngram_jaccard_pairs: candidates from the
+    DF-capped inverted-index equi-join (per-key fan-out bounded by
+    df_max^2, never all-pairs); containment is computed over the capped
+    vocabulary so it stays a true set ratio.  The shingle-hash exchange is
+    shared by the DF rollup, the per-doc sizes, and the self-join —
+    ratios round to 4 dp AFTER exact integer counts, keeping the verdict
+    bit-stable across engines."""
+    sh_all = shingles(docs, n)
+    capped_vocab = (
+        sh_all.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= F.lit(df_max))
+        .drop("df")
+    )
+    sh = sh_all.join(capped_vocab.hint("shuffle_hash"), "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    c = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("c_a_in_b", F.round(F.col("n_inter") / F.col("n_a"), 4))
+        .withColumn("c_b_in_a", F.round(F.col("n_inter") / F.col("n_b"), 4))
+    )
+    return c.filter(
+        F.greatest(F.col("c_a_in_b"), F.col("c_b_in_a")) >= F.lit(threshold)
+    ).select("doc_a", "doc_b", "n_inter", "c_a_in_b", "c_b_in_a")

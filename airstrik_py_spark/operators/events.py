@@ -614,3 +614,69 @@ def ab_welch_t(events: DataFrame) -> DataFrame:
         F.round(t, 6).alias("welch_t"),
         F.round(dfree, 6).alias("welch_df"),
     )
+
+
+def new_vs_returning(events: DataFrame) -> DataFrame:
+    """Per-day acquisition split: how many of the day's active users are
+    NEW (first-ever activity day) vs RETURNING — the growth-accounting
+    companion to rolling_active_users.
+
+    Shape: distinct (user, day) activity, one user-keyed min-day
+    aggregate, then a user-keyed equi-join back and a per-day conditional
+    count — two hash exchanges on user_id (the first-day rollup rides the
+    distinct's partitioning), one tiny day rollup.  At 10^12 events the
+    first-day frame is exactly the persisted per-user profile a real
+    pipeline maintains incrementally (min is merge-able), so the backfill
+    and incremental forms agree."""
+    act = events.select("user_id", F.to_date("ts").alias("day")).distinct()
+    first = act.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    j = act.join(first, "user_id")
+    return (
+        j.groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)).alias(
+                "n_new"
+            ),
+            F.sum(F.when(F.col("day") != F.col("first_day"), 1).otherwise(0)).alias(
+                "n_returning"
+            ),
+            F.count("*").alias("dau"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_new", "n_returning", "dau",
+        )
+    )
+
+
+def session_bounce_stats(events: DataFrame) -> DataFrame:
+    """Per-day session quality: session count, single-event (bounce)
+    count, and bounce rate — composed on sessionize_events so the session
+    boundary rule lives in ONE place.  The day bucket is the session's
+    START day (a session spanning midnight counts once, where it began).
+
+    Shape: everything upstream is the sessionizer's single user_id
+    exchange; this adds only a tiny day rollup.  The rate applies the
+    house round-half-away micro rule so the ratio is bit-stable across
+    engines."""
+    from airstrik_py_spark.functions.exact import ha_micro
+
+    s = sessionize_events(events)
+    daily = (
+        s.select(
+            F.date_format(
+                F.to_date(F.timestamp_micros(F.col("start_us"))), "yyyy-MM-dd"
+            ).alias("day"),
+            (F.col("n_events") == 1).alias("is_bounce"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum(F.when(F.col("is_bounce"), 1).otherwise(0)).alias("n_bounces"),
+        )
+    )
+    rate = ha_micro(F.col("n_bounces"), F.col("n_sessions"))
+    return daily.select(
+        "day", "n_sessions", "n_bounces",
+        (rate.cast("double") / 1e6).alias("bounce_rate"),
+    )

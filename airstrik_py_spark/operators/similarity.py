@@ -1073,3 +1073,69 @@ def embedding_norm_outliers(emb: DataFrame, k: float = NORM_OUTLIER_K) -> DataFr
             F.abs(F.col("norm2") - F.col("mean_r")) / F.col("std_r"), 4
         ).alias("z"),
     )
+
+
+TRIPLET_ANCHOR_MOD = 50
+
+
+def triplet_mine(emb: DataFrame, anchor_mod: int = TRIPLET_ANCHOR_MOD) -> DataFrame:
+    """Hard-triplet mining for metric-learning batches: for each anchor
+    vector, the HARDEST POSITIVE (same label, LOWEST cosine — the
+    in-class example the model most confuses) and the HARDEST NEGATIVE
+    (different label, HIGHEST cosine — the impostor closest to crossing
+    the margin).  The batch-construction step of triplet/contrastive
+    training (FaceNet-style semi-hard mining, done corpus-side).
+
+    Determinism: cosine rounds to 4 dp BEFORE ranking and ties break on
+    candidate vec_id ascending (row_number, not an argmin builtin with
+    unspecified ties), so both engines pick identical winners.
+
+    Scale: anchors are a bounded per-batch sample (fixture rule: vec_id %
+    anchor_mod == 0) broadcast against the corpus; the per-anchor
+    candidate scan is the local-exact form — at 10^9 vectors the
+    candidate set per anchor comes from the SRP/IVF index
+    (ann_lsh_srp / ann_ivf_kmeans) instead of the full table, same
+    ranking contract downstream.  The ranking window partitions by
+    anchor (bounded rows per partition), never a global sort."""
+    from pyspark.sql import Window
+
+    base = _with_vec(emb).select("vec_id", "label", "vec")
+    anch = base.filter(F.col("vec_id") % anchor_mod == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("vec").alias("avec"),
+    )
+    cand = base.join(F.broadcast(anch), F.col("vec_id") != F.col("anchor_id"))
+    scored = cand.withColumn(
+        "cos", F.round(cosine(F.col("avec"), F.col("vec")), 4)
+    )
+    w_pos = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos").asc(), F.col("vec_id").asc()
+    )
+    pos = (
+        scored.filter(F.col("label") == F.col("anchor_label"))
+        .withColumn("rn", F.row_number().over(w_pos))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("vec_id").alias("pos_id"),
+            F.col("cos").alias("pos_cos"),
+        )
+    )
+    w_neg = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    neg = (
+        scored.filter(F.col("label") != F.col("anchor_label"))
+        .withColumn("rn", F.row_number().over(w_neg))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("anchor_id").alias("n_anchor_id"),
+            F.col("vec_id").alias("neg_id"),
+            F.col("cos").alias("neg_cos"),
+        )
+    )
+    return pos.join(
+        neg, F.col("anchor_id") == F.col("n_anchor_id")
+    ).select("anchor_id", "anchor_label", "pos_id", "pos_cos", "neg_id", "neg_cos")

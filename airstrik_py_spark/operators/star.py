@@ -387,3 +387,179 @@ def forecast_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(units).alias("revenue_delta_units"),
         F.count("*").alias("n_lines"),
     )
+
+
+Q15_START, Q15_END = "1997-01-01", "1997-04-01"
+
+
+def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: the supplier(s) with the maximum quarterly revenue —
+    aggregate -> global argmax -> dimension join, the scalar-subquery
+    pattern (TPC-H 15's CREATE VIEW revenue + WHERE total = (SELECT max)).
+
+    Plan: one suppkey-keyed aggregate over the date-filtered lineitem scan
+    (map-side combined), a 1-row max aggregate broadcast back over the
+    per-supplier rollup (never a sort), and a broadcast supplier-dim join.
+    Ties all survive, like the reference SQL.  Revenue in exact integer
+    units (cents x (100 - disc)) so the argmax is order-free.
+
+    Scale: per-supplier rollup is |suppliers| rows (~10^7 at SF-100k) —
+    the max broadcast and dim join stay tiny; the only data-sized exchange
+    is the suppkey aggregate shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q15_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q15_END).cast("timestamp"))
+    )
+    rev = (_cents("l_extendedprice") * (100 - _pct("l_discount"))).alias("rev_units")
+    per = li.select("l_suppkey", rev).groupBy("l_suppkey").agg(
+        F.sum("rev_units").alias("total_rev_units")
+    )
+    mx = per.agg(F.max("total_rev_units").alias("max_rev_units"))
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per.join(F.broadcast(mx), F.col("total_rev_units") == F.col("max_rev_units"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev_units")
+    )
+
+
+def acctbal_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE rollup of customer account balances over (nation, mktsegment)
+    — completes the grouping-set matrix next to corpus_rollup_grouping_sets
+    (ROLLUP), events_type_pivot (PIVOT), and star_unpivot_measures
+    (UNPIVOT).  Spark plans ONE Expand (each row fans to its 4 grouping
+    sets map-side) + one aggregate; the grouping_id bitmask disambiguates
+    subtotal rows from genuine NULL groups.  Balances quantize to exact
+    integer cents so every sum is order-free."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment", _cents("c_acctbal").alias("cents")
+    )
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = cust.join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+    return (
+        j.cube("n_name", "c_mktsegment")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_customers"),
+            F.sum("cents").alias("total_acctbal_cents"),
+        )
+        .select(
+            "n_name", "c_mktsegment", F.col("gid").cast("long").alias("gid"),
+            "n_customers", "total_acctbal_cents",
+        )
+    )
+
+
+Q8_REGION = "ASIA"
+Q8_NATION = "NATION_3"
+
+
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: one nation's share of a region's revenue per order year —
+    the multi-dimension-chain conditional-share query (supplier nation vs
+    customer region).
+
+    Joins: lineitem <-> orders is the one data-sized exchange (orderkey);
+    customer restricts the market through the broadcast nation -> region
+    chain; the supplier -> nation chain tags each line with its seller
+    nation.  Shares are conditional integer sums ratioed with the house
+    round-half-away micro rule — never a float accumulation.
+
+    Scale: at SF-100k the customer dim no longer broadcasts — o_custkey
+    join becomes a shuffle (or pre-bucketed storage, join_bucketed_coloc
+    pattern); the nation/region/supplier chain stays broadcast."""
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == Q8_REGION)
+    market_nations = nat.join(
+        F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("mkt_nationkey"))
+    cust = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(market_nations),
+        F.col("c_nationkey") == F.col("mkt_nationkey"),
+        "left_semi",
+    ).select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year")
+    )
+    mkt_orders = orders.join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"), "left_semi"
+    )
+    sup_nat = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nat.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", (F.col("n_name") == Q8_NATION).alias("is_target"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        (_cents("l_extendedprice") * (100 - _pct("l_discount"))).alias("rev_units"),
+    )
+    j = (
+        li.join(mkt_orders.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sup_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    g = j.groupBy("o_year").agg(
+        F.sum(F.when(F.col("is_target"), F.col("rev_units")).otherwise(0)).alias(
+            "nation_units"
+        ),
+        F.sum("rev_units").alias("total_units"),
+    )
+    share = ha_micro(F.col("nation_units"), F.col("total_units"))
+    return g.select(
+        F.col("o_year").cast("long").alias("o_year"),
+        "nation_units",
+        "total_units",
+        (share.cast("double") / 1e6).alias("mkt_share"),
+    )
+
+
+def revenue_cumshare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue share per region by order month: monthly rollup,
+    then a cumulative window over the BOUNDED (region x month) aggregate
+    and a broadcast region-total join — the burn-up chart every revenue
+    dashboard draws.
+
+    Scale contract: the window runs AFTER aggregation, over |regions| x
+    |months| rows (hundreds), partitioned by region — never a window over
+    fact rows (the lm_perplexity_buckets lesson).  Cumulative sums stay
+    integer cents; the share ratio applies the house half-away micro rule
+    at the boundary."""
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    reg = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "r_name")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        _cents("o_totalprice").alias("cents"),
+    )
+    monthly = (
+        orders.join(cust.hint("shuffle_hash"), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("r_name", "month")
+        .agg(F.sum("cents").alias("month_cents"))
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("r_name")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = monthly.withColumn("cum_cents", F.sum("month_cents").over(w))
+    totals = monthly.groupBy("r_name").agg(F.sum("month_cents").alias("region_cents"))
+    share = ha_micro(F.col("cum_cents"), F.col("region_cents"))
+    return cum.join(F.broadcast(totals), "r_name").select(
+        "r_name",
+        "month",
+        "month_cents",
+        "cum_cents",
+        (share.cast("double") / 1e6).alias("cum_share"),
+    )

@@ -1,0 +1,68 @@
+"""Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
+— the MOSS algorithm): select the minimum k-gram hash in every sliding
+window of W consecutive k-grams, rightmost-wins on ties.  The guarantee:
+any shared run of >= K + W - 1 tokens between two documents yields at
+least one IDENTICAL selected fingerprint, at ~2/(W+1) the density of the
+full k-gram set — the local, position-robust fingerprint a plagiarism /
+near-dup index stores instead of every shingle.
+
+Engine-exactness: the tie rule is encoded IN the comparison key — comp =
+md5(kgram) || ':' || zero-padded (10^8 - pos) || ':' || zero-padded pos —
+so "min hash, rightmost position" is a plain string MIN on both engines
+(ASCII hex/digits/colon compare identically), no argmin builtin with
+unspecified tie semantics.  Documents shorter than W k-grams get one
+whole-document window (pos=1 is the only valid start and its frame
+truncates at the partition end), so every non-empty doc fingerprints.
+
+Scale: per-doc work only — a partitioned window over positions (frame
+bounded by W) plus a per-doc aggregate; no joins, no global sort.  The
+fingerprint SET (doc_id, fp) is what ships to the inverted index; this
+operator emits the per-doc rollup (count + order-canonical digest) so
+output stays one row per doc at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from airstrik_py_spark.operators.dedup import _shingle_array
+
+WINNOW_W = 4  # window: W consecutive k-gram hashes
+WINNOW_K = 3  # k-gram width in words (shared shingle shape)
+_POS_PAD = 100_000_000  # pos < 10^8; keeps the descending key fixed-width
+
+
+def winnow_fingerprints(docs: DataFrame, w: int = WINNOW_W, k: int = WINNOW_K) -> DataFrame:
+    """Per-doc winnowing rollup: (doc_id, n_kgrams, n_fps, fp_digest) —
+    n_fps distinct selected fingerprints, digest = md5 of the
+    '|'-joined sorted fingerprint keys (order-canonical, engine-free)."""
+    sh = docs.select(
+        "doc_id",
+        F.posexplode(_shingle_array(F.col("text"), k)).alias("pos0", "shingle"),
+    )
+    pos = (F.col("pos0") + 1).alias("pos")
+    comp = F.concat(
+        F.md5("shingle"),
+        F.lit(":"),
+        F.lpad((F.lit(_POS_PAD) - F.col("pos")).cast("string"), 9, "0"),
+        F.lit(":"),
+        F.lpad(F.col("pos").cast("string"), 9, "0"),
+    )
+    rows = sh.select("doc_id", pos, "shingle").select(
+        "doc_id", "pos", comp.alias("comp")
+    )
+    wcount = Window.partitionBy("doc_id")
+    wframe = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    sel = (
+        rows.withColumn("m", F.count("*").over(wcount))
+        .withColumn("fp", F.min("comp").over(wframe))
+        .filter(F.col("pos") <= F.greatest(F.col("m") - (w - 1), F.lit(1)))
+        .select("doc_id", "m", "fp")
+        .distinct()
+    )
+    return sel.groupBy("doc_id").agg(
+        F.max("m").cast("long").alias("n_kgrams"),
+        F.count("*").alias("n_fps"),
+        F.md5(F.concat_ws("|", F.array_sort(F.collect_list("fp")))).alias("fp_digest"),
+    )

@@ -24,6 +24,7 @@ _MODULES = (
     "similarity_q",
     "extras_q",
     "scale_q",
+    "analytics_q",
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]

@@ -1136,6 +1136,7 @@ def triplet_mine(emb: DataFrame, anchor_mod: int = TRIPLET_ANCHOR_MOD) -> DataFr
             F.col("cos").alias("neg_cos"),
         )
     )
+    # both sides are one row per anchor (bounded) — broadcast, never SMJ
     return pos.join(
-        neg, F.col("anchor_id") == F.col("n_anchor_id")
+        F.broadcast(neg), F.col("anchor_id") == F.col("n_anchor_id")
     ).select("anchor_id", "anchor_label", "pos_id", "pos_cos", "neg_id", "neg_cos")

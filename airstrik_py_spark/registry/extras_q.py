@@ -580,7 +580,9 @@ def q_corpus_manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = d.filter(F.col("doc_id") % 5 != 0).withColumnRenamed(
         "digest", "new_digest"
     )
-    j = old.join(new, "doc_id", "full_outer")
+    # shuffled-hash full outer (Spark >= 3.1): same doc_id exchange the
+    # SMJ would pay, minus both sides' sorts — digests have no useful order
+    j = old.join(new.hint("shuffle_hash"), "doc_id", "full_outer")
     status = (
         F.when(F.col("old_digest").isNull(), "added")
         .when(F.col("new_digest").isNull(), "removed")

@@ -912,3 +912,51 @@ def dsir_weights(docs: DataFrame, n_buckets: int = DSIR_BUCKETS) -> DataFrame:
         )
     )
     return scored
+
+
+MIX_BUDGET_TOKENS = 1_000_000
+
+
+def token_allocation(docs: DataFrame, budget: int = MIX_BUDGET_TOKENS) -> DataFrame:
+    """Hamilton largest-remainder apportionment of a global token budget
+    across sources — the integer-exact quota step a data-mix pipeline
+    runs AFTER choosing mixture proportions: every source gets
+    floor(budget * tokens_src / T), and the leftover seats go to the
+    largest fractional remainders (ties: source ascending).  The output
+    allocations sum to EXACTLY the budget — no float proportions, no
+    rounding drift (the apportionment invariant the test pins).
+
+    Exactness: quotient and remainder come from IntegralDivide/mod on
+    BIGINT (budget x tokens ~ 10^6 x 10^9 fits comfortably; beyond that
+    the decimal(38,0) ladder in ha_micro applies).  The remainder-rank
+    window runs over |sources| rows AFTER aggregation — bounded, never a
+    window over docs.
+
+    Scale: one map-side-combined source aggregate + 1-row broadcasts; the
+    per-source frame is what the sampler (sample_domain_balance /
+    select_quality_topk) consumes as its quota table."""
+    from pyspark.sql import Window
+
+    per = docs.withColumn("n_tok", F.size(F.split("text", " "))).groupBy(
+        "source"
+    ).agg(F.sum("n_tok").cast("long").alias("n_tokens"))
+    tot = per.agg(F.sum("n_tokens").alias("t_all"))
+    j = per.crossJoin(F.broadcast(tot))
+    num = F.lit(budget).cast("long") * F.col("n_tokens")
+    j = j.withColumn(
+        "base", F.call_function("div", num, F.col("t_all")).cast("long")
+    ).withColumn("rem", (num % F.col("t_all")).cast("long"))
+    leftover = j.agg(
+        (F.lit(budget) - F.sum("base")).cast("long").alias("k_extra")
+    )
+    w = Window.orderBy(F.col("rem").desc(), F.col("source").asc())
+    ranked = j.withColumn("rr", F.row_number().over(w))
+    return (
+        ranked.crossJoin(F.broadcast(leftover))
+        .withColumn(
+            "alloc_tokens",
+            (F.col("base") + F.when(F.col("rr") <= F.col("k_extra"), 1).otherwise(0)
+             ).cast("long"),
+        )
+        .select("source", "n_tokens", "alloc_tokens")
+    )

@@ -438,3 +438,45 @@ def ngram_containment_pairs(
     return c.filter(
         F.greatest(F.col("c_a_in_b"), F.col("c_b_in_a")) >= F.lit(threshold)
     ).select("doc_a", "doc_b", "n_inter", "c_a_in_b", "c_b_in_a")
+
+
+def minhash_jaccard_estimate(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """MinHash Jaccard ESTIMATE for LSH candidate pairs: est = (matching
+    signature components) / k — the standard unbiased estimator
+    (P[h_min equal] = J), computed WITHOUT touching shingle sets again.
+    This is the triage statistic an at-scale pipeline thresholds BEFORE
+    paying for an exact verify (dedup_ngram_jaccard on survivors): the
+    signature join moves k hashes per doc instead of the shingle lists.
+
+    Shape: band-bucket candidate generation (identical to
+    lsh_candidate_pairs — never all-pairs), then each side's k-hash
+    signature joins back by doc_id and the component-match count is a
+    per-row integer sum; estimate rounds to 4 dp from an exact
+    small-integer ratio."""
+    sig = minhash_signature(docs, k)
+    keyed = lsh_band_keys(sig, k)
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(k)])
+    sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(k)])
+    m = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(k)
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_sig_match", m.cast("long"))
+        .withColumn(
+            "jaccard_est", F.round(F.col("n_sig_match") / F.lit(k), 4)
+        )
+        .select("doc_a", "doc_b", "n_sig_match", "jaccard_est")
+    )

@@ -11,10 +11,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: F401  (parity with siblings)
 
-from airstrik_py_spark.operators.corpus import DSIR_BUCKETS, DSIR_TARGET_LANG, dsir_weights
+from airstrik_py_spark.operators.corpus import (
+    DSIR_BUCKETS,
+    DSIR_TARGET_LANG,
+    MIX_BUDGET_TOKENS,
+    dsir_weights,
+    token_allocation,
+)
 from airstrik_py_spark.operators.dedup import (
     CONTAIN_THRESHOLD,
+    MINHASH_K,
     NGRAM_DF_MAX,
+    minhash_jaccard_estimate,
     ngram_containment_pairs,
 )
 from airstrik_py_spark.operators.events import new_vs_returning, session_bounce_stats
@@ -29,7 +37,13 @@ from airstrik_py_spark.operators.star import (
     revenue_cumshare,
     top_supplier,
 )
-from airstrik_py_spark.operators.winnow import WINNOW_W, winnow_fingerprints
+from airstrik_py_spark.operators.winnow import (
+    WINNOW_DF_MAX,
+    WINNOW_PAIR_MIN,
+    WINNOW_W,
+    winnow_fingerprints,
+    winnow_pairs,
+)
 from airstrik_py_spark.registry.dedup_q import _SH
 from airstrik_py_spark.session import pin_session
 from airstrik_py_spark.sources.tables import load_table
@@ -99,6 +113,27 @@ def q_quality_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_weights(load_table(spark, sf_dir, "documents"))
 
 
+def q_mixture_token_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamilton largest-remainder token-budget apportionment per source —
+    operators/corpus.py::token_allocation (sum(alloc) == budget exactly)."""
+    pin_session(spark)
+    return token_allocation(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash Jaccard estimate on LSH candidate pairs (signature-only
+    triage) — operators/dedup.py::minhash_jaccard_estimate."""
+    pin_session(spark)
+    return minhash_jaccard_estimate(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document winnowing fingerprint matches (MOSS detection join,
+    DF-capped inverted index) — operators/winnow.py::winnow_pairs."""
+    pin_session(spark)
+    return winnow_pairs(load_table(spark, sf_dir, "documents"))
+
+
 def q_embedding_triplet_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard positive/negative triplet mining per anchor —
     operators/similarity.py::triplet_mine."""
@@ -117,6 +152,9 @@ QUERIES = {
     "text_winnow_fingerprints": q_text_winnow_fingerprints,
     "quality_dsir_weights": q_quality_dsir_weights,
     "embedding_triplet_mine": q_embedding_triplet_mine,
+    "mixture_token_allocation": q_mixture_token_allocation,
+    "dedup_minhash_jaccard_est": q_dedup_minhash_jaccard_est,
+    "dedup_winnow_pairs": q_dedup_winnow_pairs,
 }
 
 _REV_UNITS = (
@@ -326,3 +364,83 @@ SELECT p.anchor_id, p.anchor_label, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos
 FROM pos p JOIN neg n ON p.anchor_id = n.anchor_id
 """,
 }
+
+_SIG_BANDS = """
+sig AS (
+  SELECT doc_id,
+         min(md5('0|' || s)) AS h0, min(md5('1|' || s)) AS h1,
+         min(md5('2|' || s)) AS h2, min(md5('3|' || s)) AS h3,
+         min(md5('4|' || s)) AS h4, min(md5('5|' || s)) AS h5
+  FROM sh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 0 AS band, md5('0' || '|' || h0 || '|' || h1) AS bkey FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5('1' || '|' || h2 || '|' || h3) AS bkey FROM sig
+  UNION ALL
+  SELECT doc_id, 2 AS band, md5('2' || '|' || h4 || '|' || h5) AS bkey FROM sig)
+"""
+
+_MATCH6 = " + ".join(
+    f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(MINHASH_K)
+)
+
+ORACLES["mixture_token_allocation"] = f"""
+WITH per AS (SELECT source,
+                    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+             FROM documents GROUP BY source),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t_all FROM per),
+j AS (SELECT source, n_tokens,
+             CAST(({MIX_BUDGET_TOKENS} * n_tokens) // t_all AS BIGINT) AS base,
+             CAST(({MIX_BUDGET_TOKENS} * n_tokens) % t_all AS BIGINT) AS rem
+      FROM per CROSS JOIN tot),
+lo AS (SELECT CAST({MIX_BUDGET_TOKENS} - sum(base) AS BIGINT) AS k_extra FROM j),
+rk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source ASC) AS rr FROM j)
+SELECT source, n_tokens,
+       CAST(base + CASE WHEN rr <= k_extra THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc_tokens
+FROM rk CROSS JOIN lo
+"""
+
+ORACLES["dedup_minhash_jaccard_est"] = f"""
+WITH {{_SH}},
+{{_SIG_BANDS}},
+pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+m AS (SELECT p.doc_a, p.doc_b,
+             CAST({{_MATCH6}} AS BIGINT) AS n_sig_match
+      FROM pairs p
+      JOIN sig sa ON sa.doc_id = p.doc_a
+      JOIN sig sb ON sb.doc_id = p.doc_b)
+SELECT doc_a, doc_b, n_sig_match,
+       round(n_sig_match * 1.0 / {MINHASH_K}, 4) AS jaccard_est
+FROM m
+""".format(_SH=_SH, _SIG_BANDS=_SIG_BANDS, _MATCH6=_MATCH6)
+
+ORACLES["dedup_winnow_pairs"] = f"""
+WITH dwords AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+g AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(words) - 1),
+               i -> {{'pos': i,
+                      'h': md5(words[i] || '|' || words[i+1] || '|' || words[i+2])}}))
+               AS x
+      FROM dwords),
+r AS (SELECT doc_id, x.pos AS pos,
+             x.h || ':' || lpad(CAST(100000000 - x.pos AS VARCHAR), 9, '0') AS comp
+      FROM g),
+wnd AS (SELECT doc_id, pos, comp,
+               count(*) OVER (PARTITION BY doc_id) AS m,
+               min(comp) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS fp
+        FROM r),
+sel AS (SELECT DISTINCT doc_id, substr(fp, 1, 32) AS fp_hash FROM wnd
+        WHERE pos <= greatest(m - {WINNOW_W - 1}, 1)),
+cap AS (SELECT fp_hash
+        FROM (SELECT fp_hash, count(*) AS df FROM sel GROUP BY fp_hash)
+        WHERE df <= {WINNOW_DF_MAX}),
+sh2 AS (SELECT s.doc_id, s.fp_hash FROM sel s JOIN cap USING (fp_hash))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM sh2 a JOIN sh2 b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= {WINNOW_PAIR_MIN}
+"""
+

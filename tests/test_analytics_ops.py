@@ -348,3 +348,106 @@ def test_revenue_cumshare_monotone_to_one(spark):
             cum += r["month_cents"]
             assert r["cum_cents"] == cum
         assert rs[-1]["cum_share"] == 1.0
+
+
+# ------------------------------------------------------- token allocation
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    toks=st.lists(st.integers(min_value=1, max_value=40), min_size=2, max_size=6),
+)
+def test_token_allocation_hamilton_invariants(spark, toks):
+    """sum(alloc) == budget exactly; every source gets floor or floor+1 of
+    its exact quota (Hamilton's method stays in quota)."""
+    from airstrik_py_spark.operators.corpus import token_allocation
+
+    texts = [" ".join(f"t{i}x{j}" for j in range(n)) for i, n in enumerate(toks)]
+    rows = [(i, t, "en", f"s{i}", len(t)) for i, (t, n) in enumerate(zip(texts, toks))]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    budget = 1000
+    out = token_allocation(df, budget=budget).collect()
+    total_tok = sum(toks)
+    assert sum(r["alloc_tokens"] for r in out) == budget
+    for r in out:
+        q = budget * r["n_tokens"] / total_tok
+        assert math.floor(q) <= r["alloc_tokens"] <= math.floor(q) + 1
+
+
+def test_token_allocation_remainder_tiebreak(spark):
+    """Equal remainders: the extra token goes to the ascending-source
+    winner."""
+    from airstrik_py_spark.operators.corpus import token_allocation
+
+    # two sources, 1 token each, budget 3 -> quotas 1.5/1.5, one leftover
+    df = spark.createDataFrame(
+        [(0, "a", "en", "sA", 1), (1, "b", "en", "sB", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["source"]: r["alloc_tokens"] for r in token_allocation(df, budget=3).collect()}
+    assert out == {"sA": 2, "sB": 1}
+
+
+# --------------------------------------------------- minhash jaccard estimate
+
+
+def test_minhash_est_identical_docs_full_match(spark):
+    from airstrik_py_spark.operators.dedup import minhash_jaccard_estimate
+
+    t = "alpha beta gamma delta epsilon zeta"
+    out = minhash_jaccard_estimate(_docs(spark, [t, t])).collect()
+    assert len(out) == 1
+    assert out[0]["n_sig_match"] == 6
+    assert out[0]["jaccard_est"] == 1.0
+
+
+def test_minhash_est_bounded_and_candidate_only(spark):
+    """Estimates stay in [0,1]; pairs only exist for band-collisions (a
+    subset of all pairs)."""
+    from airstrik_py_spark.operators.dedup import minhash_jaccard_estimate
+
+    texts = [
+        "one two three four five six seven",
+        "one two three four five six eight",
+        "completely different words here now ok",
+    ]
+    rows = minhash_jaccard_estimate(_docs(spark, texts)).collect()
+    for r in rows:
+        assert 0.0 <= r["jaccard_est"] <= 1.0
+        assert 1 <= r["n_sig_match"] <= 6
+    assert {(r["doc_a"], r["doc_b"]) for r in rows} <= {(0, 1), (0, 2), (1, 2)}
+    assert (0, 1) in {(r["doc_a"], r["doc_b"]) for r in rows}
+
+
+# ------------------------------------------------------------- winnow pairs
+
+
+def test_winnow_pairs_detects_two_shared_runs(spark):
+    from airstrik_py_spark.operators.winnow import winnow_pairs
+
+    run1 = "one two three four five six seven eight"
+    run2 = "red orange yellow green blue indigo violet ultra"
+    df = _docs(
+        spark,
+        [
+            f"{run1} filler0a filler0b {run2}",
+            f"pre1 pre2 pre3 {run1} mid1 mid2 mid3 {run2} post1",
+        ],
+    )
+    rows = winnow_pairs(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["doc_a"] == 0 and rows[0]["doc_b"] == 1
+    assert rows[0]["n_shared"] >= 2
+
+
+def test_winnow_pairs_df_cap_drops_boilerplate(spark):
+    """A fingerprint shared by more than df_max docs leaves the index —
+    boilerplate can't explode the pair join."""
+    from airstrik_py_spark.operators.winnow import winnow_pairs
+
+    boiler = "this legal notice appears on every single page verbatim"
+    df = _docs(spark, [f"{boiler} doc{i}tail{i}" for i in range(4)])
+    assert winnow_pairs(df, min_shared=1, df_max=3).count() == 0
+    assert winnow_pairs(df, min_shared=1, df_max=10).count() == 6

@@ -33,34 +33,45 @@ WINNOW_K = 3  # k-gram width in words (shared shingle shape)
 _POS_PAD = 100_000_000  # pos < 10^8; keeps the descending key fixed-width
 
 
-def winnow_fingerprints(docs: DataFrame, w: int = WINNOW_W, k: int = WINNOW_K) -> DataFrame:
-    """Per-doc winnowing rollup: (doc_id, n_kgrams, n_fps, fp_digest) —
-    n_fps distinct selected fingerprints, digest = md5 of the
-    '|'-joined sorted fingerprint keys (order-canonical, engine-free)."""
+def _winnow_selected(
+    docs: DataFrame, w: int, k: int, pos_suffix: bool
+) -> DataFrame:
+    """Shared winnowing selection (both public entry points ride this so
+    the tie-key encodings cannot drift apart): posexplode the k-grams,
+    build the tie-encoded comparison key, take the window-min per valid
+    window start.  Returns (doc_id, m, fp) where m = per-doc k-gram count.
+    pos_suffix appends the ascending-position tail (rollup keys are
+    position-distinct; the cross-doc fp set strips positions)."""
     sh = docs.select(
         "doc_id",
         F.posexplode(_shingle_array(F.col("text"), k)).alias("pos0", "shingle"),
     )
     pos = (F.col("pos0") + 1).alias("pos")
-    comp = F.concat(
+    parts = [
         F.md5("shingle"),
         F.lit(":"),
         F.lpad((F.lit(_POS_PAD) - F.col("pos")).cast("string"), 9, "0"),
-        F.lit(":"),
-        F.lpad(F.col("pos").cast("string"), 9, "0"),
-    )
+    ]
+    if pos_suffix:
+        parts += [F.lit(":"), F.lpad(F.col("pos").cast("string"), 9, "0")]
     rows = sh.select("doc_id", pos, "shingle").select(
-        "doc_id", "pos", comp.alias("comp")
+        "doc_id", "pos", F.concat(*parts).alias("comp")
     )
     wcount = Window.partitionBy("doc_id")
     wframe = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
-    sel = (
+    return (
         rows.withColumn("m", F.count("*").over(wcount))
         .withColumn("fp", F.min("comp").over(wframe))
         .filter(F.col("pos") <= F.greatest(F.col("m") - (w - 1), F.lit(1)))
         .select("doc_id", "m", "fp")
-        .distinct()
     )
+
+
+def winnow_fingerprints(docs: DataFrame, w: int = WINNOW_W, k: int = WINNOW_K) -> DataFrame:
+    """Per-doc winnowing rollup: (doc_id, n_kgrams, n_fps, fp_digest) —
+    n_fps distinct selected fingerprints, digest = md5 of the
+    '|'-joined sorted fingerprint keys (order-canonical, engine-free)."""
+    sel = _winnow_selected(docs, w, k, pos_suffix=True).distinct()
     return sel.groupBy("doc_id").agg(
         F.max("m").cast("long").alias("n_kgrams"),
         F.count("*").alias("n_fps"),
@@ -78,25 +89,8 @@ def winnow_fp_set(docs: DataFrame, w: int = WINNOW_W, k: int = WINNOW_K) -> Data
     fp_hash is the HASH part of the selected key (position stripped):
     cross-document matching is by content, positions only matter
     within-doc for selection."""
-    sh = docs.select(
-        "doc_id",
-        F.posexplode(_shingle_array(F.col("text"), k)).alias("pos0", "shingle"),
-    )
-    pos = (F.col("pos0") + 1).alias("pos")
-    comp = F.concat(
-        F.md5("shingle"),
-        F.lit(":"),
-        F.lpad((F.lit(_POS_PAD) - F.col("pos")).cast("string"), 9, "0"),
-    )
-    rows = sh.select("doc_id", pos, "shingle").select(
-        "doc_id", "pos", comp.alias("comp")
-    )
-    wcount = Window.partitionBy("doc_id")
-    wframe = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
     return (
-        rows.withColumn("m", F.count("*").over(wcount))
-        .withColumn("fp", F.min("comp").over(wframe))
-        .filter(F.col("pos") <= F.greatest(F.col("m") - (w - 1), F.lit(1)))
+        _winnow_selected(docs, w, k, pos_suffix=False)
         .select("doc_id", F.substring("fp", 1, 32).alias("fp_hash"))
         .distinct()
     )

@@ -30,25 +30,32 @@ _MODULES = (
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
-def _driver_green_counts() -> tuple[dict[str, int], dict[str, int]]:
-    """(full-green counts, rows-only counts) per slug across
-    CORRECTNESS_r*.json.
+def _driver_green_history() -> tuple[
+    dict[str, int], dict[str, int], dict[str, int], dict[str, int]
+]:
+    """(full-green counts, rows-only counts, last full-green round,
+    last rows-only round) per slug across CORRECTNESS_r*.json.
 
     The driver records only the first ~50 ``queries()`` entries per round
     (VERDICT r2: 50/113), so enumeration order decides which slugs ever earn
-    a driver-proven row.  Rotation policy (VERDICT r2 'Next round' #1):
-    slugs with the FEWEST driver-green rows lead, so every round the
-    never-verified tail moves into the verification window automatically —
-    no manual reordering, and the full local sweep (tools/check.py) still
-    covers everything each round.  Rows-only credit is returned separately:
-    it only counts for slugs that STILL have no oracle (a slug that later
-    gained one — ddl_drop_reset in r4 — must re-enter the window to earn
-    its first hash-verified row)."""
+    a driver-proven row.  Rotation policy (VERDICT r2 #1, refined per
+    VERDICT r6 #1): once every slug has at least one green, the binding
+    signal is RECENCY — a slug last verified in r2 and rewritten since is
+    staler than one verified once in r6 — so the least-recently-green
+    cohort leads, with fewest-greens and insertion order as tie-breaks.
+    The full local sweep (tools/check.py) still covers everything each
+    round.  Rows-only credit is returned separately: it only counts for
+    slugs that STILL have no oracle (a slug that later gained one —
+    ddl_drop_reset in r4 — must re-enter the window to earn its first
+    hash-verified row)."""
     counts: dict[str, int] = {}
     rows_only: dict[str, int] = {}
+    last_full: dict[str, int] = {}
+    last_rows_only: dict[str, int] = {}
     root = Path(__file__).resolve().parents[2]
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
         try:
+            rnd = int(path.stem.rsplit("_r", 1)[1])
             rows = json.loads(path.read_text())
         except (OSError, ValueError):
             continue
@@ -73,12 +80,14 @@ def _driver_green_counts() -> tuple[dict[str, int], dict[str, int]]:
             # every round forever.
             if full_green:
                 counts[slug] = counts.get(slug, 0) + 1
+                last_full[slug] = max(last_full.get(slug, 0), rnd)
             elif (
                 row.get("err") == "no_oracle"
                 and row.get("spark_rows") is not None
             ):
                 rows_only[slug] = rows_only.get(slug, 0) + 1
-    return counts, rows_only
+                last_rows_only[slug] = max(last_rows_only.get(slug, 0), rnd)
+    return counts, rows_only, last_full, last_rows_only
 
 
 def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
@@ -95,16 +104,25 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
             raise ValueError(f"duplicate registry slugs from {mod_name}: {sorted(dupes)}")
         queries.update(mod_queries)
         oracles.update(getattr(mod, "ORACLES", {}))
-    # Stable rotation: fewest driver-green rows first, insertion order within.
-    # Rows-only rows count as green only while the slug still lacks an
-    # oracle; once one is registered the slug re-enters the window.
-    full, rows_only = _driver_green_counts()
+    # Stable rotation: least-recently-driver-green first (never-green sorts
+    # as round 0 and therefore always leads), then fewest green rows, then
+    # insertion order.  Rows-only rows count as green only while the slug
+    # still lacks an oracle; once one is registered the slug re-enters the
+    # window to earn its first hash-verified row.
+    full, rows_only, last_full, last_rows_only = _driver_green_history()
     green = {
         slug: full.get(slug, 0)
         + (rows_only.get(slug, 0) if slug not in oracles else 0)
         for slug in queries
     }
-    order = sorted(queries, key=lambda slug: green.get(slug, 0))
+    last = {
+        slug: max(
+            last_full.get(slug, 0),
+            last_rows_only.get(slug, 0) if slug not in oracles else 0,
+        )
+        for slug in queries
+    }
+    order = sorted(queries, key=lambda slug: (last.get(slug, 0), green.get(slug, 0)))
     queries = {slug: queries[slug] for slug in order}
     oracles = {slug: oracles[slug] for slug in order if slug in oracles}
     return queries, oracles

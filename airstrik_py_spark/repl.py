@@ -66,14 +66,17 @@ class Repl:
             if args and args[0] in ("db", "dbs", "database", "databases"):
                 return self.spark.sql("SHOW DATABASES")
             if args and args[0].startswith("db/"):
-                return self.spark.sql(
-                    f"SHOW TABLES IN `{args[0][3:]}`"
-                )
+                # escape backticks so a hostile name can't break out of the
+                # quoted identifier (ADVICE r6)
+                name = args[0][3:].replace("`", "``")
+                return self.spark.sql(f"SHOW TABLES IN `{name}`")
             return self.spark.sql(
                 "SELECT flight_id, count(*) AS n_trips, sum(n_obs) AS n_msgs "
                 "FROM trips GROUP BY flight_id ORDER BY flight_id"
             )
         if cmd == "plane":
+            if not args:
+                raise ValueError("usage: plane <hex>")
             return self._plane(args[0])
         if cmd == "search":
             preds = [self._parse_pred(a) for a in args]

@@ -192,12 +192,20 @@ def make_attributor(
     ttl_ms: int = 24 * 3600 * 1000,
 ):
     """Keyed last-touch attribution state function: per user, remember
-    only the most recent touch event (2 longs); every conversion emits
-    with the remembered touch, exactly the batch window's strictly-
-    preceding semantics — rows are processed in (us, event_id) order and
-    a conversion reads state BEFORE a same-row-or-later touch updates it.
-    State TTL evicts idle users (live mode), bounding state linearly in
-    ACTIVE users like the plane tracker."""
+    only the most recent touch event IN EVENT TIME (2 longs); every
+    conversion emits with the remembered touch.  Within a micro-batch rows
+    are processed in (us, event_id) order, so a conversion reads state
+    BEFORE a same-batch later touch updates it — the batch window's
+    strictly-preceding semantics.  Across micro-batches the state update
+    is guarded monotone (a late-arriving OLDER touch never overwrites a
+    newer one), so the remembered touch always equals the batch twin's;
+    conversions already emitted before a late touch arrived keep their
+    at-emission attribution — the inherent stream-vs-batch divergence for
+    per-user out-of-order arrival ACROSS batches (ADVICE r6).  Parity with
+    the batch twin is exact when each user's events arrive in order across
+    batches (the replay harness's property).  State TTL evicts idle users
+    (live mode), bounding state linearly in ACTIVE users like the plane
+    tracker."""
 
     def attribute(
         key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
@@ -220,7 +228,9 @@ def make_attributor(
                             None if t_us is None else int(row.us) - t_us,
                         )
                     )
-                if row.event_type == touch:
+                if row.event_type == touch and (
+                    t_us is None or (int(row.us), int(row.event_id)) > (t_us, t_id)
+                ):
                     t_us, t_id = int(row.us), int(row.event_id)
         state.update((t_us, t_id))
         if live:

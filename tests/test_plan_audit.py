@@ -19,12 +19,16 @@ from tools.audit_plans import unpartitioned_window_flags
 
 
 def _simple_plan(df) -> str:
-    df.sparkSession.conf.set("spark.sql.adaptive.enabled", "false")
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain()
-    df.sparkSession.conf.set("spark.sql.adaptive.enabled", "true")
-    return buf.getvalue()
+    conf = df.sparkSession.conf
+    prev = conf.get("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain()
+        return buf.getvalue()
+    finally:
+        conf.set("spark.sql.adaptive.enabled", prev)
 
 
 def test_flags_global_ntile_over_data_rows(spark):

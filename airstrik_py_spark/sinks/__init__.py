@@ -124,12 +124,21 @@ def kafka_records(payload_df: DataFrame) -> DataFrame:
     """S5 — serialize alert/warning payloads to Kafka records: key =
     plane_hex, value = JSON of all payload fields, topic column routes
     alert vs warning (airstrik.py:345-368; message contract README.md:57-68).
-    Missing altitude stringifies as 'unknown' at this edge (README.md:63)."""
+    Missing altitude stringifies as 'unknown' at this edge (README.md:63).
+    `eta` is a WARNING-ONLY key (README.md:66; the alert dict at
+    airstrik.py:355-363 never carries it) — alert records null it out and
+    to_json's null-omission drops the key, so alert value bytes match the
+    reference's message exactly."""
     value_cols = [c for c in payload_df.columns if c != "topic"]
     edge = payload_df.withColumn(
         "altitude",
         F.coalesce(F.col("altitude").cast("string"), F.lit("unknown")),
     )
+    if "eta" in value_cols:
+        edge = edge.withColumn(
+            "eta",
+            F.when(F.col("topic") != "airstrik-alert", F.col("eta")),
+        )
     return edge.select(
         F.col("plane_hex").alias("key"),
         F.to_json(F.struct(*value_cols)).alias("value"),

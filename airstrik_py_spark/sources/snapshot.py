@@ -103,10 +103,6 @@ QUARANTINE_SCHEMA = T.StructType(
 )
 
 
-# latest quarantine projection cache; evicted by the next call
-_quarantine_cache: DataFrame | None = None
-
-
 def read_snapshot_batch_quarantined(
     spark: SparkSession, landing_dir: str
 ) -> tuple[DataFrame, DataFrame]:
@@ -128,27 +124,23 @@ def read_snapshot_batch_quarantined(
 
     good = flatten_snapshots(raw().filter(F.col("_corrupt_record").isNull()))
     # Spark refuses a query that reads ONLY _corrupt_record from a raw
-    # scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — the documented form is to
-    # cache a projection that still carries data columns; src_file is
-    # captured inside that projection so it materializes before caching.
-    # The cache is module-owned: each call evicts the previous call's
-    # cached projection (ADVICE r6 — repeated calls must not accumulate
-    # cached relations for the session lifetime), so the PRIOR quarantine
-    # frame recomputes if re-read after a newer call.
-    global _quarantine_cache
-    if _quarantine_cache is not None:
-        try:
-            _quarantine_cache.unpersist(blocking=False)
-        except Exception:  # session gone / already unpersisted — harmless
-            pass
-    cached = raw().select(
+    # scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — the documented form is a
+    # materialized projection that still carries data columns; src_file
+    # is captured inside the projection so input_file_name() evaluates
+    # during the scan.  localCheckpoint(eager=True) severs the lineage:
+    # the quarantine frame is self-contained from here on — valid for the
+    # session lifetime, independent of later calls (the r6 cache-eviction
+    # scheme invalidated PRIOR frames, ADVICE r7), no module-global state,
+    # thread-safe.  Cost: one row per landing file (src_file + now + the
+    # malformed payload for bad files), stored block-distributed on the
+    # executors — bounded by the landing dir, not by observation volume.
+    snap = raw().select(
         F.input_file_name().alias("src_file"),
         F.col("now"),
         F.col("_corrupt_record"),
-    ).cache()
-    _quarantine_cache = cached
+    ).localCheckpoint(eager=True)
     quarantine = (
-        cached.filter(F.col("_corrupt_record").isNotNull())
+        snap.filter(F.col("_corrupt_record").isNotNull())
         .select("src_file", F.col("_corrupt_record").alias("raw_payload"))
     )
     return good, quarantine

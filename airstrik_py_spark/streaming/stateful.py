@@ -193,19 +193,25 @@ def make_attributor(
 ):
     """Keyed last-touch attribution state function: per user, remember
     only the most recent touch event IN EVENT TIME (2 longs); every
-    conversion emits with the remembered touch.  Within a micro-batch rows
-    are processed in (us, event_id) order, so a conversion reads state
-    BEFORE a same-batch later touch updates it — the batch window's
-    strictly-preceding semantics.  Across micro-batches the state update
-    is guarded monotone (a late-arriving OLDER touch never overwrites a
-    newer one), so the remembered touch always equals the batch twin's;
-    conversions already emitted before a late touch arrived keep their
-    at-emission attribution — the inherent stream-vs-batch divergence for
-    per-user out-of-order arrival ACROSS batches (ADVICE r6).  Parity with
-    the batch twin is exact when each user's events arrive in order across
-    batches (the replay harness's property).  State TTL evicts idle users
-    (live mode), bounding state linearly in ACTIVE users like the plane
-    tracker."""
+    conversion emits with the remembered touch.  The per-user micro-batch
+    payload is concatenated and sorted ONCE in (us, event_id) order —
+    applyInPandasWithState may split one group across pandas chunks, so a
+    per-chunk sort would not be a global order (ADVICE r7) — and a
+    conversion then reads state BEFORE a same-batch later touch updates
+    it.  Two guards pin the batch twin's strictly-preceding semantics
+    across out-of-order arrival BETWEEN batches: (1) the state update is
+    monotone (a late-arriving OLDER touch never overwrites a newer one),
+    and (2) at emission the remembered touch is used only when its
+    (t_us, t_id) strictly precedes the conversion's (us, event_id) — a
+    remembered touch at-or-after the conversion can only be a
+    late-delivered FUTURE touch, which the batch window attributes as
+    NULL (ADVICE r7).  The one remaining divergence is inherent to append
+    streams: a conversion already emitted before its true preceding touch
+    arrived keeps its at-emission (NULL or older-touch) attribution.
+    Parity with the batch twin is exact when each user's events arrive in
+    order across batches (the replay harness's property).  State TTL
+    evicts idle users (live mode), bounding state linearly in ACTIVE
+    users like the plane tracker."""
 
     def attribute(
         key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
@@ -215,17 +221,22 @@ def make_attributor(
             return
         t_us, t_id = state.get if state.exists else (None, None)
         out = []
-        for pdf in batches:
+        pdfs = list(batches)
+        if pdfs:
+            pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
             pdf = pdf.sort_values(["us", "event_id"])
             for row in pdf.itertuples(index=False):
                 if row.event_type == conversion:
+                    use = t_us is not None and (t_us, t_id) < (
+                        int(row.us), int(row.event_id)
+                    )
                     out.append(
                         (
                             int(row.event_id),
                             int(key[0]),
                             float(row.value),
-                            t_id,
-                            None if t_us is None else int(row.us) - t_us,
+                            t_id if use else None,
+                            int(row.us) - t_us if use else None,
                         )
                     )
                 if row.event_type == touch and (

@@ -133,12 +133,17 @@ def test_csv_and_json_writers(spark, tmp_path):
     assert spark.read.json(str(tmp_path / "json")).count() == 2
 
 
+KAFKA_PAYLOAD_SCHEMA = (
+    "plane_hex string, plane_id string, plane_time double, heading double, "
+    "speed double, altitude double, latitude double, longitude double, "
+    "distance double, eta long, topic string"
+)
+
+
 def test_kafka_record_contract(spark):
     pay = spark.createDataFrame(
         [("abc123", "AAL1", BASE, 90.0, 500.0, None, 35.7, -78.7, 8.0, 0, "airstrik-alert")],
-        "plane_hex string, plane_id string, plane_time double, heading double, "
-        "speed double, altitude double, latitude double, longitude double, "
-        "distance double, eta long, topic string",
+        KAFKA_PAYLOAD_SCHEMA,
     )
     rec = kafka_records(pay).first()
     assert rec["key"] == "abc123"
@@ -146,6 +151,113 @@ def test_kafka_record_contract(spark):
     body = json.loads(rec["value"])
     assert body["altitude"] == "unknown"  # README.md:63 missing-alt contract
     assert body["plane_hex"] == "abc123"
+
+
+def test_kafka_wire_golden_alert_and_warning(spark):
+    """Byte-level wire golden for the Kafka value JSON (VERDICT r7 #4;
+    contract README.md:57-68, raise_alarm dicts airstrik.py:345-368).
+    Pins: alert messages carry NO eta key (README.md:66 — warning-only);
+    missing altitude stringifies as 'unknown' (README.md:63); key order is
+    the reference dict's insertion order.  Doubles render in Java
+    E-notation (json.loads-identical numeric value) — frozen so ANY
+    serializer drift fails this test."""
+    pay = spark.createDataFrame(
+        [
+            ("abc123", "AAL1", 1700000000.25, 90.5, 500.25, None,
+             35.7, -78.7, 8.5, 0, "airstrik-alert"),
+            ("def456", "", 1700000010.0, 180.0, 420.0, 3500.0,
+             35.81, -78.61, 15.25, 12, "airstrik-warning"),
+        ],
+        KAFKA_PAYLOAD_SCHEMA,
+    )
+    recs = {r["topic"]: r for r in kafka_records(pay).collect()}
+    alert, warn = recs["airstrik-alert"], recs["airstrik-warning"]
+    assert alert["key"] == "abc123" and warn["key"] == "def456"
+    assert alert["value"] == (
+        '{"plane_hex":"abc123","plane_id":"AAL1","plane_time":1.70000000025E9,'
+        '"heading":90.5,"speed":500.25,"altitude":"unknown","latitude":35.7,'
+        '"longitude":-78.7,"distance":8.5}'
+    )
+    assert warn["value"] == (
+        '{"plane_hex":"def456","plane_id":"","plane_time":1.70000001E9,'
+        '"heading":180.0,"speed":420.0,"altitude":"3500.0","latitude":35.81,'
+        '"longitude":-78.61,"distance":15.25,"eta":12}'
+    )
+    assert list(json.loads(warn["value"])) == [
+        "plane_hex", "plane_id", "plane_time", "heading", "speed",
+        "altitude", "latitude", "longitude", "distance", "eta",
+    ]
+    assert "eta" not in json.loads(alert["value"])
+
+
+def test_flight_records_document_golden(spark):
+    """Exact flight_records document golden (VERDICT r7 #4; assembled
+    write airstrik.py:522-543): one hand-built closed trip through
+    trip_documents, the full nested document asserted value-for-value —
+    this is the BSON/parquet document a Mongo reader sees.  asof_dist 8.5
+    matches `close` (10 km) but not `tooclose` (5 km), so the filters map
+    carries exactly the matched geofence like match_filters
+    (airstrik.py:524-535)."""
+    from airstrik_py_spark.sinks import trip_documents
+
+    cfg = EngineConfig(remember_s=1000.0, min_trip_length_s=0.0)
+    assembled = spark.createDataFrame(
+        [(
+            "abc123", "AAL1 (p)", 1700000100.0,
+            1700000000.0, 1700000120.0,
+            35.7, 1700000110.0,
+            -78.7, 1700000111.0,
+            800.0, 1700000112.0,
+            8.5, 1700000113.0,
+        )],
+        "flight_id string, trip_name string, asof_flight_sec double, "
+        "start_sec double, end_sec double, asof_lat double, asof_lat_sec double, "
+        "asof_lon double, asof_lon_sec double, asof_alt double, asof_alt_sec double, "
+        "asof_dist double, asof_dist_sec double",
+    )
+    doc = trip_documents(assembled, cfg).first().asDict(recursive=True)
+    assert doc == {
+        "flight_id": "abc123",
+        "flight_name_id": [{"value": "AAL1 (p)", "ts": 1700000100.0}],
+        "lat": {"value": 35.7, "ts": 1700000110.0},
+        "lon": {"value": -78.7, "ts": 1700000111.0},
+        "alt_geom": {"value": 800.0, "ts": 1700000112.0},
+        "distance": {"value": 8.5, "ts": 1700000113.0},
+        "extras": {"start_time": 1700000000.0, "end_time": 1700000120.0},
+        "filters": {"close": {"dist": 10.0, "alt": 1000.0}},
+    }
+
+
+def test_stats_and_decimated_document_golden(spark):
+    """Exact store-document goldens on the frozen sf0.001 fixture
+    (VERDICT r7 #4): the daily stats doc (`_id` date string + 4 counters,
+    airstrik.py:670-676) and the decimated live-sample doc
+    (airstrik.py:601-624)."""
+    from airstrik_py_spark.registry.sinks_q import q_sink_mongo_decimated
+    from airstrik_py_spark.registry.stats_q import q_sink_stats_daily
+
+    sf = "/root/testdata/sf0.001"
+    stats = q_sink_stats_daily(spark, sf).orderBy("_id").first().asDict()
+    assert stats == {
+        "_id": "2023-12-31",
+        "unique_planes": 1,
+        "total_trips": 1,
+        "unique_alarm_planes": 0,
+        "total_alarm_trips": 0,
+    }
+    dec = (
+        q_sink_mongo_decimated(spark, sf)
+        .orderBy("flight_id", "lat_sec")
+        .first()
+        .asDict()
+    )
+    assert dec == {
+        "flight_id": "0",
+        "lat_value": 35.3,
+        "lat_sec": 1705496097.878354,
+        "lon_value": -78.685,
+        "lon_sec": 1705496097.878354,
+    }
 
 
 def test_multimodal_extract_deterministic(spark):

@@ -229,3 +229,10 @@ def test_snapshot_corrupt_quarantine(spark, tmp_path):
 
     # the plain read silently drops the corrupt snapshot — same good rows
     assert read_snapshot_batch(spark, tape).count() == 1
+
+    # ADVICE r7: a PRIOR call's quarantine frame stays valid after a newer
+    # call (the r6 cache-eviction scheme uncached it, and the pruned
+    # re-read then raised QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    _obs2, q2 = read_snapshot_batch_quarantined(spark, tape)
+    assert q2.count() == 1
+    assert len(quarantine.collect()) == 1

@@ -124,6 +124,50 @@ def test_stream_attribution_equals_batch(spark, tmp_path):
     assert got[5] == (None, None, 9.0)      # unattributed survives
 
 
+def test_attributor_late_future_touch_and_chunked_delivery():
+    """Unit test of the keyed attribution state fn (no Spark needed):
+    (1) a conversion delivered in a LATER micro-batch than a touch whose
+    EVENT time is after the conversion's attributes NULL — the batch
+    twin's strictly-preceding rule (ADVICE r7); (2) one group split
+    across pandas chunks is re-sorted globally, so a conversion chunk
+    arriving before its preceding touch's chunk still attributes."""
+    import pandas as pd
+
+    from airstrik_py_spark.streaming.stateful import make_attributor
+
+    class _State:
+        exists = False
+        hasTimedOut = False
+        _v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    fn = make_attributor(live=False)
+    cols = ["event_id", "us", "event_type", "value"]
+
+    st = _State()
+    b1 = pd.DataFrame([[1, 100, "click", 0.0]], columns=cols)
+    assert list(fn((7,), iter([b1]), st)) == []
+    # late conversion at t=50: the remembered touch (t=100) is in its
+    # future -> NULL attribution, exactly what the batch window computes
+    b2 = pd.DataFrame([[2, 50, "purchase", 9.0]], columns=cols)
+    out = pd.concat(list(fn((7,), iter([b2]), st)))
+    assert pd.isna(out.iloc[0]["touch_id"]) and pd.isna(out.iloc[0]["gap_us"])
+
+    st2 = _State()
+    c1 = pd.DataFrame([[5, 300, "purchase", 1.0]], columns=cols)
+    c2 = pd.DataFrame([[3, 200, "click", 0.0]], columns=cols)
+    out2 = pd.concat(list(fn((7,), iter([c1, c2]), st2)))
+    assert int(out2.iloc[0]["touch_id"]) == 3
+    assert int(out2.iloc[0]["gap_us"]) == 100
+
+
 def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
     """Stream-STREAM watermarked interval join == the same join on static
     frames: every purchase pairs with every same-user click in the

@@ -95,7 +95,9 @@ def _replica(table: pa.Table, name: str, r: int, strides: dict[str, int]) -> pa.
         col = table.column(i)
         owner = KEY_OWNER.get(name, {}).get(field.name)
         if owner is not None:
-            col = pc.add(col, pa.scalar(r * strides[owner], type=field.type))
+            # add_checked: a silent wraparound on a narrow int key column
+            # would corrupt referential integrity — fail loudly instead
+            col = pc.add_checked(col, pa.scalar(r * strides[owner], type=field.type))
         cols[field.name] = col
     if name == "documents":
         tag = f"~{r}"

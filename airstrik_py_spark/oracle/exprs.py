@@ -90,6 +90,79 @@ trips AS (
 )"""
 
 
+_ASOF_ATTRS = (
+    # (name, source column, value expression applied to the fetched row)
+    ("lat", "lat", "s.lat"),
+    ("lon", "lon", "s.lon"),
+    ("alt", "alt_geom", "s.alt_geom"),
+    ("flight", "flight", "replace(s.flight, ' ', '')"),
+    ("dist", "distance", "s.distance"),
+)
+
+
+def asof_ctes() -> str:
+    """OLDEST-wins as-of state per (hex, session_id) — mirrors
+    operators/sessions.py::_asof_struct_before (reference scan quirk
+    airstrik.py:505-508): for each attribute, the value/ts of the FIRST
+    non-null row of the session, NULLed unless that row's ts_sec <=
+    trips.closest_sec.  (Equivalent to min over {rows: non-null, ts <=
+    closest} by (ts, event_id): the session-global first non-null row is
+    that constrained min exactly when its ts qualifies; being the global
+    minimum, if it does not qualify nothing does.)
+
+    Formulated as three plain-aggregate passes (first-ts -> tie-break
+    min event_id at that ts -> singleton value fetch) + the trips gate,
+    NOT as min(struct_pack(...)): DuckDB 1.0.0's sort-key-encoded
+    aggregates (min over STRUCT, arg_min with any key type) allocate
+    pathologically on ~1M-row/500k-group inputs — the six-attribute
+    struct form needed >125 GB at sf1 and OOM-killed the box, while this
+    form runs in bounded memory (measured r8, ROUNDLOG).  first_value /
+    full-frame IGNORE NULLS windows and AS MATERIALIZED CTEs hit the
+    same pathology and are equally avoided here."""
+    ft = ",\n         ".join(
+        f"min(CASE WHEN {src} IS NOT NULL THEN ts_sec END) AS t_{n}"
+        for n, src, _ in _ASOF_ATTRS
+    )
+    fe = ",\n         ".join(
+        f"min(CASE WHEN s.{src} IS NOT NULL AND s.ts_sec = f.t_{n} "
+        f"THEN s.event_id END) AS e_{n}"
+        for n, src, _ in _ASOF_ATTRS
+    ) + ",\n         " + ",\n         ".join(
+        f"min(f.t_{n}) AS t_{n}" for n, _, _ in _ASOF_ATTRS
+    )
+    vals = ",\n         ".join(
+        f"min(CASE WHEN s.event_id = f.e_{n} THEN {vexpr} END) AS v_{n}"
+        for n, _, vexpr in _ASOF_ATTRS
+    ) + ",\n         " + ",\n         ".join(
+        f"min(f.t_{n}) AS t_{n}" for n, _, _ in _ASOF_ATTRS
+    )
+    return f"""
+asof_ft AS (
+  SELECT hex, session_id,
+         {ft}
+  FROM sess GROUP BY hex, session_id),
+asof_fe AS (
+  SELECT s.hex, s.session_id,
+         {fe}
+  FROM sess s JOIN asof_ft f ON s.hex = f.hex AND s.session_id = f.session_id
+  GROUP BY s.hex, s.session_id),
+asof_vals AS (
+  SELECT s.hex, s.session_id,
+         {vals}
+  FROM sess s JOIN asof_fe f ON s.hex = f.hex AND s.session_id = f.session_id
+  GROUP BY s.hex, s.session_id),
+asof_state AS (
+  SELECT t.flight_id AS hex, t.session_id,
+         CASE WHEN v.t_lat <= t.closest_sec THEN v.v_lat END AS asof_lat,
+         CASE WHEN v.t_lon <= t.closest_sec THEN v.v_lon END AS asof_lon,
+         CASE WHEN v.t_alt <= t.closest_sec THEN v.v_alt END AS asof_alt,
+         CASE WHEN v.t_flight <= t.closest_sec THEN v.v_flight END AS asof_flight,
+         CASE WHEN v.t_dist <= t.closest_sec THEN v.v_dist END AS asof_dist,
+         CASE WHEN v.t_dist <= t.closest_sec THEN v.t_dist END AS asof_dist_sec
+  FROM trips t JOIN asof_vals v
+    ON t.flight_id = v.hex AND t.session_id = v.session_id)"""
+
+
 def kin_ctes(home_lat: float = 35.727, home_lon: float = -78.696, lookback_rows: int = 10) -> str:
     """obs -> kin: calc_heading (lag pair), calc_speed (N-row lookback,
     round 4), distance (round 4).  Mirrors operators/kinematics.py

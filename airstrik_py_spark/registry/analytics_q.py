@@ -222,7 +222,8 @@ gr AS (SELECT o_year,
               CAST(sum(rev_units) AS BIGINT) AS total_units
        FROM j GROUP BY o_year)
 SELECT o_year, nation_units, total_units,
-       CAST((2 * (nation_units * 1000000) + total_units) // (2 * total_units)
+       CAST((2 * (CAST(nation_units AS HUGEINT) * 1000000) + total_units)
+            // (2 * CAST(total_units AS HUGEINT))
             AS DOUBLE) / 1e6 AS mkt_share
 FROM gr
 """,
@@ -244,8 +245,9 @@ cum AS (SELECT r_name, month, month_cents,
 tot AS (SELECT r_name, CAST(sum(month_cents) AS BIGINT) AS region_cents
         FROM monthly GROUP BY r_name)
 SELECT c.r_name, c.month, c.month_cents, c.cum_cents,
-       CAST((2 * (c.cum_cents * 1000000) + t.region_cents)
-            // (2 * t.region_cents) AS DOUBLE) / 1e6 AS cum_share
+       CAST((2 * (CAST(c.cum_cents AS HUGEINT) * 1000000) + t.region_cents)
+            // (2 * CAST(t.region_cents AS HUGEINT))
+            AS DOUBLE) / 1e6 AS cum_share
 FROM cum c JOIN tot t ON c.r_name = t.r_name
 """,
     "events_new_vs_returning": """
@@ -269,7 +271,8 @@ g2 AS (SELECT day, CAST(count(*) AS BIGINT) AS n_sessions,
               CAST(sum(b) AS BIGINT) AS n_bounces
        FROM d GROUP BY day)
 SELECT day, n_sessions, n_bounces,
-       CAST((2 * (n_bounces * 1000000) + n_sessions) // (2 * n_sessions)
+       CAST((2 * (CAST(n_bounces AS HUGEINT) * 1000000) + n_sessions)
+            // (2 * CAST(n_sessions AS HUGEINT))
             AS DOUBLE) / 1e6 AS bounce_rate
 FROM g2
 """,

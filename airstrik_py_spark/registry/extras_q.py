@@ -314,8 +314,14 @@ def _lr_body() -> tuple[str, str]:
     )
 
     def ha(num: str, den: str) -> str:
-        # round-half-away integer division, num >= 0
-        return f"CAST((2 * ({num}) + ({den})) // (2 * ({den})) AS BIGINT)"
+        # round-half-away integer division, num >= 0.  HUGEINT interior:
+        # the 2* doubling overflowed BIGINT at sf1 corpus sums (the
+        # engine-side ha_micro is decimal(38,0) — this is its int128
+        # mirror); output cast keeps the column BIGINT for the lint.
+        return (
+            f"CAST((2 * CAST({num} AS HUGEINT) + ({den}))"
+            f" // (2 * CAST({den} AS HUGEINT)) AS BIGINT)"
+        )
 
     def ha_signed(num: str, den: str) -> str:
         return (
@@ -1221,7 +1227,8 @@ g AS (SELECT CAST(sum(CASE WHEN is_promo THEN rev_units ELSE 0 END) AS BIGINT)
              CAST(sum(rev_units) AS BIGINT) AS total_units
       FROM j)
 SELECT promo_units, total_units,
-       CAST((2 * (promo_units * 1000000) + total_units) // (2 * total_units)
+       CAST((2 * (CAST(promo_units AS HUGEINT) * 1000000) + total_units)
+            // (2 * CAST(total_units AS HUGEINT))
             AS DOUBLE) / 1e6 AS promo_share
 FROM g
 """,
@@ -1283,9 +1290,11 @@ g AS (SELECT l_returnflag, l_linestatus,
       FROM li GROUP BY l_returnflag, l_linestatus)
 SELECT l_returnflag, l_linestatus, sum_qty, sum_base_cents,
        sum_disc_price_units, sum_charge_units,
-       CAST((2 * (sum_qty * 1000000) + n_rows) // (2 * n_rows) AS DOUBLE) / 1e6
+       CAST((2 * (CAST(sum_qty AS HUGEINT) * 1000000) + n_rows)
+            // (2 * CAST(n_rows AS HUGEINT)) AS DOUBLE) / 1e6
          AS avg_qty,
-       CAST((2 * (sum_disc_pct * 1000000) + n_rows) // (2 * n_rows) AS DOUBLE) / 1e6
+       CAST((2 * (CAST(sum_disc_pct AS HUGEINT) * 1000000) + n_rows)
+            // (2 * CAST(n_rows AS HUGEINT)) AS DOUBLE) / 1e6
          AS avg_disc_pct,
        n_rows
 FROM g

@@ -11,7 +11,7 @@ from airstrik_py_spark.config import TESTDATA
 from airstrik_py_spark.operators import alarm as AL
 from airstrik_py_spark.operators import kinematics as K
 from airstrik_py_spark.operators import sessions as S
-from airstrik_py_spark.oracle.exprs import session_ctes
+from airstrik_py_spark.oracle.exprs import asof_ctes, session_ctes
 from airstrik_py_spark.registry.kinematics_q import TS_FMT_DUCK, TS_FMT_SPARK
 from airstrik_py_spark.session import pin_session
 from airstrik_py_spark.sources.tables import observations
@@ -184,24 +184,10 @@ _MATCHED_SQL = (
 
 # OLDEST-wins as-of (min-struct): mirrors operators/sessions.py::
 # _asof_struct_before (reference scan quirk airstrik.py:505-508).
-_ASOF_CTE = f"""
-asof_state AS (
-  SELECT s.hex, s.session_id,
-         (min(CASE WHEN s.lat IS NOT NULL AND s.ts_sec <= t.closest_sec
-              THEN struct_pack(t := s.ts_sec, e := s.event_id, v := s.lat) END)).v AS asof_lat,
-         (min(CASE WHEN s.lon IS NOT NULL AND s.ts_sec <= t.closest_sec
-              THEN struct_pack(t := s.ts_sec, e := s.event_id, v := s.lon) END)).v AS asof_lon,
-         (min(CASE WHEN s.alt_geom IS NOT NULL AND s.ts_sec <= t.closest_sec
-              THEN struct_pack(t := s.ts_sec, e := s.event_id, v := s.alt_geom) END)).v AS asof_alt,
-         (min(CASE WHEN s.flight IS NOT NULL AND s.ts_sec <= t.closest_sec
-              THEN struct_pack(t := s.ts_sec, e := s.event_id, v := replace(s.flight, ' ', '')) END)).v AS asof_flight,
-         (min(CASE WHEN s.distance IS NOT NULL AND s.ts_sec <= t.closest_sec
-              THEN struct_pack(t := s.ts_sec, e := s.event_id, v := s.distance) END)).v AS asof_dist,
-         (min(CASE WHEN s.distance IS NOT NULL AND s.ts_sec <= t.closest_sec
-              THEN struct_pack(t := s.ts_sec, e := s.event_id, v := s.distance) END)).t AS asof_dist_sec
-  FROM sess s JOIN trips t ON s.hex = t.flight_id AND s.session_id = t.session_id
-  GROUP BY s.hex, s.session_id
-)"""
+# OLDEST-wins as-of state: shared lean formulation (oracle/exprs.py::
+# asof_ctes — the r8 rewrite away from min(struct_pack), which OOM'd
+# DuckDB 1.0.0 at sf1; semantics identical, see its docstring).
+_ASOF_CTE = asof_ctes().lstrip("\n")
 
 QUERIES = {
     "window_session_trip": q_window_session_trip,

@@ -14,6 +14,7 @@ from airstrik_py_spark.operators import sessions as S
 from airstrik_py_spark.operators.decimation import decimate
 from airstrik_py_spark.operators.search import search_planes
 from airstrik_py_spark.oracle.exprs import (
+    asof_ctes,
     dead_reckoning_ctes,
     kin_ctes,
     session_ctes,
@@ -242,26 +243,11 @@ QUERIES = {
     # rotation queues it for a driver window until its first hash-green row
 }
 
-# OLDEST-wins as-of (min-struct) — mirrors operators/sessions.py::
-# _asof_struct_before (reference scan quirk airstrik.py:505-508).
-_ASOF = """
-asof_state AS (
-  SELECT s.hex, s.session_id,
-         (min(CASE WHEN s.lat IS NOT NULL AND s.ts_sec <= t.closest_sec
-              THEN struct_pack(t := s.ts_sec, e := s.event_id, v := s.lat) END)).v AS asof_lat,
-         (min(CASE WHEN s.lon IS NOT NULL AND s.ts_sec <= t.closest_sec
-              THEN struct_pack(t := s.ts_sec, e := s.event_id, v := s.lon) END)).v AS asof_lon,
-         (min(CASE WHEN s.alt_geom IS NOT NULL AND s.ts_sec <= t.closest_sec
-              THEN struct_pack(t := s.ts_sec, e := s.event_id, v := s.alt_geom) END)).v AS asof_alt,
-         (min(CASE WHEN s.flight IS NOT NULL AND s.ts_sec <= t.closest_sec
-              THEN struct_pack(t := s.ts_sec, e := s.event_id, v := replace(s.flight, ' ', '')) END)).v AS asof_flight,
-         (min(CASE WHEN s.distance IS NOT NULL AND s.ts_sec <= t.closest_sec
-              THEN struct_pack(t := s.ts_sec, e := s.event_id, v := s.distance) END)).v AS asof_dist,
-         (min(CASE WHEN s.distance IS NOT NULL AND s.ts_sec <= t.closest_sec
-              THEN struct_pack(t := s.ts_sec, e := s.event_id, v := s.distance) END)).t AS asof_dist_sec
-  FROM sess s JOIN trips t ON s.hex = t.flight_id AND s.session_id = t.session_id
-  GROUP BY s.hex, s.session_id
-),
+# OLDEST-wins as-of (shared lean formulation, oracle/exprs.py::asof_ctes
+# — mirrors operators/sessions.py::_asof_struct_before, reference scan
+# quirk airstrik.py:505-508; see asof_ctes' docstring for why the
+# min(struct_pack) form was retired in r8).
+_ASOF = asof_ctes().lstrip("\n") + """,
 assembled AS (
   SELECT t.*, a.asof_lat, a.asof_lon, a.asof_alt, a.asof_dist, a.asof_dist_sec,
          coalesce(a.asof_flight, n.n_name || ' (p)') AS trip_name

@@ -50,6 +50,12 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     duck = duckdb.connect()
+    # Hard cap the oracle engine: DuckDB's default (80% of RAM) let a
+    # pathological plan (1.0.0 sort-key aggregates, r8 asof finding) grow
+    # to 125 GB and OOM-KILL the whole box, taking the Spark JVM with it.
+    # With a cap, a runaway oracle raises OutOfMemoryException and is
+    # reported as a normal FAIL instead.
+    duck.execute("SET memory_limit='48GB'")
     for t in TABLES:
         duck.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"

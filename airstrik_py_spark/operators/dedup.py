@@ -20,9 +20,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 MINHASH_K = 6  # 6 hashes -> 3 LSH bands of 2
-SIMHASH_BITS = 16
-SIMHASH_BLOCKS = 4  # 4 blocks of 4 bits; hamming<=3 => >=1 shared block
-HEX_ONES = "89abcdef"  # md5 hex chars whose high bit is 1
+SIMHASH_BITS = 64  # Manku et al. WWW'07 config: f=64, k=3
+SIMHASH_BLOCKS = 4  # 4 blocks of 16 bits; hamming<=3 => >=1 shared block
+# md5 hex-char sets whose nibble has bit (3-i) set: bit j of the signature
+# reads nibble j//4, bit position j%4.  16-bit blocks give 65536 bucket
+# values per block — the r8 sf1 sweep measured the old 4-bit blocks (16
+# values) collapsing 50k docs into ~3k-doc buckets, i.e. ~300M candidate
+# pairs: quadratic in corpus size.  Bits must grow with the corpus; 64 is
+# the published production width.
+HEX_BIT_SETS = ("89abcdef", "4567cdef", "2367abef", "13579bdf")
 
 
 def _shingle_array(text: Column, n: int = 3) -> Column:
@@ -138,13 +144,15 @@ def lsh_candidate_pairs(docs: DataFrame, k: int = MINHASH_K, rows_per_band: int 
 
 
 def simhash_signature(docs: DataFrame) -> DataFrame:
-    """16-bit SimHash over whitespace tokens: bit j set when the sum over
-    token occurrences of ±1 (md5 nibble j high bit) is positive."""
+    """64-bit SimHash over whitespace tokens: bit j set when the sum over
+    token occurrences of ±1 (bit j%4 of md5 nibble j//4) is positive."""
     tok = _spread(docs).select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     tok = tok.withColumn("h", F.md5("tok"))
     bit_sums = [
         F.sum(
-            F.when(F.substring("h", j + 1, 1).isin(*list(HEX_ONES)), 1).otherwise(-1)
+            F.when(
+                F.substring("h", j // 4 + 1, 1).isin(*list(HEX_BIT_SETS[j % 4])), 1
+            ).otherwise(-1)
         ).alias(f"s{j}")
         for j in range(SIMHASH_BITS)
     ]
@@ -157,7 +165,11 @@ def simhash_signature(docs: DataFrame) -> DataFrame:
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs at hamming <= max_hamming, via block-bucketed joins
-    (share >= 1 of the 4 4-bit blocks — pigeonhole-complete for hamming<=3)."""
+    (share >= 1 of the 4 16-bit blocks — pigeonhole-complete for
+    hamming<=3).  Bucket work is Sum(bucket^2) over 65536 values per
+    block: linear until corpora approach ~10^6 docs per bucket value, at
+    which point SIMHASH_BITS grows (bits scale with log2 of corpus —
+    same rule as SRP_BITS, SCALE.md)."""
     sig = simhash_signature(docs)
     block_w = SIMHASH_BITS // SIMHASH_BLOCKS
     blocks = F.array(

@@ -54,17 +54,23 @@ sh AS (
         FROM dwords))
 """
 
+# 64-bit simhash mirror (operators/dedup.py HEX_BIT_SETS): bit j reads
+# bit j%4 of md5 nibble j//4
+_HEX_BIT_SETS = ("89abcdef", "4567cdef", "2367abef", "13579bdf")
 _SIMHASH_SUMS = ", ".join(
-    "sum(CASE WHEN substr(h, {p}, 1) IN ('8','9','a','b','c','d','e','f') "
-    "THEN 1 ELSE -1 END) AS s{j}".format(p=j + 1, j=j)
-    for j in range(16)
+    "sum(CASE WHEN substr(h, {p}, 1) IN ({chars}) THEN 1 ELSE -1 END) AS s{j}".format(
+        p=j // 4 + 1,
+        chars=", ".join(f"'{c}'" for c in _HEX_BIT_SETS[j % 4]),
+        j=j,
+    )
+    for j in range(64)
 )
 _SIMHASH_SIG = " || ".join(
-    f"(CASE WHEN s{j} > 0 THEN '1' ELSE '0' END)" for j in range(16)
+    f"(CASE WHEN s{j} > 0 THEN '1' ELSE '0' END)" for j in range(64)
 )
 _HAMMING = " + ".join(
     f"(CASE WHEN substr(a.sig, {j + 1}, 1) <> substr(b.sig, {j + 1}, 1) THEN 1 ELSE 0 END)"
-    for j in range(16)
+    for j in range(64)
 )
 
 
@@ -124,8 +130,8 @@ def q_dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-16 near-dup pairs at hamming <= 3 via 4-block pigeonhole
-    bucketing."""
+    """SimHash-64 near-dup pairs at hamming <= 3 via 4-block (16-bit)
+    pigeonhole bucketing."""
     pin_session(spark)
     return D.simhash_pairs(load_table(spark, sf_dir, "documents"))
 
@@ -233,7 +239,7 @@ WITH tok AS (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM docum
 sums AS (SELECT doc_id, {_SIMHASH_SUMS} FROM tok GROUP BY doc_id),
 sig AS (SELECT doc_id, {_SIMHASH_SIG} AS sig FROM sums),
 blocks AS (
-  SELECT doc_id, sig, b.blk, substr(sig, b.blk * 4 + 1, 4) AS bval
+  SELECT doc_id, sig, b.blk, substr(sig, b.blk * 16 + 1, 16) AS bval
   FROM sig, (SELECT unnest([0, 1, 2, 3]) AS blk) b),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS asig, b.sig AS bsig

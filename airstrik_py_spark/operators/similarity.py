@@ -76,10 +76,12 @@ def cosine_dup_pairs(
     `bands`/`bits` set the recall/candidate-volume operating point
     (RECALL.md measures both on the fixture): 8 bands x 8 bits is the
     cheap high-threshold default (pair recall 0.27 at threshold 0.4,
-    ~3.9k candidate pairs); 16 bands x 4 bits (`dedup_embedding_cosine_hi`)
-    reaches 0.966 recall at the same threshold for ~21x the candidate
-    volume (~81k pairs) — the knob VERDICT r2 asked to register as a
-    first-class slug."""
+    ~3.9k candidate pairs).  Do NOT chase recall by SHRINKING bits: the
+    former 16x4 "hi" point (0.966 recall, ~81k pairs at sf0.01) has only
+    16 bucket values per band, which is ~64% of ALL pairs colliding — the
+    r8 sf1 sweep caught it going quadratic, and the rho = 0.66 LSH gap at
+    t=0.4 means no banding fixes that (see cosine_topk_pairs, the
+    scale-valid replacement contract)."""
     base = embedding_bucket_store(emb, bands, bits)
     a = base.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("va"), "band", "bkey")
     b = base.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"), "band", "bkey")
@@ -155,6 +157,91 @@ def cosine_dups_incremental(
         .withColumn("cos", cos)
         .filter(F.col("cos") >= F.lit(threshold))
         .select("new_vec_id", "corpus_vec_id", "cos")
+    )
+
+
+# --- multi-probe banded top-k pair ranking (the scale-valid "hi" lane) ---
+#
+# r8 sf1 finding: the former dedup_embedding_cosine_hi operating point
+# (16 bands x 4 sign bits) has only 16 bucket values per band, so a RANDOM
+# pair band-collides with prob 1-(15/16)^16 ~= 0.64 — effectively all-pairs
+# at every scale (the sf1 sweep ground >18 min before being killed; same
+# fixed-bucket-count pathology the 16-bit simhash config had).  The deeper
+# wall is information-theoretic: at the registered threshold 0.4 on an
+# isotropic corpus, p1 = 1-acos(0.4)/pi = 0.631 vs p2 = 0.5 for random
+# pairs, so the LSH exponent rho = ln(1/p1)/ln(1/p2) = 0.66 — NO banding
+# reaches high recall at t=0.4 in under ~N^1.66 candidate work.  High-recall
+# low-threshold pair mining is ann_bruteforce / knn_graph territory;
+# the scale-valid "hi" contract is instead: WIDE bands (16 bits -> 65536
+# buckets, bounded occupancy) + Hamming<=2 multi-probe (137 masks) + exact
+# cosine re-rank + deterministic global top-k — candidate volume is a
+# measured ~0.8% of all pairs on the isotropic fixture and Sum(bucket^2)
+# bounded in general, never a constant fraction forced by recall.
+COSINE_TOPK_BANDS = 4  # 4 bands x 16 bits = the full 64-dim sign pattern
+COSINE_TOPK_BITS = 16
+COSINE_TOPK_PROBE = 2  # Hamming radius: 1 + 16 + 120 = 137 probe masks
+COSINE_TOPK_K = 100
+
+
+def srp_band_key_int(vec: Column, band: Column, bits: int) -> Column:
+    """Integer band key: bit i set when dim band*bits+i+1 >= 0 (same sign
+    convention as srp_band_key's string form; NULL/short vectors read 0).
+    Integer keys make Hamming-probing a bitwiseXOR, mirrored by DuckDB
+    xor() in the oracle."""
+    key = F.lit(0)
+    for i in range(bits):
+        key = key + F.when(
+            F.try_element_at(vec, band * F.lit(bits) + F.lit(i + 1)) >= 0.0,
+            F.lit(1 << i),
+        ).otherwise(F.lit(0))
+    return key
+
+
+def cosine_topk_pairs(
+    emb: DataFrame,
+    k: int = COSINE_TOPK_K,
+    bands: int = COSINE_TOPK_BANDS,
+    bits: int = COSINE_TOPK_BITS,
+    probe_hamming: int = COSINE_TOPK_PROBE,
+) -> DataFrame:
+    """Top-k most-cosine-similar pairs among multi-probe banded candidates:
+    vectors whose 16-bit band keys are within Hamming `probe_hamming` in ANY
+    band are candidates; exact cosine re-ranks them; output is the global
+    top-k by (rounded cos DESC, id_a, id_b) — a deterministic total order,
+    so the k-boundary is stable across engines.
+
+    Scale shape: the band join is an equi-join on (band, probed-key) with
+    2^bits buckets per band, so candidate work is probes x Sum(bucket^2),
+    never a recall-forced constant fraction of N^2 (see the module comment
+    above on why high recall AT low thresholds cannot be subquadratic).
+    The probe explosion carries only (vec_id, band, bkey) — vectors are
+    re-attached to the surviving DISTINCT pairs by two id equi-joins, so
+    the 137x fan-out moves 12-byte rows, not 512-byte vectors.  Global
+    top-k with small k is a TakeOrdered, not a full sort."""
+    v = _with_vec(emb).select("vec_id", "vec")
+    keyed = (
+        v.withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))))
+        .withColumn("bkey", srp_band_key_int(F.col("vec"), F.col("band"), bits))
+        .select("vec_id", "band", "bkey")
+    )
+    masks = srp_probe_masks(probe_hamming, bits)
+    probes = keyed.withColumn(
+        "bkey", F.explode(F.array(*[F.col("bkey").bitwiseXOR(F.lit(m)) for m in masks]))
+    )
+    cand = (
+        probes.select(F.col("vec_id").alias("id_a"), "band", "bkey")
+        .join(keyed.select(F.col("vec_id").alias("id_b"), "band", "bkey"), ["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return (
+        cand.join(v.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("va")), "id_a")
+        .join(v.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vb")), "id_b")
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .orderBy(F.desc("cos"), "id_a", "id_b")
+        .limit(k)
+        .select("id_a", "id_b", "cos")
     )
 
 

@@ -13,6 +13,7 @@ from airstrik_py_spark.operators.similarity import (
     EMB_INCR_SPLIT,
     cosine_dup_pairs,
     cosine_dups_incremental,
+    cosine_topk_pairs,
     embedding_bucket_store,
 )
 from airstrik_py_spark.session import pin_session
@@ -22,12 +23,15 @@ JACCARD_THRESHOLD = 0.1
 COSINE_THRESHOLD = 0.4
 _COS_BANDS = 8
 _COS_BITS = 8
-# tight-banding operating point (VERDICT r2 #3): 16 bands x 4 sign bits
-# reaches measured 0.966 pair recall at threshold 0.4 (p_agree^4 per band,
-# 16 chances — RECALL.md) for ~21x the candidate volume — same equi-join
-# shape, never all-pairs
-_COS_BANDS_HI = 16
-_COS_BITS_HI = 4
+# "hi" lane operating point (redesigned r8 after the sf1 sweep caught the
+# former 16 bands x 4 bits config going quadratic — 16 bucket values/band
+# collide ~64% of ALL pairs; see operators/similarity.py cosine_topk_pairs
+# for the rho = 0.66 LSH-gap math): wide 16-bit bands + Hamming<=2
+# multi-probe + exact-cosine global top-k
+_COS_TOPK_BANDS = 4
+_COS_TOPK_BITS = 16
+_COS_TOPK_PROBE = 2
+_COS_TOPK_K = 100
 
 
 def _cos_band_key(bits: int) -> str:
@@ -37,6 +41,22 @@ def _cos_band_key(bits: int) -> str:
         f"(CASE WHEN v[b.band * {bits} + {i + 1}] >= 0 THEN '1' ELSE '0' END)"
         for i in range(bits)
     )
+
+
+def _cos_band_key_int(bits: int) -> str:
+    # integer form of the same key (mirrors srp_band_key_int): bit i set
+    # when dim band*bits+i+1 >= 0; NULL (past-end) -> ELSE 0
+    return "(" + " + ".join(
+        f"(CASE WHEN v[b.band * {bits} + {i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
+    ) + ")"
+
+
+# Hamming<=2 probe masks over 16-bit keys — the same literal list
+# srp_probe_masks(2, 16) feeds the Spark side
+_COS_TOPK_MASKS = "[" + ", ".join(
+    str(m) for m in range(1 << 16) if bin(m).count("1") <= 2
+) + "]"
 
 
 _COS_BAND_KEY = _cos_band_key(_COS_BITS)
@@ -151,17 +171,16 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_embedding_cosine_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tight-banding embedding-cosine near-dup pairs: 16 bands x 4 sign
-    bits — measured 0.966 banded pair recall AT the registered threshold
-    0.4 (vs 0.271 for the 8x8 default, RECALL.md), ~21x candidate volume,
-    same bucket-equi-join scale contract."""
+    """High-fidelity embedding pair ranking: 4 bands x 16 sign bits with
+    Hamming<=2 multi-probe (137 masks) candidate generation, exact cosine
+    re-rank, deterministic global top-100 by (rounded cos DESC, id_a,
+    id_b).  Replaces the r2 16x4 tight-banding point, which the r8 sf1
+    sweep caught colliding ~64% of all pairs (quadratic at every scale) —
+    and the rho = 0.66 LSH gap at threshold 0.4 means no recall-chasing
+    banding can be subquadratic there (operators/similarity.py
+    cosine_topk_pairs docstring has the math)."""
     pin_session(spark)
-    return cosine_dup_pairs(
-        load_table(spark, sf_dir, "embeddings"),
-        COSINE_THRESHOLD,
-        bands=_COS_BANDS_HI,
-        bits=_COS_BITS_HI,
-    )
+    return cosine_topk_pairs(load_table(spark, sf_dir, "embeddings"), k=_COS_TOPK_K)
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -303,21 +322,28 @@ WHERE n.vec_id >= {EMB_INCR_SPLIT} AND c.vec_id < {EMB_INCR_SPLIT}
   AND round(list_dot_product(n.v, c.v)
             / (sqrt(list_dot_product(n.v, n.v)) * sqrt(list_dot_product(c.v, c.v))), 4) >= {COSINE_THRESHOLD}
 """,
-    # Same operator at the tight 16x4 operating point — mirrors
-    # cosine_dup_pairs(bands=16, bits=4)
+    # Multi-probe top-k mirror of cosine_topk_pairs: integer 16-bit band
+    # keys (bit i = sign of dim band*16+i+1, same convention as the string
+    # keys), probe side XORs every Hamming<=2 mask, DISTINCT candidate
+    # pairs re-ranked by exact cosine, deterministic top-100
     "dedup_embedding_cosine_hi": f"""
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),
-banded AS (
-  SELECT vec_id, v, b.band, {_cos_band_key(_COS_BITS_HI)} AS bkey
-  FROM e, (SELECT unnest(range(0, {_COS_BANDS_HI})) AS band) b)
-SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_dot_product(a.v, b.v)
-             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
-FROM banded a JOIN banded b
-  ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
-WHERE round(list_dot_product(a.v, b.v)
-            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= {COSINE_THRESHOLD}
+keyed AS (
+  SELECT vec_id, b.band, {_cos_band_key_int(_COS_TOPK_BITS)} AS bkey
+  FROM e, (SELECT unnest(range(0, {_COS_TOPK_BANDS})) AS band) b),
+probes AS (
+  SELECT vec_id, band, xor(bkey, m.m) AS bkey
+  FROM keyed, (SELECT unnest({_COS_TOPK_MASKS}) AS m) m),
+cand AS (
+  SELECT DISTINCT p.vec_id AS id_a, k.vec_id AS id_b
+  FROM probes p JOIN keyed k ON p.band = k.band AND p.bkey = k.bkey
+  WHERE p.vec_id < k.vec_id)
+SELECT c.id_a, c.id_b,
+       round(list_dot_product(ea.v, eb.v)
+             / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 4) AS cos
+FROM cand c JOIN e ea ON ea.vec_id = c.id_a JOIN e eb ON eb.vec_id = c.id_b
+ORDER BY cos DESC, c.id_a, c.id_b LIMIT {_COS_TOPK_K}
 """,
     # Same MinHash band CTEs as dedup_minhash_lsh, then connected components
     # as a recursive-CTE transitive closure (UNION-dedup recursion reaches

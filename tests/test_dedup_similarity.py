@@ -99,6 +99,32 @@ def test_cosine_dup_pairs(spark):
     assert out[(0, 2)] > 0.99
 
 
+def test_cosine_topk_pairs(spark):
+    """Multi-probe top-k: the identical pair ranks first at cos 1.0, the
+    near pair follows, output is capped at k, and Hamming<=2 probing finds
+    the near pair even though its sign pattern differs from an exact
+    single-probe band match (dims 2 of vec 2 flip the band-0 key vs vec 0
+    only when a sign bit differs — the probe radius covers it)."""
+    rows = SIM.cosine_topk_pairs(_vecs(spark), k=3).collect()
+    assert len(rows) == 3
+    assert (rows[0]["id_a"], rows[0]["id_b"], rows[0]["cos"]) == (0, 1, 1.0)
+    ranked = [(r["id_a"], r["id_b"]) for r in rows]
+    assert ranked == sorted(ranked, key=lambda p: (-dict(
+        ((r["id_a"], r["id_b"]), r["cos"]) for r in rows)[p], p[0], p[1]))
+    assert (0, 2) in ranked  # near pair survives candidate generation
+
+
+def test_cosine_topk_pairs_plan_is_bucketed(spark):
+    """The probe join must stay an equi-join on (band, probed key) — the
+    137x probe fan-out must never degenerate to a cartesian."""
+    plan = (
+        SIM.cosine_topk_pairs(_vecs(spark), k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_ann_bruteforce_ranks(spark):
     out = SIM.ann_bruteforce(_vecs(spark), n_queries=1, k=3).collect()
     ranked = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]

@@ -530,25 +530,45 @@ def knn_graph(
     and the join is an equi-join on the integer signature, so total work is
     sum over buckets of 9 * |bucket|^2 — bucket occupancy, never N^2.
     Sources whose probed buckets hold no other vector simply emit no edges
-    (an honest property of LSH graphs; raise probe_hamming to densify)."""
+    (an honest property of LSH graphs; raise probe_hamming to densify).
+    With the fixed 8-bit signature, occupancy is N/256 — the production
+    knob is bits ~= log2(N / target_occupancy), same rule as every bucket
+    lane in SCALE.md §3.
+
+    r8 sf1 restructure (same output, new plan): the old shape carried both
+    512-byte vectors through the bucket join and computed every candidate
+    cosine inside the join stage — and because AQE sizes post-shuffle
+    partitions by the SMALL join input, the 1755x-fan-out output (87 M
+    cosines at sf1) landed in ONE task (observed: a single core pegged for
+    ~20 min).  Now the bucket join moves only (id, bucket) rows, the probe
+    side is pinned to shuffle-partition-count partitions (explicit
+    repartition — AQE never coalesces a user numPartitions), and vectors
+    re-attach to the candidate pairs by id equi-joins, which hash-spread
+    the cosine re-rank across the cluster no matter how few buckets the
+    signature has."""
     from pyspark.sql import Window
 
+    n_part = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     base = _with_vec(emb).withColumn("sig", srp_signature(F.col("vec")))
     masks = srp_probe_masks(probe_hamming)
-    probes = base.select(
-        F.col("vec_id").alias("src_id"), F.col("vec").alias("qv"), "sig"
-    ).withColumn(
-        "bucket",
-        F.explode(F.array(*[F.col("sig").bitwiseXOR(F.lit(m)) for m in masks])),
-    ).drop("sig")
-    c = base.select(
-        F.col("vec_id").alias("dst_id"), F.col("vec").alias("cv"),
-        F.col("sig").alias("bucket"),
+    probes = (
+        base.select(F.col("vec_id").alias("src_id"), "sig")
+        .withColumn(
+            "bucket",
+            F.explode(F.array(*[F.col("sig").bitwiseXOR(F.lit(m)) for m in masks])),
+        )
+        .drop("sig")
+        .repartition(n_part)
     )
+    c = base.select(F.col("vec_id").alias("dst_id"), F.col("sig").alias("bucket"))
+    cand = probes.join(c, "bucket").filter(F.col("src_id") != F.col("dst_id"))
+    v = base.select("vec_id", "vec")
     scored = (
-        probes.join(c, "bucket")
-        .filter(F.col("src_id") != F.col("dst_id"))
+        cand.select("src_id", "dst_id")
+        .join(v.select(F.col("vec_id").alias("src_id"), F.col("vec").alias("qv")), "src_id")
+        .join(v.select(F.col("vec_id").alias("dst_id"), F.col("vec").alias("cv")), "dst_id")
         .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 4))
+        .select("src_id", "dst_id", "cos")
     )
     w = Window.partitionBy("src_id").orderBy(F.col("cos").desc(), F.col("dst_id").asc())
     return (

@@ -427,9 +427,13 @@ QUALIFY rank <= {TOP_K}
 WITH {_KNN_CTES}
 SELECT src_id, dst_id, cos, rank FROM knn
 """,
+    # pe MUST be MATERIALIZED: DuckDB inlines plain CTEs, so the recursive
+    # reach term would re-evaluate the entire knn pipeline (an 87 M-pair
+    # bucket join at sf1) on every reference — observed 38 min / 51 GB
+    # before the r8 fix vs ~2 min materialized
     "dedup_semantic": f"""
 WITH RECURSIVE {_KNN_CTES},
-pe AS (
+pe AS MATERIALIZED (
   SELECT src_id AS src, dst_id AS dst FROM knn WHERE cos >= {SIM.SEM_THRESHOLD}
   UNION
   SELECT dst_id AS src, src_id AS dst FROM knn WHERE cos >= {SIM.SEM_THRESHOLD}),

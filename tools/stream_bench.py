@@ -151,10 +151,24 @@ def main() -> None:
             stream_touch_conversion_pairs,
         )
 
-        results["stream_ss_interval_join"] = (
-            n_ev,
-            _drain(lambda: stream_touch_conversion_pairs(ev_stream())),
-        )
+        # r8 profile (tools/profile_ssjoin.py): this lane's cost is NOT the
+        # join — it is per-partition state-store COMMIT overhead (the
+        # symmetric join keeps keyed stores on BOTH sides, snapshotted per
+        # partition per micro-batch; cumulative stateCommitMs 52 s of an
+        # 8.3 s wall at 32 partitions).  8 partitions ran 3.4x faster
+        # (2.45 s, 40.8 k rows/s) on identical results; RocksDB and a
+        # tighter watermark moved nothing.  Size state partitions to state
+        # VOLUME (~40 k rows here), not to CPU count — at production state
+        # sizes the 32+ partitions win back their keep.
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            results["stream_ss_interval_join"] = (
+                n_ev,
+                _drain(lambda: stream_touch_conversion_pairs(ev_stream())),
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
         # Document ingest dedup: even doc_ids play the accepted corpus
         # (static digest side), odd doc_ids arrive as the stream.
@@ -327,7 +341,15 @@ def main() -> None:
             "symmetric hash join (click x purchase pairs within 1 h) —",
             "its input column counts BOTH streams' rows once (one tape",
             "feeds both sides), and its state is the watermark-pruned",
-            "click/purchase buffers.",
+            "click/purchase buffers.  It runs at 8 state partitions since",
+            "r8: tools/profile_ssjoin.py isolated the old 10.9 k rows/s to",
+            "per-partition state-store COMMIT overhead (both sides keep",
+            "keyed stores, snapshotted per partition per micro-batch —",
+            "cumulative stateCommitMs was 52 s of an 8.3 s wall at 32",
+            "partitions; 8 partitions ran the identical query 3.4x faster,",
+            "RocksDB and a tighter watermark moved nothing).  Size state",
+            "partitions to state VOLUME, not CPU count — at production",
+            "state sizes more partitions win back their keep.",
             "State shards",
             "by key on a cluster — rate scales with executors until the",
             "state store saturates.",

@@ -205,7 +205,16 @@ def stream_touch_conversion_pairs(
     (tests/test_streaming_events.py) — at batch scale the binned
     equi-join (events.py::preceding_window_counts) is the scale shape;
     the streaming join IS the binned form internally (symmetric hash
-    join keyed on user, state pruned by watermark)."""
+    join keyed on user, state pruned by watermark).
+
+    Deployment note (r8, tools/profile_ssjoin.py): size
+    spark.sql.shuffle.partitions to state VOLUME, not CPU count — the
+    join keeps keyed stores on BOTH sides, each snapshotted per
+    partition per micro-batch, so at small state the commit overhead
+    dominates (32 partitions spent 52 s of cumulative stateCommitMs
+    inside an 8.3 s drain; 8 partitions ran the same tape 3.4× faster).
+    The partition count binds at first query start and is sticky in the
+    checkpoint."""
     clicks = (
         events.filter(F.col("event_type") == "click")
         .select(

@@ -65,9 +65,9 @@ def cosine_dup_pairs(
     for true near-dups (cos >= 0.9), but it decays fast below that — at the
     t2-registered threshold 0.4 (p_agree ~= 0.63 on isotropic data) only
     ~18% of threshold-level pairs band-collide.  That tradeoff is inherent
-    to candidate-based dedup: tighten it with narrower bands (bits=4,
-    bands=16 -> ~0.94 recall at cos 0.4, at ~16x the candidate volume), or
-    run ann_bruteforce as the exact re-rank when the pair budget allows.
+    to candidate-based dedup (and NOT fixable by narrower bands — see the
+    paragraph below): run ann_bruteforce as the exact re-rank when the
+    pair budget allows, or use cosine_topk_pairs' multi-probe contract.
     The DuckDB oracle mirrors the banding, so t2 checks the OPERATOR's
     contract (candidates-then-exact), not all-pairs ground truth.
     Round-then-threshold keeps the verdict stable across engines' last-ulp
@@ -301,12 +301,21 @@ def _dot_fixed(vec: Column, w: list) -> Column:
     )
 
 
-def srp_signature(vec: Column) -> Column:
+def srp_signature(vec: Column, bits: int = SRP_BITS) -> Column:
     """Integer SRP signature: bit j set when <v, w_j> >= 0 for the j-th
     deterministic random hyperplane.  Random (not axis-aligned) hyperplanes
-    make the bits cosine-sensitive on real, non-isotropic corpora."""
+    make the bits cosine-sensitive on real, non-isotropic corpora.
+
+    `bits` is THE scale knob for every signature-bucketed lane (knn_graph,
+    ann_srp_lsh): bucket count is 2^bits, so occupancy is N / 2^bits —
+    size bits ≈ log2(N / target_occupancy) or bucket work goes quadratic
+    (SCALE.md §4b, the r8 fixed-bucket-count findings).  Wider signatures
+    extend the same seeded hyperplane sequence, so bit j is identical at
+    every width — an 8-bit signature is always the low byte of a 16-bit
+    one, and the DuckDB mirrors embed prefixes of the same weight list."""
+    ws = SRP_WEIGHTS if bits == SRP_BITS else _srp_weights(bits)
     sig = F.lit(0)
-    for j, w in enumerate(SRP_WEIGHTS):
+    for j, w in enumerate(ws):
         sig = sig + F.when(_dot_fixed(vec, w) >= 0.0, F.lit(1 << j)).otherwise(F.lit(0))
     return sig
 
@@ -519,7 +528,10 @@ KNN_GRAPH_PROBE = 1
 
 
 def knn_graph(
-    emb: DataFrame, k: int = KNN_GRAPH_K, probe_hamming: int = KNN_GRAPH_PROBE
+    emb: DataFrame,
+    k: int = KNN_GRAPH_K,
+    probe_hamming: int = KNN_GRAPH_PROBE,
+    bits: int = SRP_BITS,
 ) -> DataFrame:
     """Approximate k-NN graph over the WHOLE corpus (every vector is a
     source): SRP-signature bucketing with Hamming-1 multi-probe (9 masks),
@@ -549,8 +561,8 @@ def knn_graph(
     from pyspark.sql import Window
 
     n_part = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    base = _with_vec(emb).withColumn("sig", srp_signature(F.col("vec")))
-    masks = srp_probe_masks(probe_hamming)
+    base = _with_vec(emb).withColumn("sig", srp_signature(F.col("vec"), bits))
+    masks = srp_probe_masks(probe_hamming, bits)
     probes = (
         base.select(F.col("vec_id").alias("src_id"), "sig")
         .withColumn(
@@ -586,6 +598,7 @@ def semantic_dedup(
     threshold: float = SEM_THRESHOLD,
     k: int = KNN_GRAPH_K,
     probe_hamming: int = KNN_GRAPH_PROBE,
+    bits: int = SRP_BITS,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate clustering: the bucketed kNN
     graph's edges above `threshold` cosine feed connected components
@@ -600,7 +613,7 @@ def semantic_dedup(
     from airstrik_py_spark.operators.dedup import dedup_clusters
 
     edges = (
-        knn_graph(emb, k, probe_hamming)
+        knn_graph(emb, k, probe_hamming, bits)
         .filter(F.col("cos") >= F.lit(threshold))
         .select(F.col("src_id").alias("doc_a"), F.col("dst_id").alias("doc_b"))
     )

@@ -114,6 +114,27 @@ def test_cosine_topk_pairs(spark):
     assert (0, 2) in ranked  # near pair survives candidate generation
 
 
+def test_srp_signature_width_knob(spark):
+    """The bits knob (SCALE.md: bits ~= log2(N/target_occupancy)) widens
+    the signature by EXTENDING the same seeded hyperplane sequence, so an
+    8-bit signature is always the low byte of a 16-bit one — a corpus can
+    re-bucket wider without invalidating previously computed low bits.
+    knn_graph accepts the knob end-to-end."""
+    vecs = _vecs(spark)
+    base = vecs.select(
+        SIM.srp_signature(
+            vecs["embedding"].cast("array<double>"), 8
+        ).alias("s8"),
+        SIM.srp_signature(
+            vecs["embedding"].cast("array<double>"), 12
+        ).alias("s12"),
+    ).collect()
+    for r in base:
+        assert r["s12"] % 256 == r["s8"]  # prefix property
+    out = SIM.knn_graph(vecs, k=2, probe_hamming=1, bits=12).collect()
+    assert all(r["rank"] <= 2 for r in out)
+
+
 def test_cosine_topk_pairs_plan_is_bucketed(spark):
     """The probe join must stay an equi-join on (band, probed key) — the
     137x probe fan-out must never degenerate to a cartesian."""

@@ -312,7 +312,12 @@ def srp_signature(vec: Column, bits: int = SRP_BITS) -> Column:
     (SCALE.md §4b, the r8 fixed-bucket-count findings).  Wider signatures
     extend the same seeded hyperplane sequence, so bit j is identical at
     every width — an 8-bit signature is always the low byte of a 16-bit
-    one, and the DuckDB mirrors embed prefixes of the same weight list."""
+    one, and the DuckDB mirrors embed prefixes of the same weight list.
+    Width is capped at 62 (the signature lives in a signed 64-bit long);
+    past that, split into multiple band keys instead — one 62-bit key
+    already gives 4.6e18 buckets, occupancy 1 at any real corpus size."""
+    if not 1 <= bits <= 62:
+        raise ValueError(f"bits must be in [1, 62] (signed-long signature), got {bits}")
     ws = SRP_WEIGHTS if bits == SRP_BITS else _srp_weights(bits)
     sig = F.lit(0)
     for j, w in enumerate(ws):
@@ -321,8 +326,17 @@ def srp_signature(vec: Column, bits: int = SRP_BITS) -> Column:
 
 
 def srp_probe_masks(probe_hamming: int = SRP_PROBE_HAMMING, bits: int = SRP_BITS) -> list:
-    """All XOR masks within the probe Hamming radius (93 for 8 bits, r=3)."""
-    return [m for m in range(1 << bits) if bin(m).count("1") <= probe_hamming]
+    """All XOR masks within the probe Hamming radius (93 for 8 bits, r=3),
+    ascending.  Enumerated by choosing bit positions — O(C(bits, <=r)),
+    never O(2^bits), so wide signatures (the srp_signature scale knob)
+    don't stall the driver building mask lists."""
+    from itertools import combinations
+
+    masks = [0]
+    for r in range(1, probe_hamming + 1):
+        for pos in combinations(range(bits), r):
+            masks.append(sum(1 << p for p in pos))
+    return sorted(masks)
 
 
 def ann_srp_lsh(

@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from airstrik_py_spark.operators import dedup as D
+from airstrik_py_spark.operators import similarity as SIM
 from airstrik_py_spark.operators.dedup import NGRAM_DF_MAX
 from airstrik_py_spark.operators.similarity import (
     EMB_INCR_SPLIT,
@@ -27,11 +28,13 @@ _COS_BITS = 8
 # former 16 bands x 4 bits config going quadratic — 16 bucket values/band
 # collide ~64% of ALL pairs; see operators/similarity.py cosine_topk_pairs
 # for the rho = 0.66 LSH-gap math): wide 16-bit bands + Hamming<=2
-# multi-probe + exact-cosine global top-k
-_COS_TOPK_BANDS = 4
-_COS_TOPK_BITS = 16
-_COS_TOPK_PROBE = 2
-_COS_TOPK_K = 100
+# multi-probe + exact-cosine global top-k.  The operating point is OWNED
+# by operators/similarity.py — imported here so retuning the engine knob
+# retunes the oracle in lockstep (same rule as SRP_WEIGHTS).
+_COS_TOPK_BANDS = SIM.COSINE_TOPK_BANDS
+_COS_TOPK_BITS = SIM.COSINE_TOPK_BITS
+_COS_TOPK_PROBE = SIM.COSINE_TOPK_PROBE
+_COS_TOPK_K = SIM.COSINE_TOPK_K
 
 
 def _cos_band_key(bits: int) -> str:
@@ -52,10 +55,10 @@ def _cos_band_key_int(bits: int) -> str:
     ) + ")"
 
 
-# Hamming<=2 probe masks over 16-bit keys — the same literal list
-# srp_probe_masks(2, 16) feeds the Spark side
+# Hamming<=2 probe masks over 16-bit keys — the SAME function call that
+# feeds the Spark side (cosine_topk_pairs), serialized as a literal list
 _COS_TOPK_MASKS = "[" + ", ".join(
-    str(m) for m in range(1 << 16) if bin(m).count("1") <= 2
+    str(m) for m in SIM.srp_probe_masks(_COS_TOPK_PROBE, _COS_TOPK_BITS)
 ) + "]"
 
 
@@ -74,9 +77,10 @@ sh AS (
         FROM dwords))
 """
 
-# 64-bit simhash mirror (operators/dedup.py HEX_BIT_SETS): bit j reads
-# bit j%4 of md5 nibble j//4
-_HEX_BIT_SETS = ("89abcdef", "4567cdef", "2367abef", "13579bdf")
+# 64-bit simhash mirror: bit j reads bit j%4 of md5 nibble j//4 — the
+# mapping is OWNED by operators/dedup.py (imported, not copied, so a
+# remap there retunes this oracle in lockstep)
+_HEX_BIT_SETS = D.HEX_BIT_SETS
 _SIMHASH_SUMS = ", ".join(
     "sum(CASE WHEN substr(h, {p}, 1) IN ({chars}) THEN 1 ELSE -1 END) AS s{j}".format(
         p=j // 4 + 1,
@@ -180,7 +184,13 @@ def q_dedup_embedding_cosine_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding can be subquadratic there (operators/similarity.py
     cosine_topk_pairs docstring has the math)."""
     pin_session(spark)
-    return cosine_topk_pairs(load_table(spark, sf_dir, "embeddings"), k=_COS_TOPK_K)
+    return cosine_topk_pairs(
+        load_table(spark, sf_dir, "embeddings"),
+        k=_COS_TOPK_K,
+        bands=_COS_TOPK_BANDS,
+        bits=_COS_TOPK_BITS,
+        probe_hamming=_COS_TOPK_PROBE,
+    )
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

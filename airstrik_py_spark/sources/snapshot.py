@@ -127,21 +127,26 @@ def read_snapshot_batch_quarantined(
     # scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — the documented form is a
     # materialized projection that still carries data columns; src_file
     # is captured inside the projection so input_file_name() evaluates
-    # during the scan.  localCheckpoint(eager=True) severs the lineage:
-    # the quarantine frame is self-contained from here on — valid for the
-    # session lifetime, independent of later calls (the r6 cache-eviction
-    # scheme invalidated PRIOR frames, ADVICE r7), no module-global state,
-    # thread-safe.  Cost: one row per landing file (src_file + now + the
-    # malformed payload for bad files), stored block-distributed on the
-    # executors — bounded by the landing dir, not by observation volume.
-    snap = raw().select(
+    # during the scan.  The quarantine rows are collected to the driver
+    # and rebuilt as a local DataFrame: self-contained for the session
+    # lifetime, independent of later calls (the r6 cache-eviction scheme
+    # invalidated PRIOR frames, ADVICE r7), no module-global state,
+    # thread-safe — and unlike localCheckpoint (whose executor-local
+    # blocks die with a decommissioned executor and have no lineage to
+    # recompute from), it survives executor loss on a real cluster.
+    # Size: one collected row per landing FILE (src_file + now + payload
+    # for bad files) — bounded by the landing dir, not observation
+    # volume.  The filter runs driver-side: pushing it into the plan lets
+    # Catalyst prune `now` and the scan again references only
+    # _corrupt_record, which Spark rejects.
+    rows = raw().select(
         F.input_file_name().alias("src_file"),
         F.col("now"),
-        F.col("_corrupt_record"),
-    ).localCheckpoint(eager=True)
-    quarantine = (
-        snap.filter(F.col("_corrupt_record").isNotNull())
-        .select("src_file", F.col("_corrupt_record").alias("raw_payload"))
+        F.col("_corrupt_record").alias("raw_payload"),
+    ).collect()
+    quarantine = spark.createDataFrame(
+        [(r.src_file, r.raw_payload) for r in rows if r.raw_payload is not None],
+        "src_file string, raw_payload string",
     )
     return good, quarantine
 

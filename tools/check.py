@@ -12,6 +12,7 @@ Usage: python tools/check.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 from collections import Counter
@@ -54,8 +55,12 @@ def main() -> int:
     # pathological plan (1.0.0 sort-key aggregates, r8 asof finding) grow
     # to 125 GB and OOM-KILL the whole box, taking the Spark JVM with it.
     # With a cap, a runaway oracle raises OutOfMemoryException and is
-    # reported as a normal FAIL instead.
-    duck.execute("SET memory_limit='48GB'")
+    # reported as a normal FAIL instead.  min() with 50% of physical RAM:
+    # a flat 48GB would RAISE the cap on small boxes (DuckDB's default is
+    # 80%), re-enabling the very OOM-kill this guard exists to prevent.
+    ram = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+    cap_gb = max(1, min(48, int(ram * 0.5 / 2**30)))
+    duck.execute(f"SET memory_limit='{cap_gb}GB'")
     for t in TABLES:
         duck.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"

@@ -134,18 +134,32 @@ def read_snapshot_batch_quarantined(
     # thread-safe — and unlike localCheckpoint (whose executor-local
     # blocks die with a decommissioned executor and have no lineage to
     # recompute from), it survives executor loss on a real cluster.
-    # Size: one collected row per landing FILE (src_file + now + payload
-    # for bad files) — bounded by the landing dir, not observation
-    # volume.  The filter runs driver-side: pushing it into the plan lets
-    # Catalyst prune `now` and the scan again references only
-    # _corrupt_record, which Spark rejects.
-    rows = raw().select(
-        F.input_file_name().alias("src_file"),
-        F.col("now"),
-        F.col("_corrupt_record").alias("raw_payload"),
-    ).collect()
+    # The projection must reference the FULL data schema (now AND
+    # aircraft), not just enough columns to make the scan legal: the JSON
+    # parser only parses — and therefore only corruption-flags — the
+    # columns the query references, so a pruned {now, _corrupt_record}
+    # scan would miss records whose corruption is confined to the
+    # aircraft array (e.g. a string where lat should be a double): the
+    # good branch's full-schema scan nulls them out while the quarantine
+    # scan sees them as clean — vanishing from BOTH outputs.  The filter
+    # stays in-plan so only malformed rows are collected (aircraft is
+    # NULL on a corrupt record, so the collected rows carry just
+    # src_file + payload in practice).  Driver-side size is bounded by
+    # MALFORMED files — a large quarantine is an upstream incident, not
+    # a data path.
+    rows = (
+        raw()
+        .select(
+            F.input_file_name().alias("src_file"),
+            F.col("now"),
+            F.col("aircraft"),
+            F.col("_corrupt_record").alias("raw_payload"),
+        )
+        .filter(F.col("raw_payload").isNotNull())
+        .collect()
+    )
     quarantine = spark.createDataFrame(
-        [(r.src_file, r.raw_payload) for r in rows if r.raw_payload is not None],
+        [(r.src_file, r.raw_payload) for r in rows],
         "src_file string, raw_payload string",
     )
     return good, quarantine

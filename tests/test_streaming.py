@@ -236,3 +236,16 @@ def test_snapshot_corrupt_quarantine(spark, tmp_path):
     _obs2, q2 = read_snapshot_batch_quarantined(spark, tape)
     assert q2.count() == 1
     assert len(quarantine.collect()) == 1
+
+    # r8 review: corruption CONFINED to the aircraft column (well-formed
+    # JSON, string where lat should be a double) must also quarantine —
+    # a pruned {now, _corrupt_record} quarantine scan never parses
+    # aircraft, so such records would vanish from BOTH outputs
+    with open(f"{tape}/s2.json", "w") as f:
+        _json.dump(
+            {"now": 1700000020.0, "aircraft": [{"hex": "b", "lat": "oops"}]}, f
+        )
+    obs3, q3 = read_snapshot_batch_quarantined(spark, tape)
+    assert obs3.count() == 1  # still only the good snapshot's row
+    q3rows = {r["src_file"].rsplit("/", 1)[-1] for r in q3.collect()}
+    assert q3rows == {"s1.json", "s2.json"}

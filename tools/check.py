@@ -55,10 +55,19 @@ def main() -> int:
     # pathological plan (1.0.0 sort-key aggregates, r8 asof finding) grow
     # to 125 GB and OOM-KILL the whole box, taking the Spark JVM with it.
     # With a cap, a runaway oracle raises OutOfMemoryException and is
-    # reported as a normal FAIL instead.  min() with 50% of physical RAM:
+    # reported as a normal FAIL instead.  min() with 50% of AVAILABLE RAM:
     # a flat 48GB would RAISE the cap on small boxes (DuckDB's default is
-    # 80%), re-enabling the very OOM-kill this guard exists to prevent.
+    # 80%), re-enabling the very OOM-kill this guard exists to prevent —
+    # and sysconf reports HOST memory inside cgroup-limited containers,
+    # so the cgroup cap (v2 memory.max, v1 limit_in_bytes) wins when set.
     ram = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+    for cg in ("/sys/fs/cgroup/memory.max", "/sys/fs/cgroup/memory/memory.limit_in_bytes"):
+        try:
+            v = open(cg).read().strip()
+            if v.isdigit():
+                ram = min(ram, int(v))
+        except OSError:
+            continue
     cap_gb = max(1, min(48, int(ram * 0.5 / 2**30)))
     duck.execute(f"SET memory_limit='{cap_gb}GB'")
     for t in TABLES:

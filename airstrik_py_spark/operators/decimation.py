@@ -61,6 +61,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from airstrik_py_spark.config import EngineConfig
+from airstrik_py_spark.session import shuffle_partitions
 
 
 def decimate(df: DataFrame, cfg: EngineConfig) -> DataFrame:
@@ -81,7 +82,7 @@ def decimate(df: DataFrame, cfg: EngineConfig) -> DataFrame:
     if zero_mode:
         n = 1  # build the real plan (locks the schema); filtered empty below
     spark = df.sparkSession
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_part = shuffle_partitions(spark)
     df = df.repartition(n_part, "hex")
 
     if "session_id" not in df.columns:

@@ -145,7 +145,8 @@ def lsh_candidate_pairs(docs: DataFrame, k: int = MINHASH_K, rows_per_band: int 
 
 def simhash_signature(docs: DataFrame) -> DataFrame:
     """64-bit SimHash over whitespace tokens: bit j set when the sum over
-    token occurrences of ±1 (bit j%4 of md5 nibble j//4) is positive."""
+    token occurrences of ±1 is positive; the ±1 for bit j reads md5 hex
+    nibble j//4 at nibble-bit (3 - j%4) — the HEX_BIT_SETS convention."""
     tok = _spread(docs).select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     tok = tok.withColumn("h", F.md5("tok"))
     bit_sums = [

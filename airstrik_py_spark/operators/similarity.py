@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from airstrik_py_spark.functions.vector import cosine
+from airstrik_py_spark.session import shuffle_partitions
 
 SRP_BITS = 8
 
@@ -574,7 +575,7 @@ def knn_graph(
     signature has."""
     from pyspark.sql import Window
 
-    n_part = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_part = shuffle_partitions(emb.sparkSession)
     base = _with_vec(emb).withColumn("sig", srp_signature(F.col("vec"), bits))
     masks = srp_probe_masks(probe_hamming, bits)
     probes = (

@@ -40,3 +40,17 @@ def pin_session(spark: SparkSession) -> SparkSession:
     # exactly the way DuckDB does (floor to micros).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark
+
+
+def shuffle_partitions(spark: SparkSession, default: int = 32) -> int:
+    """Shuffle-partition count as an int for explicit repartition() calls.
+    On some platforms the conf is non-numeric (e.g. 'auto' under
+    auto-optimized shuffle), so fall back to the cluster's default
+    parallelism rather than crashing at plan-build time (ADVICE r8)."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions", str(default)))
+    except (ValueError, TypeError):
+        try:
+            return int(spark.sparkContext.defaultParallelism)
+        except Exception:
+            return default

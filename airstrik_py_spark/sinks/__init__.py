@@ -135,9 +135,12 @@ def kafka_records(payload_df: DataFrame) -> DataFrame:
         F.coalesce(F.col("altitude").cast("string"), F.lit("unknown")),
     )
     if "eta" in value_cols:
+        # Explicit warning match, not != alert: a NULL topic must not
+        # silently drop eta as if it were an alert (ADVICE r8) — unknown
+        # routing keeps the payload intact and fails at the router.
         edge = edge.withColumn(
             "eta",
-            F.when(F.col("topic") != "airstrik-alert", F.col("eta")),
+            F.when(F.col("topic") == "airstrik-warning", F.col("eta")),
         )
     return edge.select(
         F.col("plane_hex").alias("key"),

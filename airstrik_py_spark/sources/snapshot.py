@@ -97,6 +97,11 @@ def read_snapshot_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
 # malformed snapshot into an all-NULL row whose NULL aircraft array then
 # vanishes in posexplode — silent data loss at ingest.  (The reference is
 # WORSE: json.load raises and the poll loop dies, airstrik.py:195-208.)
+# Max malformed-file rows materialized on the driver by the quarantine
+# path; ~1 KiB/row -> ~10 MiB worst case.  Past this we raise rather
+# than risk driver memory during exactly the incident that triggers it.
+QUARANTINE_DRIVER_CAP = 10_000
+
 QUARANTINE_SCHEMA = T.StructType(
     list(SNAPSHOT_SCHEMA.fields)
     + [T.StructField("_corrupt_record", T.StringType())]
@@ -146,7 +151,9 @@ def read_snapshot_batch_quarantined(
     # NULL on a corrupt record, so the collected rows carry just
     # src_file + payload in practice).  Driver-side size is bounded by
     # MALFORMED files — a large quarantine is an upstream incident, not
-    # a data path.
+    # a data path — and hard-capped below (ADVICE r8): past the cap we
+    # fail loudly instead of OOMing the driver mid-incident; the caller
+    # should then replay the landing dir through a distributed sink.
     rows = (
         raw()
         .select(
@@ -156,8 +163,15 @@ def read_snapshot_batch_quarantined(
             F.col("_corrupt_record").alias("raw_payload"),
         )
         .filter(F.col("raw_payload").isNotNull())
+        .limit(QUARANTINE_DRIVER_CAP + 1)
         .collect()
     )
+    if len(rows) > QUARANTINE_DRIVER_CAP:
+        raise RuntimeError(
+            f"quarantine exceeds {QUARANTINE_DRIVER_CAP} malformed files - "
+            "upstream incident; replay the landing dir through a "
+            "distributed quarantine sink instead of the in-session frame"
+        )
     quarantine = spark.createDataFrame(
         [(r.src_file, r.raw_payload) for r in rows],
         "src_file string, raw_payload string",

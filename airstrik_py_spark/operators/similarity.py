@@ -285,6 +285,27 @@ def _srp_weights(bits: int = SRP_BITS, dim: int = SRP_DIM, seed: int = 0x9E3779B
 
 SRP_WEIGHTS = _srp_weights()
 
+# Auto-width rule for whole-corpus bucket lanes (VERDICT r8 #6): the r8
+# sf1 sweep proved any FIXED bucket count goes quadratic once N outgrows
+# it, so knn_graph/semantic_dedup derive their signature width from the
+# corpus size by default — bits = ceil(log2(N / target_occupancy)),
+# clamped to [SRP_BITS, SRP_MAX_BITS].  At the clamp floor (N <= ~5.1k)
+# this reproduces the historical 8-bit signatures bit-for-bit (weights
+# and signature bits are prefix-stable across widths, pinned by test).
+SRP_MAX_BITS = 20
+SRP_TARGET_OCCUPANCY = 20.0
+SRP_WEIGHTS_MAX = _srp_weights(SRP_MAX_BITS)
+
+
+def auto_srp_bits(n: int) -> int:
+    """Signature width for an N-vector corpus: ceil(log2(N / occupancy)),
+    clamped.  The DuckDB oracle mirrors this formula verbatim
+    (registry/similarity_q.py) — log2/ceil are bit-identical libm on both
+    engines, so both sides always pick the same width."""
+    if n <= 0:
+        return SRP_BITS
+    return max(SRP_BITS, min(SRP_MAX_BITS, math.ceil(math.log2(n / SRP_TARGET_OCCUPANCY))))
+
 
 def _dot_fixed(vec: Column, w: list) -> Column:
     """<vec, w> over the first len(w) dims; missing dims read as 0 (mirrors
@@ -546,7 +567,7 @@ def knn_graph(
     emb: DataFrame,
     k: int = KNN_GRAPH_K,
     probe_hamming: int = KNN_GRAPH_PROBE,
-    bits: int = SRP_BITS,
+    bits: int | None = None,
 ) -> DataFrame:
     """Approximate k-NN graph over the WHOLE corpus (every vector is a
     source): SRP-signature bucketing with Hamming-1 multi-probe (9 masks),
@@ -558,9 +579,10 @@ def knn_graph(
     sum over buckets of 9 * |bucket|^2 — bucket occupancy, never N^2.
     Sources whose probed buckets hold no other vector simply emit no edges
     (an honest property of LSH graphs; raise probe_hamming to densify).
-    With the fixed 8-bit signature, occupancy is N/256 — the production
-    knob is bits ~= log2(N / target_occupancy), same rule as every bucket
-    lane in SCALE.md §3.
+    Width defaults to auto_srp_bits(N) — bits = ceil(log2(N / 20)),
+    clamped to [8, 20] — so occupancy stays ~constant as the corpus grows
+    (VERDICT r8 #6: the fixed 8-bit width was the proven quadratic); pass
+    `bits` explicitly only to pin a width for experiments.
 
     r8 sf1 restructure (same output, new plan): the old shape carried both
     512-byte vectors through the bucket join and computed every candidate
@@ -575,6 +597,11 @@ def knn_graph(
     signature has."""
     from pyspark.sql import Window
 
+    if bits is None:
+        # one cheap count job at build time buys a width that scales with
+        # the corpus — the alternative (a fixed width) is the proven r8
+        # quadratic; the oracle derives the same width from count(*)
+        bits = auto_srp_bits(emb.count())
     n_part = shuffle_partitions(emb.sparkSession)
     base = _with_vec(emb).withColumn("sig", srp_signature(F.col("vec"), bits))
     masks = srp_probe_masks(probe_hamming, bits)
@@ -613,7 +640,7 @@ def semantic_dedup(
     threshold: float = SEM_THRESHOLD,
     k: int = KNN_GRAPH_K,
     probe_hamming: int = KNN_GRAPH_PROBE,
-    bits: int = SRP_BITS,
+    bits: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate clustering: the bucketed kNN
     graph's edges above `threshold` cosine feed connected components

@@ -22,15 +22,24 @@ _COS = (
 )
 # SRP signature mirror: same literal ±1 hyperplanes as
 # operators/similarity.py::SRP_WEIGHTS, same round-6-then-sign rule.
-_SIG = " + ".join(
-    "(CASE WHEN round(list_dot_product(list_resize(v, {d}, 0.0), [{w}]), 6) >= 0.0 "
-    "THEN {bit} ELSE 0 END)".format(
-        d=SIM.SRP_DIM,
-        w=", ".join(str(x) for x in w),
-        bit=1 << j,
+def _sig_expr(weights) -> str:
+    return " + ".join(
+        "(CASE WHEN round(list_dot_product(list_resize(v, {d}, 0.0), [{w}]), 6) >= 0.0 "
+        "THEN {bit} ELSE 0 END)".format(
+            d=SIM.SRP_DIM,
+            w=", ".join(str(x) for x in w),
+            bit=1 << j,
+        )
+        for j, w in enumerate(weights)
     )
-    for j, w in enumerate(SIM.SRP_WEIGHTS)
-)
+
+
+_SIG = _sig_expr(SIM.SRP_WEIGHTS)
+# Full-width signature for the auto-width knn lanes: built once at
+# SRP_MAX_BITS, then truncated to the data-derived width with % (1 << w)
+# — valid because bit j is identical at every width (prefix property,
+# pinned by tests/test_dedup_similarity.py).
+_SIG_FULL = _sig_expr(SIM.SRP_WEIGHTS_MAX)
 _MASKS = ", ".join(str(m) for m in SIM.srp_probe_masks())
 
 
@@ -316,14 +325,23 @@ def _pca_ctes(iters: int, dim: int) -> str:
 
 
 # kNN-graph CTEs shared by knn_graph_bucketed and dedup_semantic — one SQL
-# definition, like the Spark side's knn_graph reuse.
+# definition, like the Spark side's knn_graph reuse.  Width is derived
+# from count(*) with the SAME formula as operators/similarity.py::
+# auto_srp_bits (log2/ceil are bit-identical libm on both engines), and
+# the probe-mask list is the Hamming-1 set for that width — the static
+# mask-list form only worked while the width itself was static.
+assert SIM.KNN_GRAPH_PROBE == 1, "dynamic-width oracle enumerates Hamming-1 masks"
+_KNN_W = (
+    f"least(greatest(CAST(ceil(log2(count(*) / {SIM.SRP_TARGET_OCCUPANCY})) AS INTEGER), "
+    f"{SIM.SRP_BITS}), {SIM.SRP_MAX_BITS})"
+)
 _KNN_CTES = f"""{_E},
-sigd AS (SELECT vec_id, v, ({_SIG}) AS sig FROM e),
+sigw AS (SELECT {_KNN_W} AS w FROM e),
+sigd AS (SELECT vec_id, v, ({_SIG_FULL}) % (1 << w) AS sig FROM e, sigw),
 probes AS (
   SELECT vec_id, v,
-         unnest(list_transform([{", ".join(str(m) for m in SIM.srp_probe_masks(SIM.KNN_GRAPH_PROBE))}],
-                m -> xor(sig, m))) AS bucket
-  FROM sigd),
+         unnest(list_prepend(sig, list_transform(range(0, w), p -> xor(sig, 1 << p)))) AS bucket
+  FROM sigd, sigw),
 knn AS (
   SELECT q.vec_id AS src_id, c.vec_id AS dst_id, {_COS} AS cos,
          CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY {_COS} DESC, c.vec_id) AS INTEGER) AS rank

@@ -135,6 +135,22 @@ def test_srp_signature_width_knob(spark):
     assert all(r["rank"] <= 2 for r in out)
 
 
+def test_auto_srp_bits_formula():
+    """Width auto-derives from corpus size (VERDICT r8 #6): clamped
+    ceil(log2(N / 20)); the floor reproduces the historical 8-bit width
+    for every fixture at sf <= 0.1, so small-sf results are unchanged."""
+    assert SIM.auto_srp_bits(0) == SIM.SRP_BITS
+    assert SIM.auto_srp_bits(500) == 8  # sf0.01 embeddings
+    assert SIM.auto_srp_bits(2000) == 8  # sf0.1 embeddings
+    assert SIM.auto_srp_bits(5120) == 8  # exact clamp boundary
+    assert SIM.auto_srp_bits(20000) == 10  # sf1
+    assert SIM.auto_srp_bits(200000) == 14  # sf10
+    assert SIM.auto_srp_bits(10**9) == 20  # hi clamp (then split keys)
+    # monotone, never exceeds the signed-long-safe cap
+    widths = [SIM.auto_srp_bits(n) for n in (10, 10**3, 10**6, 10**12)]
+    assert widths == sorted(widths) and max(widths) <= 20
+
+
 def test_cosine_topk_pairs_plan_is_bucketed(spark):
     """The probe join must stay an equi-join on (band, probed key) — the
     137x probe fan-out must never degenerate to a cartesian."""

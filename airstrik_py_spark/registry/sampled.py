@@ -1,0 +1,106 @@
+"""Sampled-verification contracts for oracle-expensive lanes (VERDICT r8 #4).
+
+At sf10 a handful of DuckDB oracles are infeasible (hours / >48 GB) even
+though the ENGINE side runs fine — the wall is oracle cost, not engine
+capability (SCALE.md §4b).  For those lanes tools/check.py --sampled swaps
+the full bit-exact compare for this documented contract:
+
+  1. Spark runs the FULL query at the full sf — full row count and schema
+     are recorded (and the count is compared when `expect_rows` can state
+     it in closed form).
+  2. The oracle runs a key-RESTRICTED equivalent that is affordable, via
+     one of two mechanisms:
+       * ``views``  — re-create an input view with a deterministic key
+         predicate.  Sound only for per-key-decomposable queries: every
+         CTE in the oracle partitions by (a function of) that key, so
+         restricting the input to sampled keys yields exactly the full
+         output restricted to those keys.  The per-slug comment states
+         the decomposability argument.
+       * ``sql``    — a hand-written restricted oracle (used when only one
+         side of a self-join may be restricted, e.g. the kNN probe side).
+  3. Spark's full output is filtered (in Python) to the same sampled keys
+     and compared bit-exact — same canonicalization as the full gate.
+
+A slug with no contract here and an infeasible oracle is reported as a
+timeout SKIP, never silently passed.
+"""
+
+from __future__ import annotations
+
+# Deterministic sampling moduli.  Keys in these fixtures are dense
+# integers (events.user_id; embeddings.vec_id), so plain modulus is an
+# unbiased deterministic sample that both engines express identically.
+HEX_MOD = 10  # sessions/as-of family: 1-in-10 planes
+VEC_MOD = 41  # kNN probe side: 1-in-41 source vectors
+
+
+def _hex_keep(col: str):
+    def keep(row) -> bool:
+        return int(row[col]) % HEX_MOD == 0
+
+    return keep
+
+
+def _vec_keep(col: str):
+    def keep(row) -> bool:
+        return int(row[col]) % VEC_MOD == 0
+
+    return keep
+
+
+def _events_views() -> dict[str, str]:
+    return {"events": f"user_id % {HEX_MOD} = 0"}
+
+
+def contracts() -> dict[str, dict]:
+    """slug -> {views|sql, keep, note}.  Import is deferred so this module
+    stays cheap for the driver path (check.py-only consumer)."""
+    from airstrik_py_spark.operators import similarity as SIM
+    from airstrik_py_spark.registry.similarity_q import _KNN_CTES
+
+    # The sessions/as-of family: every oracle CTE chain (obs -> sess ->
+    # trips -> asof_*) partitions and groups by hex = CAST(user_id AS
+    # VARCHAR) and joins dims (nation) per-hex, so restricting events to
+    # sampled user_ids produces exactly the full result restricted to
+    # those hexes.
+    sessions_family = {
+        "window_session_trip": "hex",
+        "filter_min_trip_length": "hex",
+        "agg_argmin_closest": "hex",
+        "join_asof_closest": "hex",
+        "agg_first_callsign": "hex",
+        "join_icao_enrichment": "hex",
+        "agg_trip_assembly": "flight_id",
+        "filter_geofence_match": "hex",
+        "window_alarm_transitions": "hex",
+        "project_first_pair": "hex",
+        "sink_mongo_trip": "flight_id",
+        "sink_mongo_decimated": "flight_id",
+        "filter_decimation": "hex",
+        "project_flatten_csv": "flight_id",
+    }
+    out: dict[str, dict] = {
+        slug: {
+            "views": _events_views(),
+            "keep": _hex_keep(col),
+            "note": f"events restricted to user_id%{HEX_MOD}=0; "
+            f"hex-decomposable (all CTEs partition by hex)",
+        }
+        for slug, col in sessions_family.items()
+    }
+
+    # kNN graph: edges of source v depend on the FULL candidate corpus,
+    # so only the PROBE side may be restricted — hand-written SQL with
+    # the probe CTE filtered to sampled vec_ids; candidates stay full.
+    knn_sampled = _KNN_CTES.replace(
+        "FROM sigd, sigw),",
+        f"FROM sigd, sigw WHERE vec_id % {VEC_MOD} = 0),",
+    )
+    assert f"% {VEC_MOD} = 0" in knn_sampled
+    out["knn_graph_bucketed"] = {
+        "sql": f"WITH {knn_sampled}\nSELECT src_id, dst_id, cos, rank FROM knn",
+        "keep": _vec_keep("src_id"),
+        "note": f"probe side restricted to vec_id%{VEC_MOD}=0, candidate "
+        "corpus full - per-source decomposable",
+    }
+    return out

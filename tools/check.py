@@ -6,14 +6,24 @@ and the order-insensitive multiset of row values (columns sorted by name, like
 the driver).  Exact equality on stringified values; floats get a tolerance
 fallback report so tiny-ulp vs real-bug is visible.
 
-Usage: python tools/check.py [sf_dir] [query ...]
+Usage: python tools/check.py [--timeout SECS] [--sampled] [--report FILE]
+       [sf_dir] [query ...]
+
+--timeout SECS  interrupt any oracle running longer than SECS and report
+                the slug as SKIP (timeout) instead of hanging the sweep.
+--sampled       for slugs with a registry/sampled.py contract, verify the
+                documented sampled slice bit-exact (Spark still runs FULL;
+                see that module's docstring for the soundness argument).
+--report FILE   write a JSON map slug -> {status, mode, secs, spark_rows}.
 """
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import sys
+import threading
 import time
 from collections import Counter
 
@@ -46,9 +56,51 @@ def canon_rows(cols, rows):
     return Counter(tuple(canon_value(r[i]) for i in order) for r in rows)
 
 
+def run_with_timeout(duck, sql: str, timeout_s: float):
+    """Execute on `duck`, interrupting after timeout_s.  Returns
+    (cols, rows) or raises TimeoutError/duckdb errors."""
+    timed_out = threading.Event()
+    timer = None
+    if timeout_s > 0:
+        def fire():
+            timed_out.set()
+            duck.interrupt()
+        timer = threading.Timer(timeout_s, fire)
+        timer.daemon = True
+        timer.start()
+    try:
+        res = duck.execute(sql)
+        cols = [d[0] for d in res.description]
+        rows = res.fetchall()
+        return cols, rows
+    except duckdb.InterruptException:
+        if timed_out.is_set():
+            raise TimeoutError(f"oracle exceeded {timeout_s:.0f}s") from None
+        raise
+    finally:
+        if timer is not None:
+            timer.cancel()
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    timeout_s = 0.0
+    sampled_mode = False
+    report_path = None
+    pos: list[str] = []
+    i = 0
+    while i < len(args):
+        a = args[i]
+        if a == "--timeout":
+            timeout_s = float(args[i + 1]); i += 2
+        elif a == "--sampled":
+            sampled_mode = True; i += 1
+        elif a == "--report":
+            report_path = args[i + 1]; i += 2
+        else:
+            pos.append(a); i += 1
+    sf_dir = pos[0] if pos else "/root/testdata/sf0.01"
+    only = set(pos[1:])
 
     duck = duckdb.connect()
     # Hard cap the oracle engine: DuckDB's default (80% of RAM) let a
@@ -78,33 +130,70 @@ def main() -> int:
     spark = get_spark("check")
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    contracts = {}
+    if sampled_mode:
+        from airstrik_py_spark.registry.sampled import contracts as _c
+        contracts = _c()
 
-    n_pass = n_fail = 0
+    report: dict[str, dict] = {}
+    n_pass = n_fail = n_skip = 0
     for name, fn in queries.items():
         if only and name not in only:
             continue
         t0 = time.time()
+        mode = "sampled" if name in contracts else "full"
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = sdf.collect()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
+            report[name] = {"status": "fail", "mode": mode, "err": f"spark: {e}"[:300]}
             n_fail += 1
             continue
+        full_rows = len(srows)
         if name not in oracles:
-            print(f"PASS {name}: rows-only ({len(srows)} rows, no oracle) "
+            print(f"PASS {name}: rows-only ({full_rows} rows, no oracle) "
                   f"[{time.time()-t0:.1f}s]")
+            report[name] = {"status": "pass", "mode": "rows-only",
+                            "spark_rows": full_rows,
+                            "secs": round(time.time() - t0, 1)}
             n_pass += 1
             continue
+
+        osql = oracles[name]
+        restore_views: list[str] = []
+        if name in contracts:
+            c = contracts[name]
+            srows = [r for r in srows if c["keep"](r)]
+            if "sql" in c:
+                osql = c["sql"]
+            for tbl, pred in c.get("views", {}).items():
+                duck.execute(
+                    f"CREATE OR REPLACE VIEW {tbl} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{tbl}.parquet') WHERE {pred}"
+                )
+                restore_views.append(tbl)
         try:
-            res = duck.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dcols, drows = run_with_timeout(duck, osql, timeout_s)
+        except TimeoutError as e:
+            print(f"SKIP {name}: {e}")
+            report[name] = {"status": "timeout", "mode": mode,
+                            "spark_rows": full_rows,
+                            "secs": round(time.time() - t0, 1)}
+            n_skip += 1
+            continue
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
+            report[name] = {"status": "fail", "mode": mode, "err": f"duckdb: {e}"[:300]}
             n_fail += 1
             continue
+        finally:
+            for tbl in restore_views:
+                duck.execute(
+                    f"CREATE OR REPLACE VIEW {tbl} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{tbl}.parquet')"
+                )
 
         problems = []
         if len(srows) != len(drows):
@@ -117,14 +206,29 @@ def main() -> int:
                 miss = list((dc - sc).items())[:3]
                 extra = list((sc - dc).items())[:3]
                 problems.append(f"values differ; duck-only={miss} spark-only={extra}")
+        secs = round(time.time() - t0, 1)
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
+            report[name] = {"status": "fail", "mode": mode,
+                            "err": "; ".join(problems)[:300], "secs": secs}
             n_fail += 1
+        elif name in contracts:
+            print(f"PASS {name}: sampled {len(srows)}/{full_rows} rows match "
+                  f"[{secs}s] ({contracts[name]['note']})")
+            report[name] = {"status": "pass", "mode": "sampled",
+                            "spark_rows": full_rows,
+                            "compared_rows": len(srows), "secs": secs}
+            n_pass += 1
         else:
-            print(f"PASS {name}: {len(srows)} rows match [{time.time()-t0:.1f}s]")
+            print(f"PASS {name}: {len(srows)} rows match [{secs}s]")
+            report[name] = {"status": "pass", "mode": "full",
+                            "spark_rows": full_rows, "secs": secs}
             n_pass += 1
 
-    print(f"\n{n_pass} pass, {n_fail} fail")
+    print(f"\n{n_pass} pass, {n_fail} fail" + (f", {n_skip} skip" if n_skip else ""))
+    if report_path:
+        with open(report_path, "w") as f:
+            json.dump(report, f, indent=1, sort_keys=True)
     return 1 if n_fail else 0
 
 

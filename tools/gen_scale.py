@@ -28,8 +28,28 @@ copied verbatim.  Everything is pyarrow-level, seed-fixed, engine-neutral:
 Spark and DuckDB read the same files; parquet timestamp physical type is
 preserved (TIMESTAMP(NANOS) fixtures stay NANOS).
 
-Usage: python tools/gen_scale.py [out_dir] [replicas] [src_dir]
+Usage: python tools/gen_scale.py [out_dir] [replicas] [src_dir] [--adversarial]
   defaults: /tmp/sf1 10 /root/testdata/sf0.1
+
+--adversarial (VERDICT r8 #1) plants three worst-case pathologies the
+benign replicated fixture deliberately lacks, all seeded/deterministic:
+
+  viral shingle   20% of documents get the same 3-token phrase appended
+                  -> ONE shingle with df ~ N/5 (10^4 at sf1).  Uncapped
+                  inverted-index joins must blow up on it (df^2 candidate
+                  pairs); the df-cap must drop it with recall intact
+                  (viral-only pairs share 3 shingles out of hundreds, far
+                  below any Jaccard threshold, so they are pure wasted
+                  candidates - the cap removes work, not results).
+  hot key         20% of events rows are reassigned to ONE user_id ->
+                  a single hex carries ~200k rows at sf1 for every
+                  window/session/interval lane partitioned by hex.
+  clustered vecs  embeddings become a 32-center Gaussian-mixture manifold
+                  (not isotropic noise) with planted near-dup pairs at
+                  exact cosines {0.99, 0.95, 0.9, 0.8}: pair (i, i+1) for
+                  every vec_id i ≡ 0 (mod 50), target cos by (i//50) % 4;
+                  label = cluster id.  Ground truth is re-derivable from
+                  the same arithmetic - no sidecar file needed.
 """
 
 from __future__ import annotations
@@ -129,10 +149,94 @@ def _replica(table: pa.Table, name: str, r: int, strides: dict[str, int]) -> pa.
     return pa.table(dict(zip([f.name for f in fields], arrays)), schema=table.schema)
 
 
+VIRAL_PHRASE = " zx0virality zx0spread zx0cascade"
+VIRAL_MOD = 5  # doc_id % 5 == 0 -> 20% of docs carry the viral shingle
+HOT_EVENT_MOD = 5  # event_id % 5 == 0 -> 20% of rows onto one user
+CLUSTERS = 32
+CLUSTER_SIGMA = 0.25
+PLANT_MOD = 50  # vec_id % 50 == 0 -> (i, i+1) is a planted near-dup pair
+PLANT_COSINES = (0.99, 0.95, 0.9, 0.8)  # target by (vec_id // 50) % 4
+
+
+def planted_pairs(n_vecs: int) -> list[tuple[int, int, float]]:
+    """Ground-truth (src, dst, target_cos) triples for an adversarial
+    embeddings table of n_vecs rows — pure arithmetic, shared by the
+    generator and the recall tools so there is no sidecar to drift."""
+    return [
+        (i, i + 1, PLANT_COSINES[(i // PLANT_MOD) % len(PLANT_COSINES)])
+        for i in range(0, n_vecs - 1, PLANT_MOD)
+    ]
+
+
+def _adversarial(full: pa.Table, name: str) -> pa.Table:
+    if name == "documents":
+        texts = full.column("text").to_pylist()
+        ids = full.column("doc_id").to_numpy()
+        n_viral = 0
+        for j in range(len(texts)):
+            if ids[j] % VIRAL_MOD == 0:
+                texts[j] = texts[j] + VIRAL_PHRASE
+                n_viral += 1
+        print(f"  adversarial: viral shingle planted in {n_viral} docs")
+        cols = {f.name: full.column(f.name) for f in full.schema}
+        cols["text"] = pa.chunked_array([pa.array(texts, type=pa.string())])
+        cols["n_chars"] = pa.chunked_array(
+            [pa.array([len(t) for t in texts],
+                      type=full.schema.field("n_chars").type)]
+        )
+        return pa.table(cols, schema=full.schema)
+    if name == "events":
+        uid = full.column("user_id").to_numpy().copy()
+        eid = full.column("event_id").to_numpy()
+        hot_id = int(uid.min())
+        mask = eid % HOT_EVENT_MOD == 0
+        uid[mask] = hot_id
+        print(f"  adversarial: hot user_id={hot_id} now carries "
+              f"{int(mask.sum())}/{len(uid)} rows")
+        cols = {f.name: full.column(f.name) for f in full.schema}
+        cols["user_id"] = pa.chunked_array([pa.array(uid, type=pa.int64())])
+        return pa.table(cols, schema=full.schema)
+    if name == "embeddings":
+        n = full.num_rows
+        dim = len(full.column("embedding")[0])
+        rng = np.random.default_rng(SEED)
+        centers = rng.standard_normal((CLUSTERS, dim)).astype(np.float64)
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        ids = full.column("vec_id").to_numpy()
+        cl = (ids % CLUSTERS).astype(np.int32)
+        mat = centers[cl] + CLUSTER_SIGMA * rng.standard_normal((n, dim))
+        # planted near-dups at EXACT cosines: dst = cos*u + sin*w with w a
+        # unit vector orthogonal to u (Gram-Schmidt on seeded noise)
+        order = np.argsort(ids)
+        pos = {int(ids[j]): j for j in order}
+        for src, dst, cos_t in planted_pairs(int(ids.max()) + 1):
+            if src not in pos or dst not in pos:
+                continue
+            u = mat[pos[src]]
+            u = u / np.linalg.norm(u)
+            r = rng.standard_normal(dim)
+            w = r - (r @ u) * u
+            w /= np.linalg.norm(w)
+            scale = np.linalg.norm(mat[pos[dst]])
+            mat[pos[dst]] = scale * (cos_t * u + np.sqrt(1.0 - cos_t**2) * w)
+        print(f"  adversarial: {CLUSTERS}-center manifold, "
+              f"{len(planted_pairs(int(ids.max()) + 1))} planted pairs")
+        cols = {f.name: full.column(f.name) for f in full.schema}
+        cols["embedding"] = pa.chunked_array(
+            [pa.array(list(mat.astype(np.float32)),
+                      type=full.schema.field("embedding").type)]
+        )
+        cols["label"] = pa.chunked_array([pa.array(cl, type=pa.int32())])
+        return pa.table(cols, schema=full.schema)
+    return full
+
+
 def main() -> int:
-    out_dir = Path(sys.argv[1]) if len(sys.argv) > 1 else Path("/tmp/sf1")
-    replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    src = Path(sys.argv[3]) if len(sys.argv) > 3 else Path("/root/testdata/sf0.1")
+    argv = [a for a in sys.argv[1:] if a != "--adversarial"]
+    adversarial = "--adversarial" in sys.argv[1:]
+    out_dir = Path(argv[0]) if len(argv) > 0 else Path("/tmp/sf1")
+    replicas = int(argv[1]) if len(argv) > 1 else 10
+    src = Path(argv[2]) if len(argv) > 2 else Path("/root/testdata/sf0.1")
     out_dir.mkdir(parents=True, exist_ok=True)
     strides = _strides(src)
     print(f"strides: {strides}")
@@ -144,6 +248,8 @@ def main() -> int:
         t = pq.read_table(src / f"{name}.parquet")
         parts = [_replica(t, name, r, strides) for r in range(replicas)]
         full = pa.concat_tables(parts)
+        if adversarial:
+            full = _adversarial(full.combine_chunks(), name)
         pq.write_table(
             full,
             out_dir / f"{name}.parquet",

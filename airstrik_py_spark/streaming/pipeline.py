@@ -26,6 +26,34 @@ from airstrik_py_spark.config import EngineConfig
 from airstrik_py_spark.functions.geo import haversine_km
 
 
+# Measured on the tools/state_grid.py partitions x state-volume grid
+# (STREAMBENCH §state grid): state-store commit overhead is per partition
+# per micro-batch, so below ~this many state rows per partition, extra
+# partitions cost more in commits than they win in parallelism.
+STATE_ROWS_PER_PARTITION = 4000
+
+
+def state_shuffle_partitions(est_state_rows: int, max_partitions: int = 128) -> int:
+    """Shuffle-partition count for a STATEFUL streaming query, sized to
+    state VOLUME rather than CPU count (the r8 profile_ssjoin finding,
+    made a formula by the r9 state grid): P = clamp(ceil(state_rows /
+    STATE_ROWS_PER_PARTITION), 1, max_partitions).  est_state_rows for
+    the interval join is (clicks + purchases) within the watermark span;
+    for keyed aggregations it is the live key count."""
+    import math
+
+    return max(1, min(max_partitions, math.ceil(max(est_state_rows, 1) / STATE_ROWS_PER_PARTITION)))
+
+
+def configure_state_partitions(spark, est_state_rows: int, max_partitions: int = 128) -> int:
+    """Apply state_shuffle_partitions to the session BEFORE the stateful
+    query's first start (the count binds at start and is sticky in the
+    checkpoint).  Returns the applied value."""
+    p = state_shuffle_partitions(est_state_rows, max_partitions)
+    spark.conf.set("spark.sql.shuffle.partitions", str(p))
+    return p
+
+
 def with_stream_distance(obs: DataFrame, cfg: EngineConfig) -> DataFrame:
     """Stateless per-row derivation usable on an unbounded stream."""
     return obs.withColumn(

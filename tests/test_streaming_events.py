@@ -219,3 +219,19 @@ def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
     assert got == want
     assert set(got) == {(2, 0), (2, 1), (5, 4)}
     assert got[(2, 0)] == 150_000_000 and got[(5, 4)] == 10_000_000
+
+
+def test_state_shuffle_partitions_formula():
+    """Partitions size to state VOLUME, not CPU count (the measured
+    state-grid rule): tiny state -> 1 partition, the sf0.1 interval-join
+    state (~40k rows) -> ~10, growth linear until the cap."""
+    from airstrik_py_spark.streaming.pipeline import (
+        STATE_ROWS_PER_PARTITION,
+        state_shuffle_partitions,
+    )
+
+    assert state_shuffle_partitions(0) == 1
+    assert state_shuffle_partitions(STATE_ROWS_PER_PARTITION) == 1
+    assert state_shuffle_partitions(40_000) == -(-40_000 // STATE_ROWS_PER_PARTITION)
+    assert state_shuffle_partitions(10**9) == 128  # capped
+    assert state_shuffle_partitions(10**9, max_partitions=256) == 256

@@ -160,8 +160,13 @@ def main() -> None:
         # tighter watermark moved nothing.  Size state partitions to state
         # VOLUME (~40 k rows here), not to CPU count — at production state
         # sizes the 32+ partitions win back their keep.
+        # r9: the pinned 8 became the measured formula — state here is the
+        # watermark-span click+purchase buffers (~40% of the tape rows).
+        from airstrik_py_spark.streaming.pipeline import configure_state_partitions
+
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        applied = configure_state_partitions(spark, int(n_ev * 0.4))
+        print(f"stream_ss_interval_join: auto state partitions = {applied}")
         try:
             results["stream_ss_interval_join"] = (
                 n_ev,

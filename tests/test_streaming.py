@@ -249,3 +249,17 @@ def test_snapshot_corrupt_quarantine(spark, tmp_path):
     assert obs3.count() == 1  # still only the good snapshot's row
     q3rows = {r["src_file"].rsplit("/", 1)[-1] for r in q3.collect()}
     assert q3rows == {"s1.json", "s2.json"}
+
+    # ADVICE r8: past the driver cap the read FAILS LOUDLY instead of
+    # OOMing the driver mid-incident
+    import pytest as _pytest
+
+    from airstrik_py_spark.sources import snapshot as snap_mod
+
+    orig_cap = snap_mod.QUARANTINE_DRIVER_CAP
+    snap_mod.QUARANTINE_DRIVER_CAP = 1
+    try:
+        with _pytest.raises(RuntimeError, match="quarantine exceeds"):
+            read_snapshot_batch_quarantined(spark, tape)
+    finally:
+        snap_mod.QUARANTINE_DRIVER_CAP = orig_cap

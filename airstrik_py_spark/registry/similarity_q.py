@@ -335,14 +335,19 @@ _KNN_W = (
     f"least(greatest(CAST(ceil(log2(count(*) / {SIM.SRP_TARGET_OCCUPANCY})) AS INTEGER), "
     f"{SIM.SRP_BITS}), {SIM.SRP_MAX_BITS})"
 )
+# sigd and knn are MATERIALIZED: DuckDB inlines plain CTEs per reference
+# (the r8 dedup_semantic finding) — sigd is referenced twice (probe build
+# + candidate side; the 20-hyperplane signature would be computed twice)
+# and graph_pagerank_knn references knn once per unrolled PageRank
+# iteration.  Pure performance; results are identical.
 _KNN_CTES = f"""{_E},
 sigw AS (SELECT {_KNN_W} AS w FROM e),
-sigd AS (SELECT vec_id, v, ({_SIG_FULL}) % (1 << w) AS sig FROM e, sigw),
+sigd AS MATERIALIZED (SELECT vec_id, v, ({_SIG_FULL}) % (1 << w) AS sig FROM e, sigw),
 probes AS (
   SELECT vec_id, v,
          unnest(list_prepend(sig, list_transform(range(0, w), p -> xor(sig, 1 << p)))) AS bucket
   FROM sigd, sigw),
-knn AS (
+knn AS MATERIALIZED (
   SELECT q.vec_id AS src_id, c.vec_id AS dst_id, {_COS} AS cos,
          CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY {_COS} DESC, c.vec_id) AS INTEGER) AS rank
   FROM probes q JOIN sigd c ON q.bucket = c.sig AND q.vec_id <> c.vec_id

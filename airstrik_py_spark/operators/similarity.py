@@ -1261,7 +1261,18 @@ def triplet_mine(emb: DataFrame, anchor_mod: int = TRIPLET_ANCHOR_MOD) -> DataFr
     anchor (bounded rows per partition), never a global sort."""
     from pyspark.sql import Window
 
-    base = _with_vec(emb).select("vec_id", "label", "vec")
+    # Pinned repartition BEFORE the broadcast join (r9 sf10 finding, same
+    # class as the r8 knn_graph collapse): the join's output is
+    # n_anchors x the input and Spark parallelizes by INPUT splits — at
+    # 200k vectors the 8e8-cosine stage inherited ~8 scan partitions and
+    # ran as one straggler task for 40+ min.  Spreading the 200k-row
+    # corpus first costs one tiny shuffle and caps every task at
+    # corpus/n_part x n_anchors candidates.
+    base = (
+        _with_vec(emb)
+        .select("vec_id", "label", "vec")
+        .repartition(shuffle_partitions(emb.sparkSession))
+    )
     anch = base.filter(F.col("vec_id") % anchor_mod == 0).select(
         F.col("vec_id").alias("anchor_id"),
         F.col("label").alias("anchor_label"),

@@ -103,4 +103,22 @@ def contracts() -> dict[str, dict]:
         "note": f"probe side restricted to vec_id%{VEC_MOD}=0, candidate "
         "corpus full - per-source decomposable",
     }
+
+    # Triplet mining: each anchor's hardest positive/negative depend on
+    # the FULL corpus but not on other anchors — restrict the anchor CTE,
+    # keep the candidate side full.
+    from airstrik_py_spark.registry.analytics_q import ORACLES as _an
+    from airstrik_py_spark.registry.analytics_q import TRIPLET_ANCHOR_MOD
+
+    anchor_where = f"FROM e WHERE vec_id % {TRIPLET_ANCHOR_MOD} = 0"
+    trip = _an["embedding_triplet_mine"].replace(
+        anchor_where, anchor_where + f" AND vec_id % {VEC_MOD} = 0"
+    )
+    assert f"AND vec_id % {VEC_MOD} = 0" in trip
+    out["embedding_triplet_mine"] = {
+        "sql": trip,
+        "keep": _vec_keep("anchor_id"),
+        "note": f"anchors restricted to vec_id%{VEC_MOD}=0, candidate "
+        "corpus full - per-anchor decomposable",
+    }
     return out

@@ -235,6 +235,13 @@ def dedup_clusters(pairs: DataFrame) -> DataFrame:
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .distinct()
+        # materialize ONCE: edges is iteration-invariant, but without a
+        # checkpoint every round's join re-evaluates the whole upstream
+        # pair pipeline (for semantic_dedup that is the full knn graph —
+        # 78 s/round at sf10, and sparse random components have real
+        # diameter, so rounds x upstream turned a 2-min query into 45+
+        # min; caught by the r9 sf10 sweep)
+        .localCheckpoint()
     )
     labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
         "lbl", F.col("doc_id")

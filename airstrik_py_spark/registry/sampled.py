@@ -18,8 +18,12 @@ the full bit-exact compare for this documented contract:
          the decomposability argument.
        * ``sql``    — a hand-written restricted oracle (used when only one
          side of a self-join may be restricted, e.g. the kNN probe side).
-  3. Spark's full output is filtered (in Python) to the same sampled keys
-     and compared bit-exact — same canonicalization as the full gate.
+  3. Spark's full output is filtered ENGINE-SIDE (``filter_sql`` on the
+     output columns) to the same sampled keys and compared bit-exact —
+     same canonicalization as the full gate.  The full count comes from
+     a separate count() so the driver never materializes the full
+     multi-million-row result (at sf10 the collect-everything form
+     drove the checker to an OOM kill).
 
 A slug with no contract here and an infeasible oracle is reported as a
 timeout SKIP, never silently passed.
@@ -34,18 +38,15 @@ HEX_MOD = 10  # sessions/as-of family: 1-in-10 planes
 VEC_MOD = 41  # kNN probe side: 1-in-41 source vectors
 
 
-def _hex_keep(col: str):
-    def keep(row) -> bool:
-        return int(row[col]) % HEX_MOD == 0
+def _hex_filter(col: str) -> str:
+    # hex is the stringified user_id; filter the FULL Spark output down
+    # to the sampled keys ENGINE-SIDE so check.py never collects the
+    # multi-million-row full result (the r9 sf10 OOM lesson)
+    return f"CAST({col} AS BIGINT) % {HEX_MOD} = 0"
 
-    return keep
 
-
-def _vec_keep(col: str):
-    def keep(row) -> bool:
-        return int(row[col]) % VEC_MOD == 0
-
-    return keep
+def _vec_filter(col: str) -> str:
+    return f"{col} % {VEC_MOD} = 0"
 
 
 def _events_views() -> dict[str, str]:
@@ -82,7 +83,7 @@ def contracts() -> dict[str, dict]:
     out: dict[str, dict] = {
         slug: {
             "views": _events_views(),
-            "keep": _hex_keep(col),
+            "filter_sql": _hex_filter(col),
             "note": f"events restricted to user_id%{HEX_MOD}=0; "
             f"hex-decomposable (all CTEs partition by hex)",
         }
@@ -99,7 +100,7 @@ def contracts() -> dict[str, dict]:
     assert f"% {VEC_MOD} = 0" in knn_sampled
     out["knn_graph_bucketed"] = {
         "sql": f"WITH {knn_sampled}\nSELECT src_id, dst_id, cos, rank FROM knn",
-        "keep": _vec_keep("src_id"),
+        "filter_sql": _vec_filter("src_id"),
         "note": f"probe side restricted to vec_id%{VEC_MOD}=0, candidate "
         "corpus full - per-source decomposable",
     }
@@ -117,7 +118,7 @@ def contracts() -> dict[str, dict]:
     assert f"AND vec_id % {VEC_MOD} = 0" in trip
     out["embedding_triplet_mine"] = {
         "sql": trip,
-        "keep": _vec_keep("anchor_id"),
+        "filter_sql": _vec_filter("anchor_id"),
         "note": f"anchors restricted to vec_id%{VEC_MOD}=0, candidate "
         "corpus full - per-anchor decomposable",
     }

@@ -121,6 +121,12 @@ def main() -> int:
         except OSError:
             continue
     cap_gb = max(1, min(48, int(ram * 0.5 / 2**30)))
+    # Override for parallel sweeps (two checkers sharing one box must
+    # split the budget, and DuckDB's limit is advisory for some recursive
+    # /materialization allocations — leave generous headroom).
+    env_cap = os.environ.get("SPARK_GRAFT_ORACLE_CAP_GB")
+    if env_cap:
+        cap_gb = int(env_cap)
     duck.execute(f"SET memory_limit='{cap_gb}GB'")
     for t in TABLES:
         duck.execute(
@@ -145,13 +151,19 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
-            srows = sdf.collect()
+            if name in contracts:
+                # engine-side sample filter: the full result is counted
+                # but never collected (sf10 OOM lesson)
+                full_rows = sdf.count()
+                srows = sdf.filter(contracts[name]["filter_sql"]).collect()
+            else:
+                srows = sdf.collect()
+                full_rows = len(srows)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
             report[name] = {"status": "fail", "mode": mode, "err": f"spark: {e}"[:300]}
             n_fail += 1
             continue
-        full_rows = len(srows)
         if name not in oracles:
             print(f"PASS {name}: rows-only ({full_rows} rows, no oracle) "
                   f"[{time.time()-t0:.1f}s]")
@@ -165,7 +177,6 @@ def main() -> int:
         restore_views: list[str] = []
         if name in contracts:
             c = contracts[name]
-            srows = [r for r in srows if c["keep"](r)]
             if "sql" in c:
                 osql = c["sql"]
             for tbl, pred in c.get("views", {}).items():

@@ -695,6 +695,11 @@ def _pq_long(emb: DataFrame) -> DataFrame:
     k-means fits at once (keys (sub, cid) instead of 8 separate jobs)."""
     return (
         _with_vec(emb)
+        # spread BEFORE the 32x explode (r9 sf10 finding, same class as
+        # the triplet/knn collapses): downstream Lloyd rounds inherit
+        # this partitioning, so without it every assign pass runs at the
+        # parquet split count with whatever skew the scan had
+        .repartition(shuffle_partitions(emb.sparkSession))
         .select(
             "vec_id",
             "vec",

@@ -83,20 +83,28 @@ def cosine_dup_pairs(
     r8 sf1 sweep caught it going quadratic, and the rho = 0.66 LSH gap at
     t=0.4 means no banding fixes that (see cosine_topk_pairs, the
     scale-valid replacement contract)."""
+    # THIN candidate join (r9 sf10 finding): the former shape carried
+    # BOTH 512-byte vectors through the banded self-join — at 200k
+    # isotropic vectors that is ~6x10^8 joined rows x ~1 KB = a spill
+    # measured in hundreds of GB (killed the box's disk).  Join on ids
+    # only, collapse multi-band hits with DISTINCT on the 16-byte pair,
+    # then re-attach vectors by id equi-joins for ONE cosine per pair —
+    # same output, same oracle, ~60x less shuffle volume.
     base = embedding_bucket_store(emb, bands, bits)
-    a = base.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("va"), "band", "bkey")
-    b = base.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"), "band", "bkey")
-    # collapse multi-band collisions BEFORE the cosine: a near-identical
-    # pair (the hot dedup case) hits all `bands` buckets — first-vector
-    # aggregate keeps the join bucket-local but evaluates the exact
-    # cosine once per pair instead of once per shared band
-    cos = F.round(cosine(F.col("va"), F.col("vb")), 4)
-    return (
+    keys = base.select("vec_id", "band", "bkey")
+    a = keys.select(F.col("vec_id").alias("id_a"), "band", "bkey")
+    b = keys.select(F.col("vec_id").alias("id_b"), "band", "bkey")
+    pairs = (
         a.join(b, ["band", "bkey"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.first("va").alias("va"), F.first("vb").alias("vb"))
-        .withColumn("cos", cos)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    v = _with_vec(emb).select("vec_id", "vec")
+    return (
+        pairs.join(v.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("va")), "id_a")
+        .join(v.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vb")), "id_b")
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 4))
         .filter(F.col("cos") >= F.lit(threshold))
         .select("id_a", "id_b", "cos")
     )

@@ -111,6 +111,23 @@ def contracts() -> dict[str, dict]:
     from airstrik_py_spark.registry.analytics_q import ORACLES as _an
     from airstrik_py_spark.registry.analytics_q import TRIPLET_ANCHOR_MOD
 
+    # Banded cosine pairs: pair (a, b) is emitted once with id_a < id_b,
+    # and each pair's verdict depends only on the two vectors + band keys
+    # — restricting the a-side samples pairs by their lower id.
+    from airstrik_py_spark.registry.dedup_q import ORACLES as _dd
+
+    on_clause = "ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id"
+    cos_sql = _dd["dedup_embedding_cosine"].replace(
+        on_clause, on_clause + f" AND a.vec_id % {VEC_MOD} = 0"
+    )
+    assert f"AND a.vec_id % {VEC_MOD} = 0" in cos_sql
+    out["dedup_embedding_cosine"] = {
+        "sql": cos_sql,
+        "filter_sql": _vec_filter("id_a"),
+        "note": f"a-side restricted to vec_id%{VEC_MOD}=0 - per-pair "
+        "decomposable on the lower id",
+    }
+
     anchor_where = f"FROM e WHERE vec_id % {TRIPLET_ANCHOR_MOD} = 0"
     trip = _an["embedding_triplet_mine"].replace(
         anchor_where, anchor_where + f" AND vec_id % {VEC_MOD} = 0"

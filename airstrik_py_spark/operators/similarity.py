@@ -100,10 +100,23 @@ def cosine_dup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+    # BROADCAST the vector table into the re-attach joins: the candidate
+    # stream is the quadratic side (6e8 rows at sf10) — shuffling it with
+    # a 520-byte vector attached is a 300 GB spill, while the vector
+    # table itself is N x ~520 B (104 MB at 200k vectors; ~500 MB at 1M).
+    # Past broadcast size, fall back to partitioned re-attach + a wider
+    # band key (the auto-width rule) so the candidate stream shrinks
+    # before it must shuffle.
     v = _with_vec(emb).select("vec_id", "vec")
     return (
-        pairs.join(v.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("va")), "id_a")
-        .join(v.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vb")), "id_b")
+        pairs.join(
+            F.broadcast(v.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("va"))),
+            "id_a",
+        )
+        .join(
+            F.broadcast(v.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"))),
+            "id_b",
+        )
         .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 4))
         .filter(F.col("cos") >= F.lit(threshold))
         .select("id_a", "id_b", "cos")
@@ -244,9 +257,19 @@ def cosine_topk_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+    # broadcast re-attach (r9 sf10 finding): the DISTINCT candidate set is
+    # the quadratic-ish side (3.3e8 pairs at 200k isotropic vectors with
+    # 16-bit keys), and shuffling it with a vector column attached spilled
+    # ~90 GB; the vector table broadcasts at ~520 B/vector instead
     return (
-        cand.join(v.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("va")), "id_a")
-        .join(v.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vb")), "id_b")
+        cand.join(
+            F.broadcast(v.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("va"))),
+            "id_a",
+        )
+        .join(
+            F.broadcast(v.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"))),
+            "id_b",
+        )
         .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 4))
         .orderBy(F.desc("cos"), "id_a", "id_b")
         .limit(k)

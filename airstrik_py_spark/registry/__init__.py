@@ -29,6 +29,27 @@ _MODULES = (
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+# VERDICT r9 #1 hand-pin: these slugs' engine or oracle source was rewritten
+# in r9 AFTER their last driver-green row (commits 885ea5b, 9ed8996, 177f4b1,
+# 4ef96d5, 790a15c, dc7f03d), or their last green is the oldest on record
+# (the r6 trio).  The changed-since-green hash key below re-selects such
+# slugs automatically from now on, but the pin guarantees THIS cohort leads
+# the r10 window regardless of how many other slugs the conservative
+# module-level hash marks changed.  Remove once CORRECTNESS_r10 records them.
+_FORCE_WINDOW = (
+    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_hi",
+    "knn_graph_bucketed",
+    "dedup_semantic",
+    "graph_pagerank_knn",
+    "dedup_clusters",
+    "ann_pq_adc",
+    "ann_ivf_pq",
+    "filter_geofence_match",
+    "project_first_pair",
+    "window_alarm_transitions",
+)
+
 
 def _driver_green_history() -> tuple[
     dict[str, int], dict[str, int], dict[str, int], dict[str, int]
@@ -90,6 +111,42 @@ def _driver_green_history() -> tuple[
     return counts, rows_only, last_full, last_rows_only
 
 
+def slug_roots() -> dict[str, frozenset[str]]:
+    """Per-slug hash-basis root modules for srcstate: the module DEFINING
+    the query callable plus the module(s) REGISTERING the query and its
+    oracle (they differ when extras_q re-registers dedup_q/similarity_q
+    callables or composes their oracle text)."""
+    roots: dict[str, set[str]] = {}
+    for mod_name in _MODULES:
+        try:
+            mod = importlib.import_module(f"airstrik_py_spark.registry.{mod_name}")
+        except ModuleNotFoundError:
+            continue
+        for slug, fn in getattr(mod, "QUERIES", {}).items():
+            roots.setdefault(slug, set()).update(
+                {fn.__module__, f"airstrik_py_spark.registry.{mod_name}"}
+            )
+        for slug in getattr(mod, "ORACLES", {}):
+            roots.setdefault(slug, set()).add(
+                f"airstrik_py_spark.registry.{mod_name}"
+            )
+    return {slug: frozenset(r) for slug, r in roots.items()}
+
+
+def changed_since_green() -> dict[str, bool]:
+    """slug -> True when the slug's source hash differs from the hash
+    recorded at its last driver-green row (srcstate sidecar).  A missing
+    sidecar entry counts as changed — never-certified-at-this-source leads
+    the window."""
+    from airstrik_py_spark.registry import srcstate
+
+    cur = srcstate.slug_hashes(slug_roots())
+    side = srcstate.load_sidecar()
+    return {
+        slug: side.get(slug, {}).get("hash") != h for slug, h in cur.items()
+    }
+
+
 def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}
@@ -104,11 +161,14 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
             raise ValueError(f"duplicate registry slugs from {mod_name}: {sorted(dupes)}")
         queries.update(mod_queries)
         oracles.update(getattr(mod, "ORACLES", {}))
-    # Stable rotation: least-recently-driver-green first (never-green sorts
-    # as round 0 and therefore always leads), then fewest green rows, then
-    # insertion order.  Rows-only rows count as green only while the slug
-    # still lacks an oracle; once one is registered the slug re-enters the
-    # window to earn its first hash-verified row.
+    # Stable rotation (VERDICT r6 #1 + r9 #1): hand-pinned cohort first,
+    # then slugs whose SOURCE CHANGED since their last driver-green row
+    # (hash sidecar, srcstate.py — a recently-green slug rewritten since is
+    # the stalest evidence of all), then least-recently-driver-green (never-
+    # green sorts as round 0 and therefore leads its class), then fewest
+    # green rows, then insertion order.  Rows-only rows count as green only
+    # while the slug still lacks an oracle; once one is registered the slug
+    # re-enters the window to earn its first hash-verified row.
     full, rows_only, last_full, last_rows_only = _driver_green_history()
     green = {
         slug: full.get(slug, 0)
@@ -122,7 +182,17 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
         )
         for slug in queries
     }
-    order = sorted(queries, key=lambda slug: (last.get(slug, 0), green.get(slug, 0)))
+    changed = changed_since_green()
+    pin = {slug: i for i, slug in enumerate(_FORCE_WINDOW)}
+    order = sorted(
+        queries,
+        key=lambda slug: (
+            pin.get(slug, len(_FORCE_WINDOW)),
+            0 if changed.get(slug) else 1,
+            last.get(slug, 0),
+            green.get(slug, 0),
+        ),
+    )
     queries = {slug: queries[slug] for slug in order}
     oracles = {slug: oracles[slug] for slug in order if slug in oracles}
     return queries, oracles

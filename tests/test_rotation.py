@@ -1,20 +1,32 @@
 """Rotation-order invariants for the driver-window registry ordering.
 
 The driver records only the first ~50 queries() entries per round, so
-collect() must enumerate the least-recently-driver-green slugs first
-(VERDICT r6 #1: refresh the stale r1/r2-era rows) with fewest-greens as
-the tie-break.  These tests run against the repo's real CORRECTNESS_r*.json
-history — no Spark session needed.
+collect() must enumerate (1) the hand-pinned re-certification cohort, then
+(2) slugs whose source hash changed since their last driver-green row
+(VERDICT r9 #1 — a recently-green slug rewritten since is the stalest
+evidence of all), then (3) least-recently-driver-green with fewest-greens
+as the tie-break.  These tests run against the repo's real
+CORRECTNESS_r*.json history and green_hashes.json sidecar — no Spark
+session needed.
 """
 
 from __future__ import annotations
 
-from airstrik_py_spark.registry import _driver_green_history, collect
+from airstrik_py_spark.registry import (
+    _FORCE_WINDOW,
+    _driver_green_history,
+    changed_since_green,
+    collect,
+    slug_roots,
+)
+from airstrik_py_spark.registry import srcstate
 
 
-def test_collect_orders_by_last_green_then_count():
+def test_collect_orders_pinned_then_changed_then_recency():
     queries, oracles = collect()
     full, rows_only, last_full, last_rows_only = _driver_green_history()
+    changed = changed_since_green()
+    pin = {slug: i for i, slug in enumerate(_FORCE_WINDOW)}
     keys = []
     for slug in queries:
         last = max(
@@ -24,8 +36,16 @@ def test_collect_orders_by_last_green_then_count():
         green = full.get(slug, 0) + (
             rows_only.get(slug, 0) if slug not in oracles else 0
         )
-        keys.append((last, green))
-    assert keys == sorted(keys), "collect() must be least-recently-green first"
+        keys.append(
+            (pin.get(slug, len(_FORCE_WINDOW)), 0 if changed.get(slug) else 1, last, green)
+        )
+    assert keys == sorted(keys), "collect() must be pinned, changed, then LRG first"
+
+
+def test_force_window_leads():
+    queries, _ = collect()
+    head = list(queries)[: len(_FORCE_WINDOW)]
+    assert head == list(_FORCE_WINDOW)
 
 
 def test_every_slug_has_oracle_and_callable():
@@ -42,3 +62,46 @@ def test_oracle_order_follows_query_order():
     queries, oracles = collect()
     q_order = [s for s in queries if s in oracles]
     assert list(oracles) == q_order
+
+
+def test_sidecar_hashes_match_current_for_unchanged():
+    """A sidecar entry whose hash equals the current hash must be reported
+    unchanged, and vice versa — the changed flag is exactly hash
+    inequality (missing entry counts as changed)."""
+    side = srcstate.load_sidecar()
+    cur = srcstate.slug_hashes(slug_roots())
+    changed = changed_since_green()
+    for slug, h in cur.items():
+        assert changed[slug] == (side.get(slug, {}).get("hash") != h)
+
+
+def test_srcstate_closure_covers_operator_rewrites():
+    """The r9 failure mode: an operators/similarity.py rewrite must change
+    the hash of slugs whose registry module imports it."""
+    roots = slug_roots()
+    files = srcstate.dep_closure(sorted(roots["dedup_embedding_cosine"]))
+    assert "airstrik_py_spark/operators/similarity.py" in files
+    # oracle composed in a different module than the callable definition:
+    # extras_q re-registers dedup_q's q_dedup_clusters
+    files2 = srcstate.dep_closure(sorted(roots["dedup_clusters"]))
+    assert "airstrik_py_spark/registry/extras_q.py" in files2
+    assert "airstrik_py_spark/registry/dedup_q.py" in files2
+    # rotation plumbing must NOT be in any closure (editing the rotation
+    # policy is not a semantic change to any slug)
+    assert "airstrik_py_spark/registry/__init__.py" not in files
+    assert "airstrik_py_spark/registry/srcstate.py" not in files
+
+
+def test_srcstate_hash_sensitive_to_content():
+    h1 = srcstate.closure_hash(
+        ["airstrik_py_spark.operators.decimation"], srcstate.read_worktree
+    )
+
+    def tweaked(rel):
+        src = srcstate.read_worktree(rel)
+        if src is not None and rel == "airstrik_py_spark/operators/decimation.py":
+            return src + "\n# tweak\n"
+        return src
+
+    h2 = srcstate.closure_hash(["airstrik_py_spark.operators.decimation"], tweaked)
+    assert h1 != h2

@@ -100,26 +100,41 @@ def cosine_dup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    # BROADCAST the vector table into the re-attach joins: the candidate
-    # stream is the quadratic side (6e8 rows at sf10) — shuffling it with
-    # a 520-byte vector attached is a 300 GB spill, while the vector
-    # table itself is N x ~520 B (104 MB at 200k vectors; ~500 MB at 1M).
-    # Past broadcast size, fall back to partitioned re-attach + a wider
-    # band key (the auto-width rule) so the candidate stream shrinks
-    # before it must shuffle.
     v = _with_vec(emb).select("vec_id", "vec")
     return (
-        pairs.join(
-            F.broadcast(v.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("va"))),
-            "id_a",
-        )
-        .join(
-            F.broadcast(v.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"))),
-            "id_b",
-        )
+        _reattach_vectors(pairs, v)
         .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 4))
         .filter(F.col("cos") >= F.lit(threshold))
         .select("id_a", "id_b", "cos")
+    )
+
+
+# ~520 B per 64-dim double vector -> the broadcast re-attach table stays
+# around/below ~520 MB up to this row count; past it the hint would risk a
+# driver/executor OOM, so the joins fall back to plain shuffle equi-joins.
+REATTACH_BROADCAST_MAX_ROWS = 1_000_000
+
+
+def _reattach_vectors(pairs: DataFrame, v: DataFrame) -> DataFrame:
+    """Attach va/vb to DISTINCT (id_a, id_b) candidate pairs by two id
+    equi-joins (r9 sf10 finding: the candidate stream is the quadratic-ish
+    side — 6e8 rows at 200k isotropic vectors — and shuffling it with a
+    520-byte vector attached spilled hundreds of GB; the joins move 16-byte
+    pairs instead and the vector table ships to them).  The vector table is
+    BROADCAST only while it plausibly fits (row count <=
+    REATTACH_BROADCAST_MAX_ROWS, one cheap column-pruned count); past that
+    the fallback is a partitioned shuffle re-attach (ADVICE r9: previously
+    documented but not implemented) — still 16-byte pairs on the wire for
+    the big side, and at that corpus size the auto-width band rule has
+    already shrunk pair volume per bucket."""
+    big = v.count() > REATTACH_BROADCAST_MAX_ROWS
+    side = (lambda df: df) if big else F.broadcast
+    return pairs.join(
+        side(v.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("va"))),
+        "id_a",
+    ).join(
+        side(v.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"))),
+        "id_b",
     )
 
 
@@ -257,19 +272,12 @@ def cosine_topk_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    # broadcast re-attach (r9 sf10 finding): the DISTINCT candidate set is
-    # the quadratic-ish side (3.3e8 pairs at 200k isotropic vectors with
-    # 16-bit keys), and shuffling it with a vector column attached spilled
-    # ~90 GB; the vector table broadcasts at ~520 B/vector instead
+    # size-gated broadcast re-attach (r9 sf10 finding; see
+    # _reattach_vectors): the DISTINCT candidate set is the quadratic-ish
+    # side (3.3e8 pairs at 200k isotropic vectors with 16-bit keys), and
+    # shuffling it with a vector column attached spilled ~90 GB
     return (
-        cand.join(
-            F.broadcast(v.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("va"))),
-            "id_a",
-        )
-        .join(
-            F.broadcast(v.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"))),
-            "id_b",
-        )
+        _reattach_vectors(cand, v)
         .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 4))
         .orderBy(F.desc("cos"), "id_a", "id_b")
         .limit(k)

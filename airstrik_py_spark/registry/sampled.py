@@ -5,9 +5,10 @@ though the ENGINE side runs fine — the wall is oracle cost, not engine
 capability (SCALE.md §4b).  For those lanes tools/check.py --sampled swaps
 the full bit-exact compare for this documented contract:
 
-  1. Spark runs the FULL query at the full sf — full row count and schema
-     are recorded (and the count is compared when `expect_rows` can state
-     it in closed form).
+  1. Spark runs the FULL query at the full sf — the full row count and
+     schema are recorded in the report (the count is informational, not
+     compared against anything; only the sampled slice is value-verified —
+     ADVICE r9 corrected an earlier over-claim here).
   2. The oracle runs a key-RESTRICTED equivalent that is affordable, via
      one of two mechanisms:
        * ``views``  — re-create an input view with a deterministic key

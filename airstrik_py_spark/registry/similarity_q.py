@@ -331,8 +331,13 @@ def _pca_ctes(iters: int, dim: int) -> str:
 # the probe-mask list is the Hamming-1 set for that width — the static
 # mask-list form only worked while the width itself was static.
 assert SIM.KNN_GRAPH_PROBE == 1, "dynamic-width oracle enumerates Hamming-1 masks"
+# greatest(count(*), 1): on an EMPTY embeddings table log2(0) is -inf and
+# CAST(-inf AS INTEGER) errors in DuckDB, while the Spark side's
+# auto_srp_bits returns SRP_BITS for n <= 0 (ADVICE r9) — with the guard,
+# n<=1 clamps to SRP_BITS on both engines and the oracle yields the same
+# empty result as the engine.
 _KNN_W = (
-    f"least(greatest(CAST(ceil(log2(count(*) / {SIM.SRP_TARGET_OCCUPANCY})) AS INTEGER), "
+    f"least(greatest(CAST(ceil(log2(greatest(count(*), 1) / {SIM.SRP_TARGET_OCCUPANCY})) AS INTEGER), "
     f"{SIM.SRP_BITS}), {SIM.SRP_MAX_BITS})"
 )
 # sigd and knn are MATERIALIZED: DuckDB inlines plain CTEs per reference

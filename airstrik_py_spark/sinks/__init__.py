@@ -135,9 +135,13 @@ def kafka_records(payload_df: DataFrame) -> DataFrame:
         F.coalesce(F.col("altitude").cast("string"), F.lit("unknown")),
     )
     if "eta" in value_cols:
-        # Explicit warning match, not != alert: a NULL topic must not
-        # silently drop eta as if it were an alert (ADVICE r8) — unknown
-        # routing keeps the payload intact and fails at the router.
+        # eta is WARNING-ONLY: the unmatched-when() branch yields NULL, so
+        # a NULL or unrecognized topic nulls eta exactly like an alert does
+        # (ADVICE r9 — the former comment claimed the payload survived).
+        # That is the intended contract: only 'airstrik-warning' carries
+        # eta on the wire (README.md:66), and the only producer (alarm.py)
+        # guarantees topic is one of the two literals, so nothing else is
+        # ever routed here.
         edge = edge.withColumn(
             "eta",
             F.when(F.col("topic") == "airstrik-warning", F.col("eta")),

@@ -56,13 +56,25 @@ def canon_rows(cols, rows):
     return Counter(tuple(canon_value(r[i]) for i in order) for r in rows)
 
 
-def run_with_timeout(duck, sql: str, timeout_s: float):
+def run_with_timeout(duck, sql: str, timeout_s: float, _retried: bool = False):
     """Execute on `duck`, interrupting after timeout_s.  Returns
-    (cols, rows) or raises TimeoutError/duckdb errors."""
+    (cols, rows) or raises TimeoutError/duckdb errors.
+
+    Two-layer defense against the timer/finish race (ADVICE r9): the timer
+    callback checks a `done` event set as soon as the query returns, so a
+    timer firing after completion almost never interrupts the now-idle
+    connection; and if a stale interrupt does slip through (done set
+    between the check and the interrupt), it poisons the NEXT execute with
+    an InterruptException whose own timer never fired — detected by
+    timed_out being unset — and that execute is retried once instead of
+    being reported as a FAIL for the wrong slug."""
     timed_out = threading.Event()
+    done = threading.Event()
     timer = None
     if timeout_s > 0:
         def fire():
+            if done.is_set():
+                return
             timed_out.set()
             duck.interrupt()
         timer = threading.Timer(timeout_s, fire)
@@ -72,12 +84,17 @@ def run_with_timeout(duck, sql: str, timeout_s: float):
         res = duck.execute(sql)
         cols = [d[0] for d in res.description]
         rows = res.fetchall()
+        done.set()
         return cols, rows
     except duckdb.InterruptException:
+        done.set()
         if timed_out.is_set():
             raise TimeoutError(f"oracle exceeded {timeout_s:.0f}s") from None
+        if not _retried:
+            return run_with_timeout(duck, sql, timeout_s, _retried=True)
         raise
     finally:
+        done.set()
         if timer is not None:
             timer.cancel()
 

@@ -39,10 +39,13 @@ is vacuously true and the reference writes on EVERY eligible packet once
 last_written is non-empty.  decimation_force_new_data therefore only
 delays the FIRST write (the :612 branch needs last_written empty); it
 never suppresses repeats — which is exactly why the cadence closed form
-exists (branch C never skips).  The DuckDB oracle intentionally stays the
-packet-by-packet recursive fold mirroring the reference loop
-(registry/sinks_q.py::_decim_fold_ctes), so the correctness gate checks
-the closed form against an independent derivation of the same semantics.
+exists (branch C never skips).  Since r10 the REGISTERED DuckDB oracle is
+the closed-form cadence too (registry/sinks_q.py::_decim_closed_ctes —
+the recursive fold's depth = longest trip blew the 900 s oracle budget on
+the adversarial 200k-row hot hex, VERDICT r9 #4); the packet-by-packet
+fold (_decim_fold_ctes) is retained as the independent derivation and
+pinned equal to the closed form on the real fixtures by
+tests/test_decimation_oracle.py.
 
 A write emits the history HEADS — the last known (value, entry-ts) pair
 per attribute (airstrik.py:602-604), not the triggering packet's own

@@ -257,6 +257,60 @@ assembled AS (
   WHERE t.end_sec - t.start_sec >= 3600.0
 )"""
 
+def _decim_closed_ctes(n: int, force_new: bool) -> str:
+    """Closed-form write cadence as SQL — the same derivation as
+    operators/decimation.py::decimate's module docstring (writes at
+    S' + k*N, S' = E0 + N*ceil((F - E0)/N) (+1 when force_new), E0/F the
+    first packets with n_lat>=2 / both>=2).  Replaced the per-packet
+    RECURSIVE fold as the registered oracle in r10 (VERDICT r9 #4): the
+    fold's depth = longest trip, and the 200k-row hot hex in the
+    adversarial skew fixture blew the 900 s budget, while this form is
+    three window passes like the engine's.  The fold (_decim_fold_ctes)
+    remains the independent packet-by-packet derivation, pinned equal to
+    this form by tests/test_decimation_oracle.py at small sf.
+
+    Builds on session_ctes' runstate: lat_fix/lon_fix and the running
+    n_lat_fix/n_lon_fix there mirror the fold's lat_new/n_lat exactly
+    (non-null and different from the previous non-null head)."""
+    win = "PARTITION BY hex, session_id ORDER BY ts_sec, event_id"
+    run = f"{win} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    if n == 0:
+        # factor 0 = closest-only mode: no per-update samples pass
+        # (config.yaml:7); schema-stable empty, like the engine's
+        # filter(false) branch
+        return """
+counted AS (
+  SELECT hex, session_id, CAST(NULL AS INTEGER) AS update_seq,
+         ts, ts_sec, event_id,
+         lat, CAST(NULL AS DOUBLE) AS lat_sec,
+         lon, CAST(NULL AS DOUBLE) AS lon_sec
+  FROM runstate WHERE false)
+"""
+    bump = " + 1" if force_new else ""
+    return f"""
+dstate AS (
+  SELECT hex, session_id, ts, ts_sec, event_id,
+         CAST(row_number() OVER ({win}) AS INTEGER) AS i,
+         n_lat_fix, n_lon_fix,
+         last_value(lat IGNORE NULLS) OVER ({run}) AS head_la,
+         last_value(lon IGNORE NULLS) OVER ({run}) AS head_lo,
+         last_value(CASE WHEN lat_fix = 1 THEN ts_sec END IGNORE NULLS) OVER ({run}) AS head_la_t,
+         last_value(CASE WHEN lon_fix = 1 THEN ts_sec END IGNORE NULLS) OVER ({run}) AS head_lo_t
+  FROM runstate),
+danchor AS (
+  SELECT *,
+         min(CASE WHEN n_lat_fix >= 2 THEN i END) OVER (PARTITION BY hex, session_id) AS e0,
+         min(CASE WHEN n_lat_fix >= 2 AND n_lon_fix >= 2 THEN i END) OVER (PARTITION BY hex, session_id) AS f0
+  FROM dstate),
+counted AS (
+  SELECT hex, session_id, i AS update_seq, ts, ts_sec, event_id,
+         head_la AS lat, head_la_t AS lat_sec, head_lo AS lon, head_lo_t AS lon_sec
+  FROM (SELECT *, e0 + {n} * CAST(ceil((f0 - e0) / {n}) AS INTEGER){bump} AS s1
+        FROM danchor)
+  WHERE f0 IS NOT NULL AND i >= s1 AND (i - s1) % {n} = 0)
+"""
+
+
 def _decim_fold_ctes(n: int, force_new: bool) -> str:
     """Operation-for-operation mirror of operators/decimation.py::
     _decim_step as a RECURSIVE CTE that advances one packet per step (the
@@ -266,7 +320,11 @@ def _decim_fold_ctes(n: int, force_new: bool) -> str:
     fold was the first attempt, but DuckDB 1.0.0's list_reduce corrupts
     struct accumulators that carry a list field (nondeterministic under
     threads, emits impossible indices) — the recursive CTE is the
-    deterministic equivalent; depth = longest trip."""
+    deterministic equivalent; depth = longest trip.  Since r10 this fold
+    is TEST-ONLY (tests/test_decimation_oracle.py pins it equal to
+    _decim_closed_ctes): the registered oracle uses the closed form,
+    which survives the adversarial hot-hex fixture the fold could not
+    (VERDICT r9 #4)."""
     la, lo = "p.lat", "p.lon"
     lat_new = f"({la} IS NOT NULL AND (s.n_lat = 0 OR {la} <> s.last_la))"
     lon_new = f"({lo} IS NOT NULL AND (s.n_lon = 0 OR {lo} <> s.last_lo))"
@@ -337,15 +395,15 @@ SELECT flight_id || '_' || CAST(session_id AS VARCHAR) AS _id,
 FROM assembled
 """,
     "filter_decimation": f"""
-WITH RECURSIVE {_CTES},
-{_decim_fold_ctes(CFG.decimation_factor, CFG.decimation_force_new_data)}
+WITH {_CTES},
+{_decim_closed_ctes(CFG.decimation_factor, CFG.decimation_force_new_data)}
 SELECT hex, strftime(ts, '{TS_FMT_DUCK}') AS ts_str, update_seq,
        round(lat, 6) AS lat, round(lon, 6) AS lon
 FROM counted
 """,
     "sink_mongo_decimated": f"""
-WITH RECURSIVE {_CTES},
-{_decim_fold_ctes(CFG.decimation_factor, CFG.decimation_force_new_data)}
+WITH {_CTES},
+{_decim_closed_ctes(CFG.decimation_factor, CFG.decimation_force_new_data)}
 SELECT hex AS flight_id, round(lat, 6) AS lat_value, round(lat_sec, 6) AS lat_sec,
        round(lon, 6) AS lon_value, round(lon_sec, 6) AS lon_sec
 FROM counted

@@ -26,8 +26,12 @@ the full bit-exact compare for this documented contract:
      multi-million-row result (at sf10 the collect-everything form
      drove the checker to an OOM kill).
 
-A slug with no contract here and an infeasible oracle is reported as a
-timeout SKIP, never silently passed.
+A slug whose oracle is infeasible at scale AND has no sound restricted
+form carries an explicit ``skip`` contract instead: check.py reports it
+as a documented SKIP (with the engine still run FULL when the engine side
+is scale-valid, so the row count is recorded), never as a raw OOM/FAIL
+and never silently passed.  A slug with no contract here and an
+infeasible oracle is reported as a timeout SKIP.
 """
 
 from __future__ import annotations
@@ -127,6 +131,38 @@ def contracts() -> dict[str, dict]:
         "filter_sql": _vec_filter("id_a"),
         "note": f"a-side restricted to vec_id%{VEC_MOD}=0 - per-pair "
         "decomposable on the lower id",
+    }
+
+    # Documented sf-scale SKIPs (VERDICT r9 #3) — lanes whose oracle has no
+    # sound restricted form:
+    #
+    # dedup_semantic: connected components need the FULL knn edge set —
+    # restricting ANY side of the edge build changes component membership,
+    # and a component-seeded variant (verify only clusters whose
+    # cluster_id % VEC_MOD = 0, sound because components are disjoint and a
+    # cluster whose min id is sampled certainly contains a seed) STILL has
+    # to materialize the full-probe knn in DuckDB first, which is exactly
+    # what OOMed at the 44.7 GiB cap in the r9 sf10 sweep.  The ENGINE side
+    # is scale-valid (bucketed, auto-width), so Spark runs FULL and the row
+    # count is recorded; value verification holds through sf1, where the
+    # full oracle is affordable.
+    out["dedup_semantic"] = {
+        "skip": "oracle-infeasible at this sf: the semantic closure needs "
+        "the full knn edge set (restricting any side changes components) "
+        "and DuckDB's full-probe knn OOMs at the memory cap; engine runs "
+        "FULL (rows recorded), full value verification held through sf1",
+        "spark": "full",
+    }
+    # dedup_embedding_cosine_hi: the high-recall low-threshold PAIR-MINING
+    # contract is rho-gap-bound (rho=0.66 at t=0.4) — candidate volume is a
+    # constant fraction of N^2 BY CONTRACT on both engine and oracle, so
+    # neither side should run at 100x; cosine_topk_pairs is the registered
+    # scale-valid replacement.  Skip runs nothing.
+    out["dedup_embedding_cosine_hi"] = {
+        "skip": "contract is rho-gap-bound (high recall at t=0.4 forces a "
+        "constant fraction of all pairs as candidates on BOTH engines) — "
+        "not run at 100x by design; cosine_topk_pairs is the scale lane",
+        "spark": "none",
     }
 
     anchor_where = f"FROM e WHERE vec_id % {TRIPLET_ANCHOR_MOD} = 0"

@@ -581,3 +581,32 @@ def test_ngram_jaccard_reuses_shingle_exchange(spark):
     df.collect()  # AQE finalizes reuse at execution
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ReusedExchange") >= 1
+
+
+def test_reattach_fallback_matches_broadcast(spark, monkeypatch):
+    """ADVICE r9: past REATTACH_BROADCAST_MAX_ROWS the vector re-attach
+    must fall back to plain shuffle equi-joins with IDENTICAL results (and
+    no broadcast hint in the plan)."""
+    df = _vecs(spark)
+    want_pairs = {
+        (r["id_a"], r["id_b"], r["cos"])
+        for r in SIM.cosine_dup_pairs(df, 0.9).collect()
+    }
+    want_topk = [
+        (r["id_a"], r["id_b"], r["cos"])
+        for r in SIM.cosine_topk_pairs(df, k=3).collect()
+    ]
+    monkeypatch.setattr(SIM, "REATTACH_BROADCAST_MAX_ROWS", 0)
+    fb_pairs_df = SIM.cosine_dup_pairs(df, 0.9)
+    fb_pairs = {
+        (r["id_a"], r["id_b"], r["cos"]) for r in fb_pairs_df.collect()
+    }
+    fb_topk = [
+        (r["id_a"], r["id_b"], r["cos"])
+        for r in SIM.cosine_topk_pairs(df, k=3).collect()
+    ]
+    assert fb_pairs == want_pairs
+    assert fb_topk == want_topk
+    plan = fb_pairs_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

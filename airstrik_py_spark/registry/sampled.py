@@ -153,6 +153,20 @@ def contracts() -> dict[str, dict]:
         "FULL (rows recorded), full value verification held through sf1",
         "spark": "full",
     }
+    # graph_pagerank_knn: same blocker as dedup_semantic, one step worse —
+    # PageRank mass flows over EVERY edge, so any restriction of the knn
+    # edge build changes every node's rank, and the oracle's unrolled
+    # iterations reference the full-probe knn CTE that OOMs at the memory
+    # cap (observed in both the r9 and r10 sf10 sweeps).  Engine side is
+    # scale-valid (bucketed knn + iterative joins): runs FULL, rows
+    # recorded; full value verification held through sf1.
+    out["graph_pagerank_knn"] = {
+        "skip": "oracle-infeasible at this sf: PageRank needs the full knn "
+        "edge set (any restriction changes every rank) and DuckDB's "
+        "full-probe knn OOMs at the memory cap; engine runs FULL (rows "
+        "recorded), full value verification held through sf1",
+        "spark": "full",
+    }
     # dedup_embedding_cosine_hi: the high-recall low-threshold PAIR-MINING
     # contract is rho-gap-bound (rho=0.66 at t=0.4) — candidate volume is a
     # constant fraction of N^2 BY CONTRACT on both engine and oracle, so

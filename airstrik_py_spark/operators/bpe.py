@@ -68,8 +68,16 @@ def _apply_merge(seqs: DataFrame, best: DataFrame) -> DataFrame:
     merged = F.concat(
         F.lit(" "), F.replace(F.col("pair"), F.lit(" "), F.lit("")), F.lit(" ")
     )
+    others = [c for c in seqs.columns if c not in ("seq", "pair")]
+    # NULL pair = "no pairs left to merge" (the encode lane's 1-row
+    # aggregate winner on a pairless vocab): keep the sequence unchanged
+    # instead of nulling it.  The trainer's limit(1) winner is never NULL
+    # (an empty winner frame crossJoins to zero rows there).
     return seqs.crossJoin(F.broadcast(best.select("pair"))).select(
-        F.replace(F.col("seq"), search, merged).alias("seq"), "freq"
+        F.when(F.col("pair").isNull(), F.col("seq"))
+        .otherwise(F.replace(F.col("seq"), search, merged))
+        .alias("seq"),
+        *others,
     )
 
 
@@ -97,3 +105,65 @@ def bpe_train_merges(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
         if r < rounds:
             seqs = _apply_merge(seqs, best)
     return out
+
+
+def bpe_encode_words(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
+    """(w, w_tokens): every distinct corpus word encoded with the first
+    `rounds` trained merges — the ENCODE side of the tokenizer loop
+    (train picks the merges; encode applies all of them, including the
+    final one the trainer never needs to apply).  Runs entirely on the
+    vocab-sized (word, freq) table: the corpus is never rewritten."""
+    seqs = _word_freqs(docs).select(
+        "w",
+        F.regexp_replace(F.col("w"), "(.)", " $1 ").alias("seq"),
+        "freq",
+    )
+    for _ in range(rounds):
+        # 1-row ALWAYS (global aggregate): pair is NULL once the vocab has
+        # no adjacent pairs left, so the apply step is a no-op instead of
+        # the empty-frame crossJoin annihilating every word.  min_by over
+        # (-n, pair) == the trainer's (n DESC, pair ASC) winner.
+        best = _pair_counts(seqs).agg(
+            F.min_by(
+                "pair", F.struct((-F.col("n")).alias("nn"), F.col("pair"))
+            ).alias("pair")
+        )
+        seqs = _apply_merge(seqs, best)
+    return seqs.select(
+        "w",
+        F.size(F.split(F.trim("seq"), "  ")).cast("long").alias("w_tokens"),
+    )
+
+
+def bpe_encode_tokens(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
+    """Per-document token accounting under the trained BPE merges:
+    (doc_id, n_words, n_tokens, n_chars).
+
+    Scale shape: merges are applied only to the vocab table
+    (bpe_encode_words); the corpus is touched once — word explode +
+    equi-join on `w` (AQE broadcasts the vocab side while it fits, and
+    past that the join degrades to a plain shuffle equi-join on the word
+    key, never a corpus rewrite) — then a map-side-combinable sum per
+    doc_id.  Docs with no words keep a row with zero counts."""
+    wtok = bpe_encode_words(docs, rounds)
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    per_doc = (
+        words.join(wtok, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("w_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+    return (
+        docs.select("doc_id", "n_chars")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+    )

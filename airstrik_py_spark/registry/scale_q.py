@@ -219,6 +219,62 @@ def _bpe_ctes(rounds: int) -> str:
     return ",\n".join(parts)
 
 
+def q_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token accounting under the trained BPE merges — the ENCODE
+    half of the tokenizer loop (operators/bpe.py::bpe_encode_tokens):
+    merges applied on the vocab table only, corpus touched once."""
+    pin_session(spark)
+    return BPE.bpe_encode_tokens(load_table(spark, sf_dir, "documents"))
+
+
+def _bpe_encode_ctes(rounds: int) -> str:
+    """bpe_encode_tokens oracle: the _bpe_ctes trainer unrolled with `w`
+    carried through every rewrite and the FINAL merge applied too, then
+    per-word token counts joined back to the exploded corpus."""
+    parts = [
+        "wf AS (SELECT w, CAST(count(*) AS BIGINT) AS freq"
+        " FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)"
+        " WHERE len(w) > 0 GROUP BY w)",
+        "e0 AS (SELECT w, regexp_replace(w, '(.)', ' \\1 ', 'g') AS seq, freq FROM wf)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"p{r} AS (SELECT unnest(CASE WHEN len(toks) > 1 THEN"
+            f" list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])"
+            f" ELSE [] END) AS pair, freq"
+            f" FROM (SELECT string_split(trim(seq), '  ') AS toks, freq FROM e{r - 1}))"
+        )
+        parts.append(
+            f"b{r} AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM p{r}"
+            f" GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 1)"
+        )
+        parts.append(
+            # LEFT JOIN ON TRUE + NULL guard mirrors the engine's 1-row
+            # aggregate winner: a pairless vocab leaves seqs unchanged
+            # instead of the comma-join annihilating them.
+            f"e{r} AS (SELECT w, CASE WHEN pair IS NULL THEN seq"
+            f" ELSE replace(seq,"
+            f" ' ' || replace(pair, ' ', '  ') || ' ',"
+            f" ' ' || replace(pair, ' ', '') || ' ') END AS seq, freq"
+            f" FROM e{r - 1} LEFT JOIN b{r} ON TRUE)"
+        )
+    parts.append(
+        f"wt AS (SELECT w, CAST(len(string_split(trim(seq), '  ')) AS BIGINT)"
+        f" AS w_tokens FROM e{rounds})"
+    )
+    parts.append(
+        "dw AS (SELECT doc_id, w"
+        " FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)"
+        " WHERE len(w) > 0)"
+    )
+    parts.append(
+        "pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,"
+        " CAST(sum(w_tokens) AS BIGINT) AS n_tokens"
+        " FROM dw JOIN wt USING (w) GROUP BY doc_id)"
+    )
+    return ",\n".join(parts)
+
+
 def q_events_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch's t between user-parity variants on the event value metric —
     operators/events.py::ab_welch_t (exact integer moments, one 2-group
@@ -261,6 +317,7 @@ QUERIES = {
     "graph_pagerank_knn": q_graph_pagerank_knn,
     "profile_column_stats": q_profile_column_stats,
     "bpe_train_merges": q_bpe_train_merges,
+    "bpe_encode_tokens": q_bpe_encode_tokens,
     "basket_pair_support": q_basket_pair_support,
     "events_ab_ttest": q_events_ab_ttest,
 }
@@ -356,6 +413,14 @@ SELECT node AS vec_id, pr AS pr_micro FROM pr{G.PR_ITERS}
     "bpe_train_merges": f"""
 WITH {_bpe_ctes(BPE.BPE_ROUNDS)}
 {" UNION ALL ".join(f"SELECT {r} AS merge_round, pair, n AS pair_count FROM b{r}" for r in range(1, BPE.BPE_ROUNDS + 1))}
+""",
+    "bpe_encode_tokens": f"""
+WITH {_bpe_encode_ctes(BPE.BPE_ROUNDS)}
+SELECT d.doc_id,
+       CAST(COALESCE(pd.n_words, 0) AS BIGINT) AS n_words,
+       CAST(COALESCE(pd.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d LEFT JOIN pd USING (doc_id)
 """,
     "basket_pair_support": f"""
 WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -385,6 +385,58 @@ def test_bpe_merges_match_python_reference(spark, words):
     assert got == want
 
 
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(words=words_strategy)
+def test_bpe_encode_tokens_match_python_reference(spark, words):
+    """bpe_encode_tokens must equal a from-scratch Python BPE encoder:
+    train BPE_ROUNDS merges (greedy leftmost application, (count DESC,
+    pair ASC) winner), apply ALL of them — including the final one the
+    trainer never applies — then count per-doc tokens.  Also covers the
+    pairless-vocab edge (all-single-char words): the 1-row aggregate
+    winner must leave sequences unchanged, not annihilate them."""
+    from airstrik_py_spark.operators.bpe import BPE_ROUNDS, bpe_encode_tokens
+
+    texts = [(i, " ".join([w] * c)) for i, (w, c) in enumerate(words)]
+    docs = spark.createDataFrame(
+        [(i, t, len(t)) for i, t in texts],
+        "doc_id long, text string, n_chars long",
+    )
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"], r["n_chars"])
+        for r in bpe_encode_tokens(docs).collect()
+    }
+
+    freqs: dict[str, int] = {}
+    for w, c in words:
+        freqs[w] = freqs.get(w, 0) + c
+    seqs = {w: list(w) for w in freqs}
+    for _ in range(BPE_ROUNDS):
+        counts: dict[tuple[str, str], int] = {}
+        for w, toks in seqs.items():
+            for a, b in zip(toks, toks[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + freqs[w]
+        if not counts:
+            continue  # no-op round, sequences unchanged
+        (a, b), _n = min(
+            counts.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}")
+        )
+        for w, toks in seqs.items():
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            seqs[w] = out
+    want = {
+        i: (c, c * len(seqs[w]), len(" ".join([w] * c)))
+        for i, (w, c) in enumerate(words)
+    }
+    assert got == want
+
+
 # Skewed strata: one hot source with many docs, small ones, empty overlap.
 strata_strategy = st.lists(
     st.tuples(

@@ -6,9 +6,12 @@ capability (SCALE.md §4b).  For those lanes tools/check.py --sampled swaps
 the full bit-exact compare for this documented contract:
 
   1. Spark runs the FULL query at the full sf — the full row count and
-     schema are recorded in the report (the count is informational, not
-     compared against anything; only the sampled slice is value-verified —
-     ADVICE r9 corrected an earlier over-claim here).
+     schema are recorded in the report.  Where the contract carries
+     ``count_sql`` (a closed-form count over the oracle's OWN cheap CTE
+     prefix — the trips-shaped sessions family), the full count is
+     VERIFIED against it (mismatch = FAIL; count-oracle timeout degrades
+     to recorded-only).  Elsewhere the count stays informational; only
+     the sampled slice is value-verified.
   2. The oracle runs a key-RESTRICTED equivalent that is affordable, via
      one of two mechanisms:
        * ``views``  — re-create an input view with a deterministic key
@@ -94,6 +97,37 @@ def contracts() -> dict[str, dict]:
         }
         for slug, col in sessions_family.items()
     }
+
+    # Closed-form FULL-count oracles (expect_rows, ADVICE r9): for slugs
+    # whose output cardinality is a trivial function of a CHEAP prefix of
+    # their own oracle CTE chain (linear windows — no as-of joins), the
+    # full Spark row count is verified against `count_sql` run on the FULL
+    # views, upgrading the sampled contract from "count recorded" to
+    # "count verified".  The strings reuse the oracle's own _CTES constant,
+    # so they cannot drift from the value oracle.  Slugs whose count needs
+    # the expensive part (as-of joins, decimation fold, alarm sim) get no
+    # count_sql — their count stays informational.
+    from airstrik_py_spark.registry.sessions_q import _CTES as _SESS_CTES
+    from airstrik_py_spark.registry.sessions_q import CFG as _SESS_CFG
+
+    _trips_count = f"WITH {_SESS_CTES} SELECT count(*) AS n FROM trips"
+    for slug in (
+        "window_session_trip",   # one row per trip
+        "agg_argmin_closest",    # one row per trip
+        "agg_first_callsign",    # one row per trip
+        "join_icao_enrichment",  # LEFT JOIN to unique-key nation: 1:1
+    ):
+        out[slug]["count_sql"] = _trips_count
+    out["filter_min_trip_length"]["count_sql"] = (
+        f"WITH {_SESS_CTES} SELECT count(*) AS n FROM trips"
+        f" WHERE end_sec - start_sec >= {_SESS_CFG.min_trip_length_s}"
+    )
+    out["filter_geofence_match"]["count_sql"] = (
+        f"WITH {_SESS_CTES} SELECT count(*) AS n FROM obsd"
+    )
+    out["project_first_pair"]["count_sql"] = (
+        f"WITH {_SESS_CTES} SELECT count(DISTINCT hex) AS n FROM obs"
+    )
 
     # kNN graph: edges of source v depend on the FULL candidate corpus,
     # so only the PROBE side may be restricted — hand-written SQL with

@@ -215,10 +215,33 @@ def main() -> int:
 
         osql = oracles[name]
         restore_views: list[str] = []
+        count_check = None
         if name in contracts:
             c = contracts[name]
             if "sql" in c:
                 osql = c["sql"]
+            # expect_rows (ADVICE r9): verify the FULL Spark row count
+            # against the contract's closed-form count oracle, run on the
+            # still-unrestricted views.  A count mismatch is a real FAIL;
+            # a count-oracle timeout degrades to "recorded, not verified".
+            if "count_sql" in c:
+                try:
+                    _, crows = run_with_timeout(duck, c["count_sql"], timeout_s)
+                    expected = crows[0][0]
+                    if expected != full_rows:
+                        print(f"FAIL {name}: full count spark={full_rows} "
+                              f"count-oracle={expected}")
+                        report[name] = {
+                            "status": "fail", "mode": mode,
+                            "err": f"full count spark={full_rows} "
+                                   f"oracle={expected}",
+                            "secs": round(time.time() - t0, 1),
+                        }
+                        n_fail += 1
+                        continue
+                    count_check = "verified"
+                except TimeoutError:
+                    count_check = "timeout"
             for tbl, pred in c.get("views", {}).items():
                 duck.execute(
                     f"CREATE OR REPLACE VIEW {tbl} AS SELECT * FROM "
@@ -264,11 +287,15 @@ def main() -> int:
                             "err": "; ".join(problems)[:300], "secs": secs}
             n_fail += 1
         elif name in contracts:
-            print(f"PASS {name}: sampled {len(srows)}/{full_rows} rows match "
-                  f"[{secs}s] ({contracts[name]['note']})")
-            report[name] = {"status": "pass", "mode": "sampled",
-                            "spark_rows": full_rows,
-                            "compared_rows": len(srows), "secs": secs}
+            extra = f", full count {count_check}" if count_check else ""
+            print(f"PASS {name}: sampled {len(srows)}/{full_rows} rows match"
+                  f"{extra} [{secs}s] ({contracts[name]['note']})")
+            row = {"status": "pass", "mode": "sampled",
+                   "spark_rows": full_rows,
+                   "compared_rows": len(srows), "secs": secs}
+            if count_check:
+                row["count_check"] = count_check
+            report[name] = row
             n_pass += 1
         else:
             print(f"PASS {name}: {len(srows)} rows match [{secs}s]")

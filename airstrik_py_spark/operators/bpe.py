@@ -150,7 +150,10 @@ def bpe_encode_tokens(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     ).filter(F.length("w") > 0)
     per_doc = (
-        words.join(wtok, "w")
+        # shuffle-hash on the word key: the vocab side hashes per
+        # partition (|V|/P rows), no corpus sort; AQE upgrades it to a
+        # broadcast join while the vocab fits the threshold
+        words.join(wtok.hint("shuffle_hash"), "w")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_words"),
@@ -159,7 +162,7 @@ def bpe_encode_tokens(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
     )
     return (
         docs.select("doc_id", "n_chars")
-        .join(per_doc, "doc_id", "left")
+        .join(per_doc.hint("shuffle_hash"), "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),

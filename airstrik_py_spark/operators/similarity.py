@@ -308,6 +308,67 @@ def ann_bruteforce(emb: DataFrame, n_queries: int, k: int) -> DataFrame:
     )
 
 
+TRUNC_DIM = 16
+TRUNC_QUERIES = 50
+
+
+def truncate_recall(
+    emb: DataFrame, n_queries: int = TRUNC_QUERIES, k: int = 10,
+    trunc_dim: int = TRUNC_DIM,
+) -> DataFrame:
+    """Matryoshka-style truncation fidelity: per probe, the overlap between
+    the exact top-k by FULL-dim cosine and the exact top-k by cosine over
+    the first `trunc_dim` dims — the measurement a user needs before
+    swapping a cheaper prefix index for the full vectors.  ONE pair scan
+    scores both cosines; two same-partition window ranks; overlap count
+    per probe (0 kept via left join).  Scale contract matches
+    ann_bruteforce: exact over a BOUNDED probe set (n_queries x N pairs),
+    the calibration lane, not the serving path."""
+    from pyspark.sql import Window
+
+    q = _with_vec(emb.filter(F.col("vec_id") < n_queries)).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qv")
+    )
+    c = _with_vec(emb).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("cv")
+    )
+    scored = q.join(c, F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cf"),
+        F.round(
+            cosine(
+                F.slice(F.col("qv"), 1, trunc_dim),
+                F.slice(F.col("cv"), 1, trunc_dim),
+            ),
+            4,
+        ).alias("ct"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("cf").desc(), F.col("neighbor_id").asc()
+    )
+    wt = Window.partitionBy("query_id").orderBy(
+        F.col("ct").desc(), F.col("neighbor_id").asc()
+    )
+    r = (
+        scored.withColumn("rf", F.row_number().over(wf))
+        .withColumn("rt", F.row_number().over(wt))
+    )
+    o = (
+        r.filter((F.col("rf") <= k) & (F.col("rt") <= k))
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_overlap"))
+    )
+    return (
+        q.select("query_id")
+        .join(o.hint("shuffle_hash"), "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+        )
+    )
+
+
 SRP_DIM = 64
 SRP_PROBE_HAMMING = 3
 

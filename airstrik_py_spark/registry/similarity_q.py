@@ -376,16 +376,50 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.embedding_quantize_int8(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_embedding_truncate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation fidelity: per-probe overlap between exact
+    top-10 by full 64-dim cosine and by first-16-dim cosine
+    (operators/similarity.py::truncate_recall)."""
+    pin_session(spark)
+    return SIM.truncate_recall(load_table(spark, sf_dir, "embeddings"))
+
+
 QUERIES = {
     "ann_bruteforce_cosine": q_ann_bruteforce_cosine,
     "ann_lsh_srp": q_ann_lsh_srp,
     "embedding_quantize_int8": q_embedding_quantize_int8,
     "ann_rrf_fusion": q_ann_rrf_fusion,
+    "embedding_truncate_recall": q_embedding_truncate_recall,
     # ann_ivf_label (fixture-label quantizer, superseded by the trained
     # k-means variant) and ann_ivf_kmeans register via extras_q
 }
 
+# truncated-prefix cosine: same formula as _COS over v[1:TRUNC_DIM]
+_COS_T = (
+    f"round(list_dot_product(q.v[1:{SIM.TRUNC_DIM}], c.v[1:{SIM.TRUNC_DIM}]) "
+    f"/ (sqrt(list_dot_product(q.v[1:{SIM.TRUNC_DIM}], q.v[1:{SIM.TRUNC_DIM}])) "
+    f"* sqrt(list_dot_product(c.v[1:{SIM.TRUNC_DIM}], c.v[1:{SIM.TRUNC_DIM}]))), 4)"
+)
+
 ORACLES = {
+    "embedding_truncate_recall": f"""
+WITH {_E},
+s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_COS} AS cf, {_COS_T} AS ct
+  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < {SIM.TRUNC_QUERIES}),
+r AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cf DESC, neighbor_id) AS rf,
+         row_number() OVER (PARTITION BY query_id ORDER BY ct DESC, neighbor_id) AS rt
+  FROM s),
+o AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_overlap FROM r
+      WHERE rf <= 10 AND rt <= 10 GROUP BY query_id)
+SELECT b.query_id, CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap
+FROM (SELECT vec_id AS query_id FROM e WHERE vec_id < {SIM.TRUNC_QUERIES}) b
+LEFT JOIN o USING (query_id)
+""",
     "embedding_quantize_int8": f"""
 WITH idx AS (SELECT vec_id, embedding, unnest(range(0, len(embedding))) AS dim
              FROM embeddings),

@@ -170,6 +170,39 @@ def test_ann_bruteforce_ranks(spark):
     assert 3 not in ranked[:2]
 
 
+def test_truncate_recall_planted_geometry(spark):
+    """Planted prefix/suffix geometry: ids 0-3 share the PREFIX direction
+    (overlap must be perfect — truncation changes nothing), ids 4-7 are
+    distinguished only PAST the truncation dim (prefix cosine ties at 1.0,
+    so the truncated ranking falls back to neighbor-id order)."""
+    # trunc_dim=2: vectors (a, b | c, d) — prefix = first 2 dims
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.01, 0.0, 0.0]),
+        (2, [1.0, 0.02, 0.0, 0.0]),
+        (3, [1.0, 0.03, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["query_id"]: r["n_overlap"]
+        for r in SIM.truncate_recall(emb, n_queries=4, k=3, trunc_dim=2).collect()
+    }
+    # full-dim and 2-dim-prefix rankings agree exactly: all info is in dims 1-2
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.9, 0.0]),   # full-cos far from 0, prefix-cos == 1.0
+        (2, [1.0, 0.0, 0.0, 0.01]),  # full-cos near 0
+        (3, [1.0, 0.0, 0.0, 0.02]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = SIM.truncate_recall(emb, n_queries=1, k=1, trunc_dim=2).collect()
+    # full top-1 of query 0 is id 2 (closest); truncated prefix ties ALL
+    # at cos 1.0 so truncated top-1 is id 1 (lowest id) -> overlap 0
+    assert got[0]["n_overlap"] == 0
+
+
 def test_ann_srp_bucket_excludes_opposite_sign(spark):
     out = SIM.ann_srp_lsh(_vecs(spark), n_queries=1, k=5).collect()
     neigh = {r["neighbor_id"] for r in out}

@@ -145,6 +145,13 @@ def main() -> int:
     if env_cap:
         cap_gb = int(env_cap)
     duck.execute(f"SET memory_limit='{cap_gb}GB'")
+    # An in-memory connection cannot offload AT ALL without a
+    # temp_directory — heavy-but-legitimate oracles near the cap die with
+    # "failed to pin block" instead of spilling.  Give it a bounded disk
+    # budget: runaways still FAIL (now by the 900s timeout or the temp
+    # cap), but cap-adjacent plans finish.
+    duck.execute("SET temp_directory='/tmp/duckspill'")
+    duck.execute("SET max_temp_directory_size='40GB'")
     for t in TABLES:
         duck.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"

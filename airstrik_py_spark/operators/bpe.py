@@ -144,7 +144,13 @@ def bpe_encode_tokens(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
     equi-join on `w` (AQE broadcasts the vocab side while it fits, and
     past that the join degrades to a plain shuffle equi-join on the word
     key, never a corpus rewrite) — then a map-side-combinable sum per
-    doc_id.  Docs with no words keep a row with zero counts."""
+    doc_id.  Docs with no words keep a row with zero counts.
+
+    Skew: the word key is Zipfian — at 100 TB a stopword's occurrences
+    land in one shuffle partition of the non-broadcast join.  The session
+    enables AQE skew-join (splits oversized partitions at runtime, SHJ
+    included since Spark 3.2); while the vocab side broadcasts (the
+    common case — |V| << corpus) there is no word shuffle at all."""
     wtok = bpe_encode_words(docs, rounds)
     words = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")

@@ -152,27 +152,29 @@ def bpe_encode_tokens(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
     included since Spark 3.2); while the vocab side broadcasts (the
     common case — |V| << corpus) there is no word shuffle at all."""
     wtok = bpe_encode_words(docs, rounds)
+    # explode_outer over the pre-filtered word array keeps a single
+    # NULL-word row for wordless docs, so n_chars rides along and the
+    # corpus is scanned ONCE with no docs re-join at the end (one corpus
+    # shuffle for the word join, one for the per-doc sum; just the sum
+    # when the vocab side broadcasts).  count("w") skips the NULL marker
+    # row, giving the wordless doc its (0, 0) counts.
     words = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("w")
-    ).filter(F.length("w") > 0)
-    per_doc = (
+        "doc_id",
+        "n_chars",
+        F.explode_outer(
+            F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
+        ).alias("w"),
+    )
+    return (
         # shuffle-hash on the word key: the vocab side hashes per
         # partition (|V|/P rows), no corpus sort; AQE upgrades it to a
         # broadcast join while the vocab fits the threshold
-        words.join(wtok.hint("shuffle_hash"), "w")
+        words.join(wtok.hint("shuffle_hash"), "w", "left")
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("long").alias("n_words"),
-            F.sum("w_tokens").cast("long").alias("n_tokens"),
+            F.count("w").cast("long").alias("n_words"),
+            F.sum(F.coalesce("w_tokens", F.lit(0))).cast("long").alias("n_tokens"),
+            F.first("n_chars").cast("long").alias("n_chars"),
         )
-    )
-    return (
-        docs.select("doc_id", "n_chars")
-        .join(per_doc.hint("shuffle_hash"), "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
-            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
-            F.col("n_chars").cast("long").alias("n_chars"),
-        )
+        .select("doc_id", "n_words", "n_tokens", "n_chars")
     )

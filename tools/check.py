@@ -166,10 +166,19 @@ def main() -> int:
         contracts = _c()
 
     report: dict[str, dict] = {}
+
+    def flush_report() -> None:
+        # incremental: a multi-hour sweep interrupted at slug N keeps its
+        # first N rows instead of losing everything to the end-only dump
+        if report_path:
+            with open(report_path, "w") as f:
+                json.dump(report, f, indent=1, sort_keys=True)
+
     n_pass = n_fail = n_skip = 0
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        flush_report()  # persist every prior slug before starting this one
         t0 = time.time()
         if "skip" in contracts.get(name, {}):
             # documented sf-scale skip (registry/sampled.py, VERDICT r9 #3):
@@ -311,9 +320,7 @@ def main() -> int:
             n_pass += 1
 
     print(f"\n{n_pass} pass, {n_fail} fail" + (f", {n_skip} skip" if n_skip else ""))
-    if report_path:
-        with open(report_path, "w") as f:
-            json.dump(report, f, indent=1, sort_keys=True)
+    flush_report()
     return 1 if n_fail else 0
 
 

@@ -119,7 +119,6 @@ def main() -> int:
     sf_dir = pos[0] if pos else "/root/testdata/sf0.01"
     only = set(pos[1:])
 
-    duck = duckdb.connect()
     # Hard cap the oracle engine: DuckDB's default (80% of RAM) let a
     # pathological plan (1.0.0 sort-key aggregates, r8 asof finding) grow
     # to 125 GB and OOM-KILL the whole box, taking the Spark JVM with it.
@@ -144,18 +143,29 @@ def main() -> int:
     env_cap = os.environ.get("SPARK_GRAFT_ORACLE_CAP_GB")
     if env_cap:
         cap_gb = int(env_cap)
-    duck.execute(f"SET memory_limit='{cap_gb}GB'")
-    # An in-memory connection cannot offload AT ALL without a
-    # temp_directory — heavy-but-legitimate oracles near the cap die with
-    # "failed to pin block" instead of spilling.  Give it a bounded disk
-    # budget: runaways still FAIL (now by the 900s timeout or the temp
-    # cap), but cap-adjacent plans finish.
-    duck.execute("SET temp_directory='/tmp/duckspill'")
-    duck.execute("SET max_temp_directory_size='40GB'")
-    for t in TABLES:
-        duck.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+
+    def fresh_duck():
+        """New oracle connection with cap + spill + views.  The r10 sf10
+        mega-sweep showed a single long-lived connection accumulates
+        buffer-pool state until even KB-sized allocations fail ('bad
+        allocation'), poisoning every later oracle — so the connection is
+        rebuilt on any OOM and the slug retried once (see loop)."""
+        d = duckdb.connect()
+        d.execute(f"SET memory_limit='{cap_gb}GB'")
+        # An in-memory connection cannot offload AT ALL without a
+        # temp_directory — heavy-but-legitimate oracles near the cap die
+        # with "failed to pin block" instead of spilling.  Bounded disk
+        # budget: runaways still FAIL (by the timeout or the temp cap),
+        # but cap-adjacent plans finish.
+        d.execute("SET temp_directory='/tmp/duckspill'")
+        d.execute("SET max_temp_directory_size='40GB'")
+        for t in TABLES:
+            d.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        return d
+
+    duck = fresh_duck()
 
     spark = get_spark("check")
     queries = entrymod.queries()
@@ -264,26 +274,51 @@ def main() -> int:
                     f"read_parquet('{sf_dir}/{tbl}.parquet') WHERE {pred}"
                 )
                 restore_views.append(tbl)
+        outcome = None
         try:
-            dcols, drows = run_with_timeout(duck, osql, timeout_s)
+            for attempt in (0, 1):
+                try:
+                    dcols, drows = run_with_timeout(duck, osql, timeout_s)
+                    break
+                except Exception as e:  # noqa: BLE001
+                    # Self-heal connection exhaustion (r10 sf10 finding):
+                    # a long-lived connection can degrade until KB-sized
+                    # allocations fail; rebuild it and retry this slug once.
+                    if attempt == 0 and "Out of Memory" in str(e):
+                        print(f"  .. {name}: oracle OOM on a long-lived "
+                              f"connection; rebuilding and retrying once")
+                        duck = fresh_duck()
+                        for tbl, pred in contracts.get(name, {}).get(
+                            "views", {}
+                        ).items():
+                            duck.execute(
+                                f"CREATE OR REPLACE VIEW {tbl} AS SELECT * FROM "
+                                f"read_parquet('{sf_dir}/{tbl}.parquet') WHERE {pred}"
+                            )
+                        continue
+                    raise
         except TimeoutError as e:
             print(f"SKIP {name}: {e}")
             report[name] = {"status": "timeout", "mode": mode,
                             "spark_rows": full_rows,
                             "secs": round(time.time() - t0, 1)}
-            n_skip += 1
-            continue
+            outcome = "skip"
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
             report[name] = {"status": "fail", "mode": mode, "err": f"duckdb: {e}"[:300]}
-            n_fail += 1
-            continue
+            outcome = "fail"
         finally:
             for tbl in restore_views:
                 duck.execute(
                     f"CREATE OR REPLACE VIEW {tbl} AS SELECT * FROM "
                     f"read_parquet('{sf_dir}/{tbl}.parquet')"
                 )
+        if outcome == "skip":
+            n_skip += 1
+            continue
+        if outcome == "fail":
+            n_fail += 1
+            continue
 
         problems = []
         if len(srows) != len(drows):

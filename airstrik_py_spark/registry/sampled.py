@@ -213,6 +213,27 @@ def contracts() -> dict[str, dict]:
         "spark": "none",
     }
 
+    # Winnowing pair mining: pair (a, b) is emitted once with
+    # doc_a < doc_b and its verdict (shared fingerprint count) depends
+    # only on the two docs' fingerprint sets — restricting the a-side
+    # samples pairs by their lower id, exactly the dedup_embedding_cosine
+    # argument.  Needed at sf10: the full self-join's hash table exceeds
+    # the oracle memory cap even on a fresh spilling connection (r10
+    # sf10_r10b finding); the linear fingerprint CTEs stay full.
+    from airstrik_py_spark.registry.analytics_q import ORACLES as _aw
+
+    w_on = "FROM sh2 a JOIN sh2 b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id"
+    winnow_sql = _aw["dedup_winnow_pairs"].replace(
+        w_on, w_on + f" AND a.doc_id % {VEC_MOD} = 0"
+    )
+    assert f"AND a.doc_id % {VEC_MOD} = 0" in winnow_sql
+    out["dedup_winnow_pairs"] = {
+        "sql": winnow_sql,
+        "filter_sql": f"doc_a % {VEC_MOD} = 0",
+        "note": f"a-side restricted to doc_id%{VEC_MOD}=0 - per-pair "
+        "decomposable on the lower id",
+    }
+
     anchor_where = f"FROM e WHERE vec_id % {TRIPLET_ANCHOR_MOD} = 0"
     trip = _an["embedding_triplet_mine"].replace(
         anchor_where, anchor_where + f" AND vec_id % {VEC_MOD} = 0"

@@ -287,6 +287,13 @@ def main() -> int:
                     if attempt == 0 and "Out of Memory" in str(e):
                         print(f"  .. {name}: oracle OOM on a long-lived "
                               f"connection; rebuilding and retrying once")
+                        try:
+                            # close, don't leak: the old connection's buffer
+                            # pool otherwise stays resident and the rebuild
+                            # DOUBLES oracle memory (r10 run-B crash)
+                            duck.close()
+                        except Exception:  # noqa: BLE001
+                            pass
                         duck = fresh_duck()
                         for tbl, pred in contracts.get(name, {}).get(
                             "views", {}

@@ -140,11 +140,13 @@ def bpe_encode_tokens(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
     (doc_id, n_words, n_tokens, n_chars).
 
     Scale shape: merges are applied only to the vocab table
-    (bpe_encode_words); the corpus is touched once — word explode +
-    equi-join on `w` (AQE broadcasts the vocab side while it fits, and
-    past that the join degrades to a plain shuffle equi-join on the word
-    key, never a corpus rewrite) — then a map-side-combinable sum per
-    doc_id.  Docs with no words keep a row with zero counts.
+    (bpe_encode_words); the corpus is never rewritten — two corpus scans
+    total (the vocab build inside bpe_encode_words does its own word
+    explode, then this function's word explode + equi-join on `w`; AQE
+    broadcasts the vocab side while it fits, and past that the join
+    degrades to a plain shuffle equi-join on the word key) — then a
+    map-side-combinable sum per doc_id.  Docs with no words keep a row
+    with zero counts.
 
     Skew: the word key is Zipfian — at 100 TB a stopword's occurrences
     land in one shuffle partition of the non-broadcast join.  The session
@@ -153,8 +155,8 @@ def bpe_encode_tokens(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
     common case — |V| << corpus) there is no word shuffle at all."""
     wtok = bpe_encode_words(docs, rounds)
     # explode_outer over the pre-filtered word array keeps a single
-    # NULL-word row for wordless docs, so n_chars rides along and the
-    # corpus is scanned ONCE with no docs re-join at the end (one corpus
+    # NULL-word row for wordless docs, so n_chars rides along and this
+    # stage scans the corpus once with no docs re-join at the end (one corpus
     # shuffle for the word join, one for the per-doc sum; just the sum
     # when the vocab side broadcasts).  count("w") skips the NULL marker
     # row, giving the wordless doc its (0, 0) counts.

@@ -71,13 +71,31 @@ def test_count_sql_matches_value_oracle_rowcount(cons, duck):
 
 
 def test_restricted_sql_is_a_restriction(cons, duck):
+    """Restricted oracle rows must be a sub-multiset of the full oracle's
+    rows (ADVICE r10) — a rowcount-only check would pass a drifted
+    predicate returning the right NUMBER of wrong rows."""
+    from tools.check import canon_rows
+
     oracles = entrymod.oracle_sql()
     for slug, c in cons.items():
         if "sql" not in c:
             continue
-        full = len(duck.execute(oracles[slug]).fetchall())
-        restricted = len(duck.execute(c["sql"]).fetchall())
-        assert restricted <= full, f"{slug}: restricted ({restricted}) > full ({full})"
+        fcur = duck.execute(oracles[slug])
+        fcols = [d[0] for d in fcur.description]
+        frows = fcur.fetchall()
+        rcur = duck.execute(c["sql"])
+        rcols = [d[0] for d in rcur.description]
+        rrows = rcur.fetchall()
+        assert len(rrows) <= len(frows), (
+            f"{slug}: restricted ({len(rrows)}) > full ({len(frows)})")
+        assert sorted(rcols) == sorted(fcols), (
+            f"{slug}: restricted columns {sorted(rcols)} != full {sorted(fcols)}")
+        full_canon = canon_rows(fcols, frows)
+        restr_canon = canon_rows(rcols, rrows)
+        not_subset = restr_canon - full_canon
+        assert not not_subset, (
+            f"{slug}: restricted oracle emits rows absent from the full "
+            f"oracle (first 3): {list(not_subset.items())[:3]}")
 
 
 def test_filter_sql_names_output_columns(cons, duck):

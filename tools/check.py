@@ -157,7 +157,10 @@ def main() -> int:
         # with "failed to pin block" instead of spilling.  Bounded disk
         # budget: runaways still FAIL (by the timeout or the temp cap),
         # but cap-adjacent plans finish.
-        d.execute("SET temp_directory='/tmp/duckspill'")
+        # Per-process spill dir (ADVICE r10): parallel sweeps each get
+        # their own temp_directory so two DuckDB processes can't collide
+        # on temp file names or silently double the disk budget.
+        d.execute(f"SET temp_directory='/tmp/duckspill-{os.getpid()}'")
         d.execute("SET max_temp_directory_size='40GB'")
         for t in TABLES:
             d.execute(
@@ -252,7 +255,25 @@ def main() -> int:
             # a count-oracle timeout degrades to "recorded, not verified".
             if "count_sql" in c:
                 try:
-                    _, crows = run_with_timeout(duck, c["count_sql"], timeout_s)
+                    # Same rebuild-and-retry as the value oracle (ADVICE
+                    # r10): a degraded-connection OOM here must fail ONE
+                    # slug or heal, never abort the multi-hour sweep.
+                    for attempt in (0, 1):
+                        try:
+                            _, crows = run_with_timeout(
+                                duck, c["count_sql"], timeout_s)
+                            break
+                        except Exception as e:  # noqa: BLE001
+                            if attempt == 0 and "Out of Memory" in str(e):
+                                print(f"  .. {name}: count-oracle OOM; "
+                                      f"rebuilding connection, retrying once")
+                                try:
+                                    duck.close()
+                                except Exception:  # noqa: BLE001
+                                    pass
+                                duck = fresh_duck()
+                                continue
+                            raise
                     expected = crows[0][0]
                     if expected != full_rows:
                         print(f"FAIL {name}: full count spark={full_rows} "
@@ -268,6 +289,18 @@ def main() -> int:
                     count_check = "verified"
                 except TimeoutError:
                     count_check = "timeout"
+                except Exception as e:  # noqa: BLE001
+                    # Non-timeout count-oracle error (bad SQL, persistent
+                    # OOM after the retry): fail THIS slug and move on —
+                    # never abort the whole sweep (ADVICE r10).
+                    print(f"FAIL {name}: count-oracle error: {e}")
+                    report[name] = {
+                        "status": "fail", "mode": mode,
+                        "err": f"count-oracle: {e}"[:300],
+                        "secs": round(time.time() - t0, 1),
+                    }
+                    n_fail += 1
+                    continue
             for tbl, pred in c.get("views", {}).items():
                 duck.execute(
                     f"CREATE OR REPLACE VIEW {tbl} AS SELECT * FROM "

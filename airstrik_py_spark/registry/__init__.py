@@ -37,7 +37,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # the r10 window regardless of how many other slugs the conservative
 # module-level hash marks changed.  Remove once CORRECTNESS_r10 records them.
 _FORCE_WINDOW = (
-    "dedup_embedding_cosine",
+    "embedding_cosine_banded_candidates",
     "dedup_embedding_cosine_hi",
     "knn_graph_bucketed",
     "dedup_semantic",

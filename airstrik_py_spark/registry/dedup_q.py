@@ -144,7 +144,10 @@ def q_dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     SRP bucket store — the third incremental-dedup modality (exact digest
     / text MinHash / embedding cosine).  This slug derives the store from
     the fixture split so the DuckDB oracle can mirror it; the
-    store-roundtrip equivalence is pinned in tests."""
+    store-roundtrip equivalence is pinned in tests.  Same 8x8 SRP banding
+    (and thus the same ~0.27 pair recall at threshold 0.4, RECALL.md) as
+    embedding_cosine_banded_candidates — a candidates-then-exact ingest
+    gate, not an all-pairs guarantee."""
     pin_session(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     store = embedding_bucket_store(emb.filter(F.col("vec_id") < EMB_INCR_SPLIT))
@@ -168,8 +171,17 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (rounded cosine >= threshold)."""
+def q_embedding_cosine_banded_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-banded CANDIDATE-GENERATION lane (renamed from
+    dedup_embedding_cosine in r11, VERDICT r10 #1): exact rounded cosine
+    >= threshold over banded candidates only.  This is NOT all-pairs
+    dedup — measured pair recall at the registered threshold 0.4 is
+    0.271 on the fixture (RECALL.md), the analytic banded-SRP curve for
+    noise-level cosines (rho = 0.66 at t=0.4 means NO subquadratic
+    banding ranks such pairs with high recall).  The oracle mirrors the
+    banding, so green certifies the candidates-then-exact contract.  For
+    ranking fidelity use dedup_embedding_cosine_hi (multi-probe top-k);
+    for exactness use ann_bruteforce_cosine as the re-rank."""
     pin_session(spark)
     return cosine_dup_pairs(load_table(spark, sf_dir, "embeddings"), COSINE_THRESHOLD)
 
@@ -210,7 +222,7 @@ QUERIES = {
     "dedup_embedding_incremental": q_dedup_embedding_incremental,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "embedding_cosine_banded_candidates": q_embedding_cosine_banded_candidates,
     "dedup_embedding_cosine_hi": q_dedup_embedding_cosine_hi,
     # dedup_clusters registers via extras_q (round-2 tail block)
 }
@@ -302,7 +314,7 @@ SELECT doc_a, doc_b, n_inter, jaccard FROM jac WHERE jaccard >= {JACCARD_THRESHO
     # SRP-banded candidates + exact in-bucket re-rank — mirrors
     # operators/similarity.py::cosine_dup_pairs (8 bands x 8 sign bits,
     # out-of-range dims -> '0')
-    "dedup_embedding_cosine": f"""
+    "embedding_cosine_banded_candidates": f"""
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),
 banded AS (

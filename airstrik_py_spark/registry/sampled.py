@@ -156,11 +156,11 @@ def contracts() -> dict[str, dict]:
     from airstrik_py_spark.registry.dedup_q import ORACLES as _dd
 
     on_clause = "ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id"
-    cos_sql = _dd["dedup_embedding_cosine"].replace(
+    cos_sql = _dd["embedding_cosine_banded_candidates"].replace(
         on_clause, on_clause + f" AND a.vec_id % {VEC_MOD} = 0"
     )
     assert f"AND a.vec_id % {VEC_MOD} = 0" in cos_sql
-    out["dedup_embedding_cosine"] = {
+    out["embedding_cosine_banded_candidates"] = {
         "sql": cos_sql,
         "filter_sql": _vec_filter("id_a"),
         "note": f"a-side restricted to vec_id%{VEC_MOD}=0 - per-pair "
@@ -216,7 +216,7 @@ def contracts() -> dict[str, dict]:
     # Winnowing pair mining: pair (a, b) is emitted once with
     # doc_a < doc_b and its verdict (shared fingerprint count) depends
     # only on the two docs' fingerprint sets — restricting the a-side
-    # samples pairs by their lower id, exactly the dedup_embedding_cosine
+    # samples pairs by their lower id, exactly the embedding_cosine_banded_candidates
     # argument.  Needed at sf10: the full self-join's hash table exceeds
     # the oracle memory cap even on a fresh spilling connection (r10
     # sf10_r10b finding); the linear fingerprint CTEs stay full.

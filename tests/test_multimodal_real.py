@@ -1,0 +1,179 @@
+"""REAL media decode (VERDICT r10 #2): the pure-stdlib PNG/BMP/WAV codecs
+in functions/codecs.py and the Spark lane that drives actual container
+bytes through them.
+
+The registry oracle for multimodal_decode_real is a closed-form mirror of
+the deterministic content, so a matched encoder+decoder bug pair would
+cancel there.  This file closes that hole from the decode side:
+
+- the Paeth predictor is pinned against hand-worked RFC 2083 cases;
+- a PNG byte stream is HAND-BUILT here (raw struct/zlib, literal filter
+  bytes, no call into png_encode) and must decode to literal pixels;
+- corrupted streams (bad CRC, bad filter byte, interlace flag) fail loudly.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from airstrik_py_spark.functions import codecs
+
+
+def _chunk(ctype: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + ctype
+        + payload
+        + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+    )
+
+
+def test_paeth_spec_vectors():
+    # RFC 2083 §6.6 worked by hand: p = a+b-c, nearest of (a, b, c) with
+    # ties broken a, then b.
+    assert codecs._paeth(0, 0, 0) == 0
+    assert codecs._paeth(10, 0, 0) == 10     # p=10 -> pa=0
+    assert codecs._paeth(0, 10, 0) == 10     # p=10 -> pb=0
+    assert codecs._paeth(10, 20, 10) == 20   # p=20 -> pb=0
+    assert codecs._paeth(100, 50, 75) == 75  # p=75: pa=25,pb=25,pc=0 -> c
+    assert codecs._paeth(50, 100, 75) == 75  # symmetric: pc=0 -> c
+    assert codecs._paeth(20, 20, 10) == 20   # p=30: pa=pb=10 < pc=20 -> a
+    assert codecs._paeth(10, 30, 40) == 10   # p=0: pa=10,pb=30,pc=40 -> a
+    assert codecs._paeth(10, 30, 5) == 30    # p=35: pa=25,pb=5,pc=30 -> b
+
+
+def test_png_decode_handbuilt_stream():
+    """A 2x2 RGB PNG assembled byte-by-byte WITHOUT png_encode: row 0 uses
+    filter 1 (Sub), row 1 uses filter 2 (Up).  Filtered bytes were worked
+    out by hand from the target pixels."""
+    # target pixels, row-major RGB:
+    # (10,20,30) (13,24,35)   /   (12,23,34) (16,28,40)
+    target = bytes([10, 20, 30, 13, 24, 35, 12, 23, 34, 16, 28, 40])
+    # row 0, Sub: first pixel raw, second = cur - left = (3,4,5)
+    row0 = bytes([1, 10, 20, 30, 3, 4, 5])
+    # row 1, Up: cur - above = (2,3,4, 3,4,5)
+    row1 = bytes([2, 2, 3, 4, 3, 4, 5])
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    data = (
+        codecs.PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(row0 + row1))
+        + _chunk(b"IEND", b"")
+    )
+    assert codecs.png_decode(data) == (2, 2, 3, target)
+
+
+def test_png_roundtrip_all_filters_all_colortypes():
+    for ch in (1, 2, 3, 4):
+        w, h = 7, 11
+        px = bytes(((y * w + x) * ch + c) * 13 % 256
+                   for y in range(h) for x in range(w) for c in range(ch))
+        enc = codecs.png_encode(w, h, ch, px, filter_per_row=lambda y: y % 5)
+        assert codecs.png_decode(enc) == (w, h, ch, px)
+
+
+def test_png_rejects_corruption():
+    good = codecs.png_encode(3, 3, 3, bytes(range(27)))
+    # flip one IDAT payload byte -> CRC mismatch
+    idat_at = good.index(b"IDAT")
+    bad = bytearray(good)
+    bad[idat_at + 6] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        codecs.png_decode(bytes(bad))
+    with pytest.raises(ValueError, match="signature"):
+        codecs.png_decode(b"\x00" * 16)
+    # interlace flag set
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1)
+    stream = (codecs.PNG_SIG + _chunk(b"IHDR", ihdr)
+              + _chunk(b"IDAT", zlib.compress(b"\x00\x01\x02\x03"))
+              + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="interlaced"):
+        codecs.png_decode(stream)
+    # bad filter byte (9) on the only row
+    stream = (codecs.PNG_SIG
+              + _chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0))
+              + _chunk(b"IDAT", zlib.compress(b"\x09\x01\x02\x03"))
+              + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="filter type"):
+        codecs.png_decode(stream)
+
+
+def test_bmp_roundtrip_odd_width_padding():
+    # width 3 -> 9-byte rows padded to 12; bottom-up flip must restore order
+    w, h = 3, 2
+    px = bytes((i * 17) % 256 for i in range(w * h * 3))
+    assert codecs.bmp_decode(codecs.bmp_encode(w, h, px)) == (w, h, 3, px)
+
+
+def test_wav_skips_unknown_chunks_and_odd_padding():
+    samples = [100, -200, 32767, -32768, 0]
+    base = codecs.wav_encode(8000, 1, samples)
+    # splice an odd-length junk chunk between fmt and data (RIFF pads to even)
+    fmt_end = base.index(b"data")
+    junk = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    spliced = base[:fmt_end] + junk + base[fmt_end:]
+    spliced = (spliced[:4]
+               + struct.pack("<I", len(spliced) - 8)
+               + spliced[8:])
+    assert codecs.wav_decode(spliced) == (8000, 1, 5, samples)
+    with pytest.raises(ValueError, match="RIFF"):
+        codecs.wav_decode(b"JUNKJUNKJUNKJUNK")
+
+
+def test_sniff_media():
+    assert codecs.sniff_media(codecs.png_encode(1, 1, 3, b"\x01\x02\x03")) == "png"
+    assert codecs.sniff_media(codecs.bmp_encode(1, 1, b"\x01\x02\x03")) == "bmp"
+    assert codecs.sniff_media(codecs.wav_encode(8000, 1, [0])) == "wav"
+    assert codecs.sniff_media(b"\x00" * 20) == "unknown"
+
+
+def test_real_lane_end_to_end(spark):
+    """attach_real_media -> extract_features_real over real rows: features
+    must equal a straight Python recomputation of the content formula, and
+    the payloads must be genuine containers (sniffable, decodable here in
+    the test process too)."""
+    from airstrik_py_spark.operators.multimodal import (
+        attach_real_media,
+        extract_features_real,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(12)], "doc_id long, text string"
+    )
+    media = attach_real_media(docs)
+    rows = {r["doc_id"]: r for r in media.collect()}
+    # payloads are real containers
+    for d, r in rows.items():
+        expected_kind = "png" if d % 2 == 0 else "wav"
+        assert codecs.sniff_media(bytes(r["payload"])) == expected_kind
+    feats = {r["doc_id"]: r for r in extract_features_real(media).collect()}
+    for d in range(12):
+        r = feats[d]
+        if d % 2 == 0:
+            w, h = 1 + d % 8, 1 + (d // 2) % 6
+            vals = [(d * 31 + j * 7) % 256 for j in range(w * h * 3)]
+            assert (r["container"], r["width"], r["height"]) == ("png", w, h)
+            assert r["f1"] == sum(vals[0::3])
+            assert r["f2"] == sum(vals[1::3])
+            assert r["f3"] == sum(vals[2::3])
+        else:
+            n = 64 + d % 64
+            s = [(d * 7919 + i * 104729) % 65536 - 32768 for i in range(n)]
+            assert (r["container"], r["width"], r["height"]) == ("wav", n, 1)
+            assert r["f1"] == sum(abs(x) for x in s)
+            assert r["f2"] == max(abs(x) for x in s)
+            assert r["f3"] == sum(s)
+
+
+def test_real_lane_rejects_garbage(spark):
+    from airstrik_py_spark.operators.multimodal import extract_features_real
+
+    bad = spark.createDataFrame(
+        [(1, "image/png", bytearray(b"not a container"), 15)],
+        "doc_id long, media_type string, payload binary, payload_len int",
+    )
+    with pytest.raises(Exception, match="undecodable"):
+        extract_features_real(bad).collect()

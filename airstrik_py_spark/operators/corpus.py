@@ -422,19 +422,34 @@ def quality_topk_per_source(
     )
 
 
-def _pack_base(docs: DataFrame) -> DataFrame:
-    """(doc_id, shard, n_tok) with the md5 packing shard — shared by both
+# Packing shard width (VERDICT r10 #3): shards = 16 ** PACK_SHARD_CHARS.
+# 1 hex char = 16 shards preserves every existing fixture/oracle; pass
+# shard_chars explicitly to scale.  Per-shard state bound: each shard
+# collect_lists ~N / 16**shard_chars (doc_id, n_tok) structs (~24 B each)
+# into one task, so size shard_chars so that bound fits executor memory —
+# e.g. 10^10 docs at <= 10^7 docs/task (~240 MB) needs shard_chars >= 3
+# (4096 shards).  ceil(log16(N / docs_per_task)) is the general rule.
+PACK_SHARD_CHARS = 1
+
+
+def _pack_base(docs: DataFrame, shard_chars: int = PACK_SHARD_CHARS) -> DataFrame:
+    """(doc_id, shard, n_tok) with the md5 packing shard (first
+    `shard_chars` hex chars -> 16**shard_chars shards) — shared by both
     packing strategies."""
     return docs.select(
         "doc_id",
         F.substring(
-            F.md5(F.concat(F.lit(PACK_SALT), F.col("doc_id").cast("string"))), 1, 1
+            F.md5(F.concat(F.lit(PACK_SALT), F.col("doc_id").cast("string"))),
+            1,
+            shard_chars,
         ).alias("shard"),
         F.size(F.split("text", " ")).alias("n_tok"),
     )
 
 
-def greedy_bin_pack(docs: DataFrame, cap: int = PACK_SEQ_LEN) -> DataFrame:
+def greedy_bin_pack(
+    docs: DataFrame, cap: int = PACK_SEQ_LEN, shard_chars: int = PACK_SHARD_CHARS
+) -> DataFrame:
     """Greedy NO-SPLIT bin packing (next-fit): within a shard, docs in
     doc_id order go into the current bin while they fit; a doc that would
     overflow opens a new bin.  Oversized docs (> cap tokens) sit alone in
@@ -445,9 +460,16 @@ def greedy_bin_pack(docs: DataFrame, cap: int = PACK_SEQ_LEN) -> DataFrame:
     Sequential state, so it runs as the engine's standard per-group fold
     (collect sorted array + F.aggregate, the operators/decimation.py
     shape): ONE shuffle on shard, state bounded per shard, shards
-    independent — in production shard per input split.  The DuckDB oracle
-    replays the same fold as a recursive CTE."""
-    packed = _pack_base(docs).groupBy("shard").agg(
+    independent.  `shard_chars` is the scale knob (see PACK_SHARD_CHARS:
+    each shard folds ~N/16**shard_chars docs in one task).  The DuckDB
+    oracle replays the same fold as a recursive CTE.
+
+    PREFIX STABILITY (the sampled-contract lever, VERDICT r10 #3):
+    next-fit state depends only on earlier docs in the same shard, and
+    shard order is doc_id order — so restricting the input to any doc_id
+    prefix (doc_id < T) reproduces the full run's placements for those
+    docs exactly.  tests/test_corpus.py pins this property."""
+    packed = _pack_base(docs, shard_chars).groupBy("shard").agg(
         F.sort_array(F.collect_list(F.struct("doc_id", "n_tok"))).alias("ds")
     )
     zero = F.struct(
@@ -495,7 +517,9 @@ def greedy_bin_pack(docs: DataFrame, cap: int = PACK_SEQ_LEN) -> DataFrame:
     )
 
 
-def concat_chunk_pack(docs: DataFrame, seq_len: int = PACK_SEQ_LEN) -> DataFrame:
+def concat_chunk_pack(
+    docs: DataFrame, seq_len: int = PACK_SEQ_LEN, shard_chars: int = PACK_SHARD_CHARS
+) -> DataFrame:
     """GPT-style concat-and-chunk packing plan: within a shard, documents
     concatenate in doc_id order and split into fixed `seq_len` token
     sequences; a document may straddle a sequence boundary.  Emits each
@@ -503,8 +527,11 @@ def concat_chunk_pack(docs: DataFrame, seq_len: int = PACK_SEQ_LEN) -> DataFrame
     sequence index, and whether it was split across sequences.
 
     This is the window-expressible packing (what GPT-2/3-lineage pipelines
-    do); greedy_bin_pack is the no-split alternative."""
-    d = _pack_base(docs)
+    do); greedy_bin_pack is the no-split alternative.  `shard_chars` sizes
+    the per-shard window partition (see PACK_SHARD_CHARS) — unlike the
+    fold, the window sort spills, but a shard should still bound to a few
+    tasks' worth of rows."""
+    d = _pack_base(docs, shard_chars)
     w = Window.partitionBy("shard").orderBy("doc_id")
     start = F.sum("n_tok").over(w) - F.col("n_tok")
     first_seq = F.floor(start / F.lit(seq_len))

@@ -44,6 +44,7 @@ from __future__ import annotations
 # unbiased deterministic sample that both engines express identically.
 HEX_MOD = 10  # sessions/as-of family: 1-in-10 planes
 VEC_MOD = 41  # kNN probe side: 1-in-41 source vectors
+PACK_PREFIX_T = 2048  # greedy packing: verify the doc_id < T prefix
 
 
 def _hex_filter(col: str) -> str:
@@ -133,8 +134,8 @@ def contracts() -> dict[str, dict]:
     # so only the PROBE side may be restricted — hand-written SQL with
     # the probe CTE filtered to sampled vec_ids; candidates stay full.
     knn_sampled = _KNN_CTES.replace(
-        "FROM sigd, sigw),",
-        f"FROM sigd, sigw WHERE vec_id % {VEC_MOD} = 0),",
+        "FROM sk, sigw),",
+        f"FROM sk, sigw WHERE vec_id % {VEC_MOD} = 0),",
     )
     assert f"% {VEC_MOD} = 0" in knn_sampled
     out["knn_graph_bucketed"] = {
@@ -232,6 +233,40 @@ def contracts() -> dict[str, dict]:
         "filter_sql": f"doc_a % {VEC_MOD} = 0",
         "note": f"a-side restricted to doc_id%{VEC_MOD}=0 - per-pair "
         "decomposable on the lower id",
+    }
+
+    # pack_greedy_bins (VERDICT r10 #3): next-fit packing is PREFIX-STABLE
+    # (operators/corpus.py::greedy_bin_pack docstring, pinned by
+    # tests/test_corpus.py): a doc's placement depends only on earlier
+    # docs in its shard, and shard order is doc_id order — so restricting
+    # documents to the doc_id < T prefix reproduces the full run's
+    # placements for exactly those docs.  This bounds the recursive-CTE
+    # replay to ~T/16 iterations per shard instead of N/16 (the r10 sf10
+    # >900s timeout).  Full count is closed-form: one placement row per
+    # document.
+    from airstrik_py_spark.registry.text_q import ORACLES as _tx
+
+    pack_sql = _tx["pack_greedy_bins"].replace(
+        "FROM documents)", f"FROM documents WHERE doc_id < {PACK_PREFIX_T})"
+    )
+    assert f"doc_id < {PACK_PREFIX_T}" in pack_sql
+    out["pack_greedy_bins"] = {
+        "sql": pack_sql,
+        "filter_sql": f"doc_id < {PACK_PREFIX_T}",
+        "note": f"documents restricted to the doc_id<{PACK_PREFIX_T} prefix "
+        "- next-fit placements are prefix-stable per shard",
+        "count_sql": "SELECT count(*) FROM documents",
+    }
+
+    # multimodal_decode_real: payload bytes and features are a pure
+    # function of doc_id — per-document decomposable, so a documents-view
+    # restriction is exact.  Full count is one feature row per document.
+    out["multimodal_decode_real"] = {
+        "views": {"documents": f"doc_id % {VEC_MOD} = 0"},
+        "filter_sql": f"doc_id % {VEC_MOD} = 0",
+        "note": f"documents restricted to doc_id%{VEC_MOD}=0; per-document "
+        "decomposable (features are a pure function of doc_id)",
+        "count_sql": "SELECT count(*) FROM documents",
     }
 
     anchor_where = f"FROM e WHERE vec_id % {TRIPLET_ANCHOR_MOD} = 0"

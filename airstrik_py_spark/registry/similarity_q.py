@@ -348,15 +348,27 @@ _KNN_W = (
 _KNN_CTES = f"""{_E},
 sigw AS (SELECT {_KNN_W} AS w FROM e),
 sigd AS MATERIALIZED (SELECT vec_id, v, ({_SIG_FULL}) % (1 << w) AS sig FROM e, sigw),
+sk AS MATERIALIZED (SELECT vec_id, sig FROM sigd),
 probes AS (
-  SELECT vec_id, v,
+  SELECT vec_id,
          unnest(list_prepend(sig, list_transform(range(0, w), p -> xor(sig, 1 << p)))) AS bucket
-  FROM sigd, sigw),
+  FROM sk, sigw),
+cand AS (
+  SELECT p.vec_id AS src_id, c.vec_id AS dst_id
+  FROM probes p JOIN sk c ON p.bucket = c.sig AND p.vec_id <> c.vec_id),
 knn AS MATERIALIZED (
-  SELECT q.vec_id AS src_id, c.vec_id AS dst_id, {_COS} AS cos,
-         CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY {_COS} DESC, c.vec_id) AS INTEGER) AS rank
-  FROM probes q JOIN sigd c ON q.bucket = c.sig AND q.vec_id <> c.vec_id
+  SELECT cand.src_id, cand.dst_id, {_COS} AS cos,
+         CAST(row_number() OVER (PARTITION BY cand.src_id ORDER BY {_COS} DESC, cand.dst_id) AS INTEGER) AS rank
+  FROM cand JOIN sigd q ON q.vec_id = cand.src_id JOIN sigd c ON c.vec_id = cand.dst_id
   QUALIFY rank <= {SIM.KNN_GRAPH_K})"""
+# ^ THIN candidate join (r11, mirrors the engine's r9 fix in
+# operators/similarity.py::_reattach_vectors): the old oracle carried both
+# 512-byte vectors through the bucket join — ~N*(w+1)*occupancy rows x
+# ~1 KB was the 44.7 GiB OOM that forced the sf10 documented-skips for
+# graph_pagerank_knn / dedup_semantic.  Candidates are now 16-byte id
+# pairs; vectors re-attach via two hash joins only for the cosine, and
+# column pruning drops them before the per-src rank window.  Identical
+# results (same candidates, same cosine, same rank tie-break).
 
 
 def q_ann_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -435,3 +435,51 @@ def test_bm25_hand_case(spark):
     assert [r["doc_id"] for r in out] == [0, 1]   # tf=3 beats tf=1
     assert [r["rank"] for r in out] == [1, 2]
     assert out[0]["bm25_micro"] > out[1]["bm25_micro"] > 0
+
+
+def test_greedy_bins_prefix_stable(spark):
+    """The sampled-contract lever (registry/sampled.py pack_greedy_bins):
+    packing the doc_id < T prefix must reproduce the full run's placements
+    for exactly those docs — next-fit state never looks ahead."""
+    from airstrik_py_spark.operators.corpus import greedy_bin_pack
+
+    rows = [(i, " ".join(["tok"] * (1 + (i * 7) % 13))) for i in range(60)]
+    full = {
+        r["doc_id"]: (r["shard"], r["bin_idx"], r["bin_off"], r["n_tokens"])
+        for r in greedy_bin_pack(docs_df(spark, rows), cap=16).collect()
+    }
+    t = 25
+    prefix = {
+        r["doc_id"]: (r["shard"], r["bin_idx"], r["bin_off"], r["n_tokens"])
+        for r in greedy_bin_pack(
+            docs_df(spark, [r for r in rows if r[0] < t]), cap=16
+        ).collect()
+    }
+    assert prefix == {d: v for d, v in full.items() if d < t}
+
+
+def test_pack_shard_chars_widens(spark):
+    """shard_chars is the scale knob (VERDICT r10 #3): wider shards split
+    the same docs into more groups, per-shard packing stays next-fit and
+    every doc keeps one placement row."""
+    from airstrik_py_spark.operators.corpus import greedy_bin_pack
+
+    rows = [(i, " ".join(["tok"] * (1 + i % 9))) for i in range(80)]
+    out1 = greedy_bin_pack(docs_df(spark, rows), cap=16, shard_chars=1).collect()
+    out2 = greedy_bin_pack(docs_df(spark, rows), cap=16, shard_chars=2).collect()
+    assert len(out1) == len(out2) == 80
+    shards1 = {r["shard"] for r in out1}
+    shards2 = {r["shard"] for r in out2}
+    assert all(len(s) == 1 for s in shards1)
+    assert all(len(s) == 2 for s in shards2)
+    assert len(shards2) >= len(shards1)
+    # every 2-char shard group is a refinement of a 1-char group, and
+    # within it the placements are a valid next-fit run
+    by_shard: dict[str, list] = {}
+    for r in sorted(out2, key=lambda r: (r["shard"], r["doc_id"])):
+        by_shard.setdefault(r["shard"], []).append(r)
+    for docs in by_shard.values():
+        fill: dict[int, int] = {}
+        for r in docs:
+            assert r["bin_off"] == fill.get(r["bin_idx"], 0)
+            fill[r["bin_idx"]] = r["bin_off"] + r["n_tokens"]

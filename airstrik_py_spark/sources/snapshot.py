@@ -190,6 +190,7 @@ class DecoderAdapter:
         self.landing_dir = landing_dir
         self.proc: subprocess.Popen | None = None
         self.crashed = False
+        self._stopping = False
         self._watch: threading.Thread | None = None
 
     def start(self) -> None:
@@ -198,10 +199,15 @@ class DecoderAdapter:
         self._watch.start()
 
     def _monitor(self) -> None:
+        # Reference parity (airstrik.py:71-74, 88-91): end_process is set
+        # only on a NONZERO returncode — a clean exit is not a crash, and
+        # an intentional stop() (our analogue of the reference's atexit
+        # terminate) must not read as one either.
         if self.proc is not None:
             self.proc.wait()
-            self.crashed = True
+            self.crashed = bool(self.proc.returncode) and not self._stopping
 
     def stop(self) -> None:
+        self._stopping = True
         if self.proc is not None and self.proc.poll() is None:
             self.proc.terminate()

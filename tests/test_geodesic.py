@@ -1,0 +1,108 @@
+"""WGS-84 geodesic lane (VERDICT r10 #7): Karney 2013 and Vincenty 1975
+are implemented independently (functions/geodesic.py shares no math
+between them) — their mutual agreement IS the correctness evidence, since
+neither geopy nor geographiclib exists in this container to compare
+against.  Sub-millimetre agreement over random pairs would require the
+same wrong series coefficients in two unrelated formulations."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from airstrik_py_spark.functions.geodesic import (
+    WGS84_A_M,
+    WGS84_B_M,
+    karney_inverse_km,
+    vincenty_inverse_km,
+)
+
+
+def test_karney_vincenty_mutual_agreement_fixture_ranges():
+    rng = random.Random(11)
+    for _ in range(150):
+        lat1 = rng.uniform(-70, 70)
+        lon1 = rng.uniform(-180, 180)
+        lat2 = lat1 + rng.uniform(-3, 3)
+        lon2 = lon1 + rng.uniform(-3, 3)
+        k = karney_inverse_km(lat1, lon1, lat2, lon2)
+        v = vincenty_inverse_km(lat1, lon1, lat2, lon2)
+        assert abs(k - v) < 1e-6, (lat1, lon1, lat2, lon2, k, v)  # < 1 mm
+
+
+def test_karney_vincenty_mutual_agreement_global():
+    rng = random.Random(13)
+    checked = 0
+    for _ in range(150):
+        p = (rng.uniform(-80, 80), rng.uniform(-180, 180),
+             rng.uniform(-80, 80), rng.uniform(-180, 180))
+        try:
+            v = vincenty_inverse_km(*p)
+        except ValueError:  # near-antipodal: Vincenty diverges by design
+            continue
+        k = karney_inverse_km(*p)
+        assert abs(k - v) < 1e-6, (p, k, v)
+        checked += 1
+    assert checked > 100
+
+
+def test_symmetry_and_zero():
+    assert karney_inverse_km(10.0, 20.0, 10.0, 20.0) == 0.0
+    a = karney_inverse_km(35.7, -78.7, 36.1, -79.2)
+    b = karney_inverse_km(36.1, -79.2, 35.7, -78.7)
+    assert abs(a - b) < 1e-9
+    # longitude wraparound
+    c = karney_inverse_km(35.7, 179.9, 35.7, -179.9)
+    assert 0 < c < 40.0
+
+
+def test_meridional_and_equatorial_closed_forms():
+    # pole-to-pole meridian = 2 * quarter meridian; the WGS-84 quarter
+    # meridian is 10001.965729 km (defining constant of the metre's
+    # original intent) — series must land within a metre
+    half = karney_inverse_km(-90.0, 0.0, 90.0, 0.0)
+    assert abs(half - 2 * 10001.965729) < 1e-3
+    # equatorial arc is exactly a * lambda while shorter than (1-f) pi
+    eq = karney_inverse_km(0.0, 0.0, 0.0, 90.0)
+    assert abs(eq - WGS84_A_M * (math.pi / 2.0) / 1000.0) < 1e-9
+    # both agree with Vincenty too
+    assert abs(half - vincenty_inverse_km(-90.0, 0.0, 90.0, 0.0)) < 1e-6
+    assert abs(eq - vincenty_inverse_km(0.0, 0.0, 0.0, 90.0)) < 1e-6
+
+
+def test_ellipsoid_vs_sphere_magnitude():
+    """The divergence the caveat is about: ellipsoid vs the engine's
+    spherical haversine is ~0.1-0.5% at aviation ranges — the geodesic
+    must sit within that band, not on top of the sphere."""
+    from airstrik_py_spark.functions.geo import EARTH_RADIUS_KM
+
+    lat1, lon1, lat2, lon2 = 35.7, -78.7, 36.7, -77.7
+    p1, p2 = math.radians(lat1), math.radians(lat2)
+    dp = math.radians(lat2 - lat1) / 2
+    dl = math.radians(lon2 - lon1) / 2
+    a = math.sin(dp) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl) ** 2
+    hav = 2 * EARTH_RADIUS_KM * math.asin(math.sqrt(a))
+    geo = karney_inverse_km(lat1, lon1, lat2, lon2)
+    rel = abs(geo - hav) / geo
+    assert 1e-5 < rel < 6e-3
+
+
+def test_pandas_udf_matches_scalar(spark):
+    from pyspark.sql import functions as F
+
+    from airstrik_py_spark.functions.geodesic import geodesic_km_pandas_udf
+
+    rows = [(35.7, -78.7, 36.1, -79.2), (10.0, 20.0, 10.5, 20.5),
+            (-45.0, 170.0, -44.0, -175.0)]
+    df = spark.createDataFrame(rows, "lat1 double, lon1 double, lat2 double, lon2 double")
+    udf = geodesic_km_pandas_udf()
+    got = [
+        r["d"]
+        for r in df.select(
+            udf(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")).alias("d")
+        ).collect()
+    ]
+    want = [karney_inverse_km(*r) for r in rows]
+    assert got == pytest.approx(want, abs=1e-12)

@@ -29,25 +29,28 @@ _MODULES = (
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# VERDICT r9 #1 hand-pin: these slugs' engine or oracle source was rewritten
-# in r9 AFTER their last driver-green row (commits 885ea5b, 9ed8996, 177f4b1,
-# 4ef96d5, 790a15c, dc7f03d), or their last green is the oldest on record
-# (the r6 trio).  The changed-since-green hash key below re-selects such
-# slugs automatically from now on, but the pin guarantees THIS cohort leads
-# the r10 window regardless of how many other slugs the conservative
-# module-level hash marks changed.  Remove once CORRECTNESS_r10 records them.
+# VERDICT r10 #8 hand-pin (rotation hygiene): the longest-unsampled cohort
+# leads the r11 window so no slug's driver evidence is older than 2 rounds —
+# the whole r7 cohort, ddl_drop_reset (the only §2 slug still on r8
+# evidence), and the two slugs with no driver row at all (the r11 rename
+# and the new real-decode lane).  The changed-since-green hash key below
+# still re-selects rewritten slugs automatically; the pin guarantees THIS
+# cohort wins window slots regardless of how many slugs the conservative
+# module-level hash marks changed.  Refresh once CORRECTNESS_r11 records
+# them.
 _FORCE_WINDOW = (
-    "embedding_cosine_banded_candidates",
-    "dedup_embedding_cosine_hi",
-    "knn_graph_bucketed",
-    "dedup_semantic",
-    "graph_pagerank_knn",
-    "dedup_clusters",
-    "ann_pq_adc",
-    "ann_ivf_pq",
-    "filter_geofence_match",
-    "project_first_pair",
-    "window_alarm_transitions",
+    "embedding_cosine_banded_candidates",  # renamed in r11: new key, 0 greens
+    "multimodal_decode_real",              # new in r11
+    "ddl_drop_reset",                      # §2 S10, last green r8
+    # entire r7 cohort (least-recently-green across the registry):
+    "doc_length_histogram",
+    "eval_contamination",
+    "layout_zorder",
+    "pack_concat_chunks",
+    "pack_greedy_bins",
+    "pipeline_corpus_manifest",
+    "text_lm_score",
+    "tfidf_topk",
 )
 
 

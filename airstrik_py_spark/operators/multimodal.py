@@ -139,9 +139,11 @@ def _real_wav_len(doc_id: int) -> int:
 
 def attach_real_media(docs: DataFrame) -> DataFrame:
     """Attach REAL container bytes per document: even doc_id -> an 8-bit
-    RGB PNG (per-row filter type y%5 so every RFC 2083 filter is exercised
-    in the hot path), odd doc_id -> a PCM-16 mono WAV.  Content is the
-    closed form mirrored by the oracle:
+    RGB image, alternating container (doc_id%4==0 -> PNG with per-row
+    filter type y%5 so every RFC 2083 filter is exercised in the hot path;
+    doc_id%4==2 -> 24-bit BMP, exercising bottom-up BGR + row padding);
+    odd doc_id -> a PCM-16 mono WAV.  Content is the closed form mirrored
+    by the oracle (identical pixels for both image containers):
       image pixel flat-index j: (doc_id*31 + j*7) % 256,  w=1+doc_id%8,
         h=1+(doc_id//2)%6
       audio sample i: (doc_id*7919 + i*104729) % 65536 - 32768,
@@ -157,10 +159,16 @@ def attach_real_media(docs: DataFrame) -> DataFrame:
                 if d % 2 == 0:
                     w, h = _real_image_dims(d)
                     px = bytes((d * 31 + j * 7) % 256 for j in range(w * h * 3))
-                    payloads.append(
-                        codecs.png_encode(w, h, 3, px, filter_per_row=lambda y: y % 5)
-                    )
-                    types.append("image/png")
+                    if d % 4 == 0:
+                        payloads.append(
+                            codecs.png_encode(
+                                w, h, 3, px, filter_per_row=lambda y: y % 5
+                            )
+                        )
+                        types.append("image/png")
+                    else:
+                        payloads.append(codecs.bmp_encode(w, h, px))
+                        types.append("image/bmp")
                 else:
                     n = _real_wav_len(d)
                     samples = [

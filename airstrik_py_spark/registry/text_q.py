@@ -604,7 +604,9 @@ asums AS (
   SELECT doc_id, n,
          sum(abs(s)) AS f1, max(abs(s)) AS f2, sum(s) AS f3
   FROM smp GROUP BY 1, 2)
-SELECT doc_id, 'image/png' AS media_type, 'png' AS container,
+SELECT doc_id,
+       CASE WHEN doc_id % 4 = 0 THEN 'image/png' ELSE 'image/bmp' END AS media_type,
+       CASE WHEN doc_id % 4 = 0 THEN 'png' ELSE 'bmp' END AS container,
        CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
        CAST(f1 AS BIGINT) AS f1, CAST(f2 AS BIGINT) AS f2, CAST(f3 AS BIGINT) AS f3
 FROM isums

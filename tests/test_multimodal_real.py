@@ -145,9 +145,9 @@ def test_real_lane_end_to_end(spark):
     )
     media = attach_real_media(docs)
     rows = {r["doc_id"]: r for r in media.collect()}
-    # payloads are real containers
+    # payloads are real containers: PNG/BMP alternate on even ids
     for d, r in rows.items():
-        expected_kind = "png" if d % 2 == 0 else "wav"
+        expected_kind = ("png" if d % 4 == 0 else "bmp") if d % 2 == 0 else "wav"
         assert codecs.sniff_media(bytes(r["payload"])) == expected_kind
     feats = {r["doc_id"]: r for r in extract_features_real(media).collect()}
     for d in range(12):
@@ -155,7 +155,8 @@ def test_real_lane_end_to_end(spark):
         if d % 2 == 0:
             w, h = 1 + d % 8, 1 + (d // 2) % 6
             vals = [(d * 31 + j * 7) % 256 for j in range(w * h * 3)]
-            assert (r["container"], r["width"], r["height"]) == ("png", w, h)
+            kind = "png" if d % 4 == 0 else "bmp"
+            assert (r["container"], r["width"], r["height"]) == (kind, w, h)
             assert r["f1"] == sum(vals[0::3])
             assert r["f2"] == sum(vals[1::3])
             assert r["f3"] == sum(vals[2::3])
@@ -177,3 +178,40 @@ def test_real_lane_rejects_garbage(spark):
     )
     with pytest.raises(Exception, match="undecodable"):
         extract_features_real(bad).collect()
+
+
+def test_real_decode_streaming_parity(spark, tmp_path):
+    """The decode lane is streaming-clean: attach_real_media ->
+    extract_features_real over a readStream (availableNow drain) yields
+    exactly the batch result — mapInPandas is stateless row-local, so
+    stream == batch by construction; this pins it."""
+    from airstrik_py_spark.operators.multimodal import (
+        attach_real_media,
+        extract_features_real,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(16)], "doc_id long, text string"
+    )
+    tape = str(tmp_path / "docs_tape")
+    docs.coalesce(1).write.parquet(tape)
+    schema = spark.read.parquet(tape).schema
+
+    stream = spark.readStream.schema(schema).parquet(tape)
+    q = (
+        extract_features_real(attach_real_media(stream))
+        .writeStream.format("memory")
+        .queryName("real_decode_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        tuple(r) for r in spark.table("real_decode_stream").collect()
+    }
+    want = {
+        tuple(r)
+        for r in extract_features_real(attach_real_media(docs)).collect()
+    }
+    assert got == want and len(want) == 16

@@ -314,19 +314,27 @@ SELECT doc_a, doc_b, n_inter, jaccard FROM jac WHERE jaccard >= {JACCARD_THRESHO
     # SRP-banded candidates + exact in-bucket re-rank — mirrors
     # operators/similarity.py::cosine_dup_pairs (8 bands x 8 sign bits,
     # out-of-range dims -> '0')
+    # THIN bucket join (r11, same shape as the engine's _reattach_vectors
+    # and the knn oracle): band keys join on ids only, DISTINCT collapses
+    # multi-band hits on the 16-byte pair, vectors re-attach for ONE
+    # cosine per pair — the old form carried both 520-byte vectors through
+    # the banded self-join (568 s sampled at sf10).
     "embedding_cosine_banded_candidates": f"""
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),
 banded AS (
-  SELECT vec_id, v, b.band, {_COS_BAND_KEY} AS bkey
-  FROM e, (SELECT unnest(range(0, {_COS_BANDS})) AS band) b)
-SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_dot_product(a.v, b.v)
-             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
-FROM banded a JOIN banded b
-  ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
-WHERE round(list_dot_product(a.v, b.v)
-            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= {COSINE_THRESHOLD}
+  SELECT vec_id, b.band, {_COS_BAND_KEY} AS bkey
+  FROM e, (SELECT unnest(range(0, {_COS_BANDS})) AS band) b),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id)
+SELECT c.id_a, c.id_b,
+       round(list_dot_product(ea.v, eb.v)
+             / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 4) AS cos
+FROM cand c JOIN e ea ON ea.vec_id = c.id_a JOIN e eb ON eb.vec_id = c.id_b
+WHERE round(list_dot_product(ea.v, eb.v)
+            / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 4) >= {COSINE_THRESHOLD}
 """,
     # Incremental lane: same SRP banding + exact re-rank, restricted to
     # (new >= split) x (corpus < split) — mirrors cosine_dups_incremental
@@ -334,15 +342,18 @@ WHERE round(list_dot_product(a.v, b.v)
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),
 banded AS (
-  SELECT vec_id, v, b.band, {_COS_BAND_KEY} AS bkey
-  FROM e, (SELECT unnest(range(0, {_COS_BANDS})) AS band) b)
-SELECT DISTINCT n.vec_id AS new_vec_id, c.vec_id AS corpus_vec_id,
-       round(list_dot_product(n.v, c.v)
-             / (sqrt(list_dot_product(n.v, n.v)) * sqrt(list_dot_product(c.v, c.v))), 4) AS cos
-FROM banded n JOIN banded c ON n.band = c.band AND n.bkey = c.bkey
-WHERE n.vec_id >= {EMB_INCR_SPLIT} AND c.vec_id < {EMB_INCR_SPLIT}
-  AND round(list_dot_product(n.v, c.v)
-            / (sqrt(list_dot_product(n.v, n.v)) * sqrt(list_dot_product(c.v, c.v))), 4) >= {COSINE_THRESHOLD}
+  SELECT vec_id, b.band, {_COS_BAND_KEY} AS bkey
+  FROM e, (SELECT unnest(range(0, {_COS_BANDS})) AS band) b),
+cand AS (
+  SELECT DISTINCT n.vec_id AS new_vec_id, c.vec_id AS corpus_vec_id
+  FROM banded n JOIN banded c ON n.band = c.band AND n.bkey = c.bkey
+  WHERE n.vec_id >= {EMB_INCR_SPLIT} AND c.vec_id < {EMB_INCR_SPLIT})
+SELECT p.new_vec_id, p.corpus_vec_id,
+       round(list_dot_product(en.v, ec.v)
+             / (sqrt(list_dot_product(en.v, en.v)) * sqrt(list_dot_product(ec.v, ec.v))), 4) AS cos
+FROM cand p JOIN e en ON en.vec_id = p.new_vec_id JOIN e ec ON ec.vec_id = p.corpus_vec_id
+WHERE round(list_dot_product(en.v, ec.v)
+            / (sqrt(list_dot_product(en.v, en.v)) * sqrt(list_dot_product(ec.v, ec.v))), 4) >= {COSINE_THRESHOLD}
 """,
     # Multi-probe top-k mirror of cosine_topk_pairs: integer 16-bit band
     # keys (bit i = sign of dim band*16+i+1, same convention as the string

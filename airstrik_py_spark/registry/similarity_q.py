@@ -34,12 +34,28 @@ def _sig_expr(weights) -> str:
     )
 
 
+def _sig_expr_pre(weights) -> str:
+    """Same signature expression over a PRE-RESIZED vector column `vr`
+    (r11 oracle-cost fix: 20 per-term list_resize calls were ~60 us/row in
+    DuckDB — hoisting the resize once per row cut the sigd build ~10x;
+    identical value, same round-6-then-sign rule)."""
+    return " + ".join(
+        "(CASE WHEN round(list_dot_product(vr, [{w}]), 6) >= 0.0 "
+        "THEN {bit} ELSE 0 END)".format(
+            w=", ".join(str(x) for x in w),
+            bit=1 << j,
+        )
+        for j, w in enumerate(weights)
+    )
+
+
 _SIG = _sig_expr(SIM.SRP_WEIGHTS)
 # Full-width signature for the auto-width knn lanes: built once at
 # SRP_MAX_BITS, then truncated to the data-derived width with % (1 << w)
 # — valid because bit j is identical at every width (prefix property,
 # pinned by tests/test_dedup_similarity.py).
 _SIG_FULL = _sig_expr(SIM.SRP_WEIGHTS_MAX)
+_SIG_FULL_PRE = _sig_expr_pre(SIM.SRP_WEIGHTS_MAX)
 _MASKS = ", ".join(str(m) for m in SIM.srp_probe_masks())
 
 
@@ -347,7 +363,9 @@ _KNN_W = (
 # iteration.  Pure performance; results are identical.
 _KNN_CTES = f"""{_E},
 sigw AS (SELECT {_KNN_W} AS w FROM e),
-sigd AS MATERIALIZED (SELECT vec_id, v, ({_SIG_FULL}) % (1 << w) AS sig FROM e, sigw),
+sigd AS MATERIALIZED (
+  SELECT vec_id, v, ({_SIG_FULL_PRE}) % (1 << w) AS sig
+  FROM (SELECT vec_id, v, list_resize(v, {SIM.SRP_DIM}, 0.0) AS vr FROM e), sigw),
 sk AS MATERIALIZED (SELECT vec_id, sig FROM sigd),
 probes AS (
   SELECT vec_id,
@@ -356,19 +374,25 @@ probes AS (
 cand AS (
   SELECT p.vec_id AS src_id, c.vec_id AS dst_id
   FROM probes p JOIN sk c ON p.bucket = c.sig AND p.vec_id <> c.vec_id),
+scored AS MATERIALIZED (
+  SELECT cand.src_id, cand.dst_id, {_COS} AS cos
+  FROM cand JOIN sigd q ON q.vec_id = cand.src_id JOIN sigd c ON c.vec_id = cand.dst_id),
 knn AS MATERIALIZED (
-  SELECT cand.src_id, cand.dst_id, {_COS} AS cos,
-         CAST(row_number() OVER (PARTITION BY cand.src_id ORDER BY {_COS} DESC, cand.dst_id) AS INTEGER) AS rank
-  FROM cand JOIN sigd q ON q.vec_id = cand.src_id JOIN sigd c ON c.vec_id = cand.dst_id
+  SELECT src_id, dst_id, cos,
+         CAST(row_number() OVER (PARTITION BY src_id ORDER BY cos DESC, dst_id) AS INTEGER) AS rank
+  FROM scored
   QUALIFY rank <= {SIM.KNN_GRAPH_K})"""
 # ^ THIN candidate join (r11, mirrors the engine's r9 fix in
 # operators/similarity.py::_reattach_vectors): the old oracle carried both
 # 512-byte vectors through the bucket join — ~N*(w+1)*occupancy rows x
 # ~1 KB was the 44.7 GiB OOM that forced the sf10 documented-skips for
-# graph_pagerank_knn / dedup_semantic.  Candidates are now 16-byte id
-# pairs; vectors re-attach via two hash joins only for the cosine, and
-# column pruning drops them before the per-src rank window.  Identical
-# results (same candidates, same cosine, same rank tie-break).
+# graph_pagerank_knn / dedup_semantic.  Candidates are 16-byte id pairs;
+# vectors re-attach via two hash joins only for the cosine; `scored` is
+# MATERIALIZED so the re-attached vectors are PROVABLY gone before the
+# 36M-row rank window (at sf10, leaving them to the optimizer's pruning
+# was the second 44.7 GiB OOM); and the signature hoists list_resize once
+# per row (20 per-term resizes were ~60 us/row — 10x on the sigd build).
+# Identical results (same candidates, same cosine, same rank tie-break).
 
 
 def q_ann_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:

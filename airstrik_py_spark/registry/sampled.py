@@ -172,36 +172,33 @@ def contracts() -> dict[str, dict]:
     # sound restricted form:
     #
     # dedup_semantic: connected components need the FULL knn edge set —
-    # restricting ANY side of the edge build changes component membership,
-    # and a component-seeded variant (verify only clusters whose
-    # cluster_id % VEC_MOD = 0, sound because components are disjoint and a
-    # cluster whose min id is sampled certainly contains a seed) STILL has
-    # to materialize the full-probe knn in DuckDB first, which is exactly
-    # what OOMed at the 44.7 GiB cap in the r9 sf10 sweep.  The ENGINE side
-    # is scale-valid (bucketed, auto-width), so Spark runs FULL and the row
-    # count is recorded; value verification holds through sf1, where the
-    # full oracle is affordable.
+    # restricting ANY side of the edge build changes component membership.
+    # r11 removed the old blocker (the thin knn builds the full sf10 edge
+    # set in ~9.5 GB), but the sf10 re-run showed the next wall: the
+    # transitive-closure RECURSION materializes the reachable-pair set,
+    # quadratic per component, and DuckDB 1.0's recursive working table
+    # doesn't spill — still an OOM at the cap.  The ENGINE side is
+    # scale-valid (bucketed, auto-width, min-label propagation with
+    # per-round checkpoints — never a closure), so Spark runs FULL and the
+    # row count is recorded; value verification holds through sf1 (53 s
+    # with the r11 oracle).
     out["dedup_semantic"] = {
-        "skip": "oracle-infeasible at this sf: the semantic closure needs "
-        "the full knn edge set (restricting any side changes components) "
-        "and DuckDB's full-probe knn OOMs at the memory cap; engine runs "
-        "FULL (rows recorded), full value verification held through sf1",
+        "skip": "oracle-infeasible at this sf: any edge restriction changes "
+        "component membership, and the closure RECURSION materializes the "
+        "reachable-pair set (quadratic per component; DuckDB 1.0's "
+        "recursive working table doesn't spill) - OOMs at the cap even "
+        "though the r11 thin knn now builds the full edge set in ~9.5 GB; "
+        "engine runs FULL (rows recorded), full value verification held "
+        "through sf1 (53 s with the r11 oracle)",
         "spark": "full",
     }
-    # graph_pagerank_knn: same blocker as dedup_semantic, one step worse —
-    # PageRank mass flows over EVERY edge, so any restriction of the knn
-    # edge build changes every node's rank, and the oracle's unrolled
-    # iterations reference the full-probe knn CTE that OOMs at the memory
-    # cap (observed in both the r9 and r10 sf10 sweeps).  Engine side is
-    # scale-valid (bucketed knn + iterative joins): runs FULL, rows
-    # recorded; full value verification held through sf1.
-    out["graph_pagerank_knn"] = {
-        "skip": "oracle-infeasible at this sf: PageRank needs the full knn "
-        "edge set (any restriction changes every rank) and DuckDB's "
-        "full-probe knn OOMs at the memory cap; engine runs FULL (rows "
-        "recorded), full value verification held through sf1",
-        "spark": "full",
-    }
+    # graph_pagerank_knn: PageRank mass flows over EVERY edge, so no
+    # restriction of the knn edge build is sound — but none is needed:
+    # (r11) skip RETIRED: the thin-candidate + pre-window-projection knn
+    # oracle rewrite (similarity_q._KNN_CTES) dropped the full oracle from
+    # a 44.7 GiB OOM to ~9.5 GB peak, and the whole slug passes FULL
+    # bit-exact at sf10 in ~183 s (200 000 rows).  No contract needed —
+    # the full compare runs at every sf.
     # dedup_embedding_cosine_hi: the high-recall low-threshold PAIR-MINING
     # contract is rho-gap-bound (rho=0.66 at t=0.4) — candidate volume is a
     # constant fraction of N^2 BY CONTRACT on both engine and oracle, so

@@ -437,6 +437,48 @@ _COS_T = (
     f"* sqrt(list_dot_product(c.v[1:{SIM.TRUNC_DIM}], c.v[1:{SIM.TRUNC_DIM}]))), 4)"
 )
 
+SEM_LABEL_ROUNDS = 24
+
+
+def _semantic_oracle(rounds: int = SEM_LABEL_ROUNDS) -> str:
+    """dedup_semantic oracle as UNROLLED min-label propagation (r11): the
+    old transitive-closure recursion materialized the reachable-pair set —
+    quadratic per component, non-spilling in DuckDB 1.0, the sf10 OOM that
+    outlived the thin-knn fix.  This is the ENGINE's own algorithm
+    (operators/dedup.py::dedup_clusters): per round every node takes the
+    min of its label and its neighbors' labels — rows per round = nodes,
+    never reachable PAIRS.  Near-dup components are star-ish (2-3 rounds
+    to fixpoint); `rounds` is 8x that, and a convergence guard poisons
+    EVERY output row (cluster_id = -1) if the last two rounds still
+    differ, so an unconverged oracle fails the compare loudly instead of
+    passing silently."""
+    parts = [
+        f"""pe AS MATERIALIZED (
+  SELECT src_id AS src, dst_id AS dst FROM knn WHERE cos >= {SIM.SEM_THRESHOLD}
+  UNION
+  SELECT dst_id AS src, src_id AS dst FROM knn WHERE cos >= {SIM.SEM_THRESHOLD})""",
+        "l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lab FROM pe)",
+    ]
+    for k in range(rounds):
+        parts.append(
+            f"""l{k + 1} AS MATERIALIZED (
+  SELECT l.node, least(l.lab, coalesce(min(nl.lab), l.lab)) AS lab
+  FROM l{k} l LEFT JOIN pe e ON e.src = l.node LEFT JOIN l{k} nl ON nl.node = e.dst
+  GROUP BY l.node, l.lab)"""
+        )
+    joined = ",\n".join(parts)
+    return f"""
+WITH {_KNN_CTES},
+{joined},
+conv AS (SELECT count(*) AS diffs FROM l{rounds} a
+         JOIN l{rounds - 1} b ON a.node = b.node AND a.lab <> b.lab)
+SELECT node AS vec_id,
+       CASE WHEN conv.diffs = 0 THEN lab ELSE -1 END AS cluster_id,
+       CASE WHEN conv.diffs = 0 THEN lab = node ELSE NULL END AS is_canonical
+FROM l{rounds} CROSS JOIN conv
+"""
+
+
 ORACLES = {
     "embedding_truncate_recall": f"""
 WITH {_E},
@@ -529,21 +571,7 @@ SELECT src_id, dst_id, cos, rank FROM knn
     # reach term would re-evaluate the entire knn pipeline (an 87 M-pair
     # bucket join at sf1) on every reference — observed 38 min / 51 GB
     # before the r8 fix vs ~2 min materialized
-    "dedup_semantic": f"""
-WITH RECURSIVE {_KNN_CTES},
-pe AS MATERIALIZED (
-  SELECT src_id AS src, dst_id AS dst FROM knn WHERE cos >= {SIM.SEM_THRESHOLD}
-  UNION
-  SELECT dst_id AS src, src_id AS dst FROM knn WHERE cos >= {SIM.SEM_THRESHOLD}),
-reach AS (
-  SELECT src, dst FROM pe
-  UNION
-  SELECT r.src, p.dst FROM reach r JOIN pe p ON r.dst = p.src)
-SELECT src AS vec_id,
-       least(src, min(dst)) AS cluster_id,
-       least(src, min(dst)) = src AS is_canonical
-FROM reach GROUP BY src
-""",
+    "dedup_semantic": _semantic_oracle(),
     "pq_codes": _pq_oracle(),
     "ann_pq_adc": _pq_adc_oracle(),
     "ann_ivf_pq": _ivf_pq_oracle(),

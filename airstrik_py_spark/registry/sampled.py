@@ -171,27 +171,14 @@ def contracts() -> dict[str, dict]:
     # Documented sf-scale SKIPs (VERDICT r9 #3) — lanes whose oracle has no
     # sound restricted form:
     #
-    # dedup_semantic: connected components need the FULL knn edge set —
-    # restricting ANY side of the edge build changes component membership.
-    # r11 removed the old blocker (the thin knn builds the full sf10 edge
-    # set in ~9.5 GB), but the sf10 re-run showed the next wall: the
-    # transitive-closure RECURSION materializes the reachable-pair set,
-    # quadratic per component, and DuckDB 1.0's recursive working table
-    # doesn't spill — still an OOM at the cap.  The ENGINE side is
-    # scale-valid (bucketed, auto-width, min-label propagation with
-    # per-round checkpoints — never a closure), so Spark runs FULL and the
-    # row count is recorded; value verification holds through sf1 (53 s
-    # with the r11 oracle).
-    out["dedup_semantic"] = {
-        "skip": "oracle-infeasible at this sf: any edge restriction changes "
-        "component membership, and the closure RECURSION materializes the "
-        "reachable-pair set (quadratic per component; DuckDB 1.0's "
-        "recursive working table doesn't spill) - OOMs at the cap even "
-        "though the r11 thin knn now builds the full edge set in ~9.5 GB; "
-        "engine runs FULL (rows recorded), full value verification held "
-        "through sf1 (53 s with the r11 oracle)",
-        "spark": "full",
-    }
+    # dedup_semantic: (r11) skip RETIRED in two steps — the thin knn fixed
+    # the edge-build OOM, then the closure RECURSION (reachable-pair
+    # materialization, quadratic per component, non-spilling) was replaced
+    # by the engine's own min-label propagation, unrolled with pointer
+    # doubling and a convergence-poison guard
+    # (similarity_q._semantic_oracle).  FULL bit-exact PASS at sf10:
+    # 149 541 rows in 337 s whole-slug.  No contract — the full compare
+    # runs at every sf.
     # graph_pagerank_knn: PageRank mass flows over EVERY edge, so no
     # restriction of the knn edge build is sound — but none is needed:
     # (r11) skip RETIRED: the thin-candidate + pre-window-projection knn

@@ -437,21 +437,27 @@ _COS_T = (
     f"* sqrt(list_dot_product(c.v[1:{SIM.TRUNC_DIM}], c.v[1:{SIM.TRUNC_DIM}]))), 4)"
 )
 
-SEM_LABEL_ROUNDS = 24
+SEM_LABEL_ROUNDS = 32
 
 
 def _semantic_oracle(rounds: int = SEM_LABEL_ROUNDS) -> str:
-    """dedup_semantic oracle as UNROLLED min-label propagation (r11): the
-    old transitive-closure recursion materialized the reachable-pair set —
-    quadratic per component, non-spilling in DuckDB 1.0, the sf10 OOM that
-    outlived the thin-knn fix.  This is the ENGINE's own algorithm
-    (operators/dedup.py::dedup_clusters): per round every node takes the
-    min of its label and its neighbors' labels — rows per round = nodes,
-    never reachable PAIRS.  Near-dup components are star-ish (2-3 rounds
-    to fixpoint); `rounds` is 8x that, and a convergence guard poisons
-    EVERY output row (cluster_id = -1) if the last two rounds still
-    differ, so an unconverged oracle fails the compare loudly instead of
-    passing silently."""
+    """dedup_semantic oracle as UNROLLED min-label propagation WITH
+    POINTER DOUBLING (r11): the old transitive-closure recursion
+    materialized the reachable-pair set — quadratic per component,
+    non-spilling in DuckDB 1.0, the sf10 OOM that outlived the thin-knn
+    fix.  Per round every node takes the min over {its label, its
+    neighbors' labels, the label OF its label} — rows per round = nodes +
+    edges, never reachable PAIRS, and the label-jump branch gives
+    O(log diameter) convergence (the first attempt's plain neighbor-min
+    at 24 rounds did NOT converge at sf10, and even with the jump branch
+    the measured sf10 profile converges at round 24 — a long straggler
+    chain; 32 gives 33% headroom and the guard still protects).  Fixpoint =
+    component min (any non-min label still decreases via the neighbor
+    branch along a shortest path, so a converged state is the engine's
+    own dedup_clusters fixpoint).  A convergence guard poisons EVERY
+    output row (cluster_id = -1) if the last two rounds still differ, so
+    an unconverged oracle fails the compare loudly instead of passing
+    silently."""
     parts = [
         f"""pe AS MATERIALIZED (
   SELECT src_id AS src, dst_id AS dst FROM knn WHERE cos >= {SIM.SEM_THRESHOLD}
@@ -462,9 +468,14 @@ def _semantic_oracle(rounds: int = SEM_LABEL_ROUNDS) -> str:
     for k in range(rounds):
         parts.append(
             f"""l{k + 1} AS MATERIALIZED (
-  SELECT l.node, least(l.lab, coalesce(min(nl.lab), l.lab)) AS lab
-  FROM l{k} l LEFT JOIN pe e ON e.src = l.node LEFT JOIN l{k} nl ON nl.node = e.dst
-  GROUP BY l.node, l.lab)"""
+  SELECT node, min(lab) AS lab FROM (
+    SELECT node, lab FROM l{k}
+    UNION ALL
+    SELECT l.node, nl.lab FROM l{k} l JOIN pe e ON e.src = l.node
+                          JOIN l{k} nl ON nl.node = e.dst
+    UNION ALL
+    SELECT l.node, ll.lab FROM l{k} l JOIN l{k} ll ON ll.node = l.lab
+  ) GROUP BY node)"""
         )
     joined = ",\n".join(parts)
     return f"""

@@ -53,7 +53,9 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         ctype = data[pos + 4 : pos + 8]
         chunk = data[pos + 8 : pos + 8 + length]
-        if len(chunk) != length:
+        # the CRC field itself may be cut off: compare against pos+12+length,
+        # not just the chunk body, or struct.unpack leaks a struct.error
+        if len(chunk) != length or len(data) < pos + 12 + length:
             raise ValueError("truncated PNG chunk")
         (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
         if zlib.crc32(ctype + chunk) & 0xFFFFFFFF != crc:
@@ -253,6 +255,8 @@ def wav_decode(data: bytes) -> tuple[int, int, int, list[int]]:
         cid = data[pos : pos + 4]
         (clen,) = struct.unpack("<I", data[pos + 4 : pos + 8])
         chunk = data[pos + 8 : pos + 8 + clen]
+        if len(chunk) != clen:
+            raise ValueError(f"truncated WAV chunk {cid!r}")
         pos += 8 + clen + (clen & 1)  # RIFF pads odd chunks
         if cid == b"fmt ":
             audio_fmt, channels, rate = struct.unpack("<HHI", chunk[:8])

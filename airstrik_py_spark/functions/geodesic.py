@@ -172,9 +172,35 @@ def karney_inverse_km(
         sq = math.sqrt(1.0 + _EP2)
         eps = (sq - 1.0) / (sq + 1.0)
         return abs(WGS84_B_M * (_i1(s2, eps) - _i1(s1, eps))) / 1000.0
-    # equatorial: both reduced latitudes zero, short arc runs the equator
-    if sb1 == 0.0 and sb2 == 0.0 and lam <= math.pi * (1.0 - WGS84_F):
-        return WGS84_A_M * lam / 1000.0
+    # equatorial: both reduced latitudes zero.  Short arcs (lam <= pi(1-f))
+    # run the equator; beyond that cutoff the geodesic LEAVES the equator
+    # (Karney 2013 §5) and the general bisection below degenerates (sigma1 =
+    # sigma2 = 0 for any ca1 > 0, so lambda12 is meaningless — the r11 bug
+    # returned a negative distance here).  The off-equator case reduces in
+    # closed form: the geodesic spans a full half-period sigma 0 -> pi at
+    # equator-crossing azimuth alpha1, so lambda12 = pi (1 - f sin(alpha1)
+    # A3(eps)) and s12 = b A1(eps) pi — solve for alpha1 by bisection
+    # (lambda12 is monotone decreasing in alpha1 on (0, pi/2]).
+    if sb1 == 0.0 and sb2 == 0.0:
+        if lam <= math.pi * (1.0 - WGS84_F):
+            return WGS84_A_M * lam / 1000.0
+        lo_a, hi_a = 0.0, math.pi / 2.0  # lam12: pi .. pi(1-f)
+        for _ in range(200):
+            mid = 0.5 * (lo_a + hi_a)
+            k2 = _EP2 * math.cos(mid) ** 2
+            sq = math.sqrt(1.0 + k2)
+            eps = (sq - 1.0) / (sq + 1.0)
+            lam12 = math.pi * (1.0 - WGS84_F * math.sin(mid) * _a3(eps))
+            if lam12 > lam:
+                lo_a = mid
+            else:
+                hi_a = mid
+            if hi_a - lo_a < 1e-15:
+                break
+        k2 = _EP2 * math.cos(0.5 * (lo_a + hi_a)) ** 2
+        sq = math.sqrt(1.0 + k2)
+        eps = (sq - 1.0) / (sq + 1.0)
+        return WGS84_B_M * _a1(eps) * math.pi / 1000.0
     lo, hi = 1e-15, math.pi - 1e-15
     for _ in range(200):
         mid = 0.5 * (lo + hi)
@@ -186,6 +212,12 @@ def karney_inverse_km(
         if hi - lo < 1e-15:
             break
     _lam12, s12 = _karney_eval(0.5 * (lo + hi), sb1, cb1, sb2, cb2)
+    if s12 < 0.0:
+        raise ValueError(
+            f"karney bisection converged to a non-geodesic root "
+            f"(s12={s12 / 1000.0:.3f} km < 0) for "
+            f"({lat1},{lon1})->({lat2},{lon2})"
+        )
     return s12 / 1000.0
 
 

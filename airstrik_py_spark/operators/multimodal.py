@@ -209,6 +209,11 @@ def extract_features_real(media: DataFrame) -> DataFrame:
                 kind = codecs.sniff_media(payload)
                 if kind == "png":
                     w, h, ch, px = codecs.png_decode(payload)
+                    if ch < 3:
+                        raise ValueError(
+                            f"doc {doc_id}: expected RGB/RGBA PNG, got "
+                            f"{ch}-channel (gray/gray+alpha) payload"
+                        )
                     sums = [0] * ch
                     for j, v in enumerate(px):
                         sums[j % ch] += v

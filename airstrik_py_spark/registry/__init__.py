@@ -29,28 +29,27 @@ _MODULES = (
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# VERDICT r10 #8 hand-pin (rotation hygiene): the longest-unsampled cohort
-# leads the r11 window so no slug's driver evidence is older than 2 rounds —
-# the whole r7 cohort, ddl_drop_reset (the only §2 slug still on r8
-# evidence), and the two slugs with no driver row at all (the r11 rename
-# and the new real-decode lane).  The changed-since-green hash key below
-# still re-selects rewritten slugs automatically; the pin guarantees THIS
-# cohort wins window slots regardless of how many slugs the conservative
-# module-level hash marks changed.  Refresh once CORRECTNESS_r11 records
+# VERDICT r11 #3 hand-pin (rotation hygiene): the r8-stale cohort leads the
+# r12 window (their last driver evidence is 4 rounds old — all pass local
+# sweeps, but driver rows should never lag more than ~2 rounds), plus
+# dedup_embedding_cosine_hi whose documented-skip is now scale-gated
+# (VERDICT r11 #2) so the driver's sf0.01 run can value-verify it again
+# (last driver-green r10).  The changed-since-green hash key below still
+# re-selects rewritten slugs automatically; the pin guarantees THIS cohort
+# wins window slots regardless of how many slugs the conservative
+# module-level hash marks changed.  Refresh once CORRECTNESS_r12 records
 # them.
 _FORCE_WINDOW = (
-    "embedding_cosine_banded_candidates",  # renamed in r11: new key, 0 greens
-    "multimodal_decode_real",              # new in r11
-    "ddl_drop_reset",                      # §2 S10, last green r8
-    # entire r7 cohort (least-recently-green across the registry):
-    "doc_length_histogram",
-    "eval_contamination",
-    "layout_zorder",
-    "pack_concat_chunks",
-    "pack_greedy_bins",
-    "pipeline_corpus_manifest",
-    "text_lm_score",
-    "tfidf_topk",
+    # r8-stale cohort (least-recently-driver-green across the registry):
+    "ann_ivf_label",
+    "sink_orc_roundtrip",
+    "events_timeseries_gapfill",
+    "sample_weighted_priority",
+    "sketch_cms_topk",
+    "corpus_upsert_merge",
+    "profile_column_stats",
+    # skip now scale-gated; needs a fresh driver value row:
+    "dedup_embedding_cosine_hi",
 )
 
 

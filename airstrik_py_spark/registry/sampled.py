@@ -190,12 +190,19 @@ def contracts() -> dict[str, dict]:
     # contract is rho-gap-bound (rho=0.66 at t=0.4) — candidate volume is a
     # constant fraction of N^2 BY CONTRACT on both engine and oracle, so
     # neither side should run at 100x; cosine_topk_pairs is the registered
-    # scale-valid replacement.  Skip runs nothing.
+    # scale-valid replacement.  SCALE-GATED (VERDICT r11 #2): the skip is an
+    # argument about 100x candidate volume, so it only applies once the
+    # embeddings table is actually large — below skip_min_rows the N^2
+    # fraction is trivially affordable and check.py drops the contract,
+    # running the normal FULL bit-exact compare (sf0.01 = 500 rows, sf0.1 =
+    # 2 000 rows both verify; sf1 = 20 000 and sf10 = 200 000 skip).
     out["dedup_embedding_cosine_hi"] = {
         "skip": "contract is rho-gap-bound (high recall at t=0.4 forces a "
         "constant fraction of all pairs as candidates on BOTH engines) — "
         "not run at 100x by design; cosine_topk_pairs is the scale lane",
         "spark": "none",
+        "skip_table": "embeddings",
+        "skip_min_rows": 10_000,
     }
 
     # Winnowing pair mining: pair (a, b) is emitted once with

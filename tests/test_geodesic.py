@@ -106,3 +106,29 @@ def test_pandas_udf_matches_scalar(spark):
     ]
     want = [karney_inverse_km(*r) for r in rows]
     assert got == pytest.approx(want, abs=1e-12)
+
+
+def test_equatorial_beyond_cutoff_leaves_equator():
+    """ADVICE r11 (medium): equatorial pairs past lam = pi(1-f) follow a
+    geodesic that LEAVES the equator (Karney 2013 §5).  The r11 code fell
+    into the degenerate general bisection and returned -20003.93 km for
+    (0,0)->(0,179.5).  The closed-form half-period branch must give a
+    positive distance, join the equator-arc branch continuously at the
+    cutoff, and hit the exact half-meridian at the antipode."""
+    cut_deg = math.degrees(math.pi * (1.0 - (1.0 - WGS84_B_M / WGS84_A_M)))
+    # the ADVICE repro itself
+    d = karney_inverse_km(0.0, 0.0, 0.0, 179.5)
+    assert 19970.0 < d < 20003.932, d
+    # antipodal-on-equator goes over the pole: half the meridian,
+    # 2 * 10001.965729 km (WGS-84 quarter meridian), within a metre
+    anti = karney_inverse_km(0.0, 0.0, 0.0, 180.0)
+    assert abs(anti - 2 * 10001.965729) < 1e-3, anti
+    # continuity across the branch switch (sub-metre)
+    below = karney_inverse_km(0.0, 0.0, 0.0, cut_deg - 1e-7)
+    above = karney_inverse_km(0.0, 0.0, 0.0, cut_deg + 1e-7)
+    assert abs(above - below) < 1e-3, (below, above)
+    # monotone in longitude separation across the whole equatorial range
+    lams = [10.0, 90.0, 179.0, cut_deg - 0.01, cut_deg + 0.01, 179.7, 180.0]
+    dists = [karney_inverse_km(0.0, 0.0, 0.0, x) for x in lams]
+    assert dists == sorted(dists), list(zip(lams, dists))
+    assert all(x > 0 for x in dists)

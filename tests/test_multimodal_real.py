@@ -215,3 +215,47 @@ def test_real_decode_streaming_parity(spark, tmp_path):
         for r in extract_features_real(attach_real_media(docs)).collect()
     }
     assert got == want and len(want) == 16
+
+
+def test_png_truncated_crc_raises_valueerror():
+    """ADVICE r11: a stream cut inside a chunk's 4-byte CRC used to leak a
+    struct.error — the loud-failure contract says ValueError."""
+    good = codecs.png_encode(3, 3, 3, bytes(range(27)))
+    # cut 2 bytes into the IEND CRC (last 4 bytes of the file)
+    with pytest.raises(ValueError, match="truncated PNG chunk"):
+        codecs.png_decode(good[:-2])
+    # and cut inside an IDAT CRC too
+    idat_at = good.index(b"IDAT")
+    (idat_len,) = struct.unpack(">I", good[idat_at - 4 : idat_at])
+    crc_end = idat_at + 4 + idat_len + 4
+    with pytest.raises(ValueError, match="truncated PNG chunk"):
+        codecs.png_decode(good[: crc_end - 3])
+
+
+def test_wav_truncated_data_chunk_raises():
+    """ADVICE r11: wav_decode silently parsed whatever bytes remained of a
+    truncated data chunk instead of failing loudly like png_decode."""
+    good = codecs.wav_encode(8000, 1, [100, -200, 300, -400])
+    with pytest.raises(ValueError, match="truncated WAV chunk"):
+        codecs.wav_decode(good[:-3])
+    # a declared length larger than the remaining bytes also fails
+    data_at = good.index(b"data")
+    forged = bytearray(good)
+    forged[data_at + 4 : data_at + 8] = struct.pack("<I", 10_000)
+    with pytest.raises(ValueError, match="truncated WAV chunk"):
+        codecs.wav_decode(bytes(forged))
+
+
+def test_real_lane_rejects_non_rgb_png(spark):
+    """ADVICE r11: a grayscale PNG is decodable but has 1 channel — the
+    feature row wants RGB sums, so the lane must raise the documented
+    ValueError, not IndexError."""
+    from airstrik_py_spark.operators.multimodal import extract_features_real
+
+    gray = codecs.png_encode(2, 2, 1, bytes([10, 20, 30, 40]))
+    bad = spark.createDataFrame(
+        [(7, "image/png", bytearray(gray), len(gray))],
+        "doc_id long, media_type string, payload binary, payload_len int",
+    )
+    with pytest.raises(Exception, match="expected RGB"):
+        extract_features_real(bad).collect()

@@ -1,0 +1,197 @@
+"""Paired interleaved bench A/B: this tree vs a baseline commit (VERDICT
+r11 #1).
+
+The standing rule (learned r11, where BENCH_r11 read +35% vs BENCH_r10 and
+the entire delta turned out to be box state): never believe a
+round-over-round bench regression without a PAIRED A/B on the same box at
+the same moment.  r11's A/B lived only in ROUNDLOG prose — this tool makes
+it a committed, machine-checkable artifact.
+
+What it does:
+  * checks the baseline ref out into a throwaway git worktree,
+  * runs `python bench.py` alternately in the baseline tree and in this
+    tree (ABBA order, so slow box drift cancels instead of biasing one
+    side), N pairs total,
+  * writes per-query paired medians + deltas and the raw per-run samples
+    to the output JSON.
+
+Usage:
+  python tools/bench_ab.py [--baseline REF] [--pairs N] [--runs-per-query K]
+                           [--sf-dir DIR] [--out FILE]
+
+Defaults: baseline = the commit that last touched the newest BENCH_r*.json
+(i.e. the tree the prior round's recorded bench measured), pairs = 3,
+runs-per-query = 3 (SPARK_GRAFT_BENCH_RUNS for both sides), out =
+BENCH_AB.json in the repo root.
+
+Reading the result: `delta_pct` per query and for the totals is
+(head - base) / base * 100 over paired medians.  A delta inside the paired
+spread is noise; only a delta that holds across every pair is code.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _git(*args: str, cwd: str = REPO) -> str:
+    return subprocess.run(
+        ["git", *args], cwd=cwd, check=True, capture_output=True, text=True
+    ).stdout.strip()
+
+
+def default_baseline() -> str:
+    """The commit that last touched the newest BENCH_r*.json — the tree the
+    prior round's recorded bench numbers actually measured."""
+    benches = sorted(
+        f for f in os.listdir(REPO)
+        if f.startswith("BENCH_r") and f.endswith(".json")
+    )
+    if not benches:
+        raise SystemExit("no BENCH_r*.json found; pass --baseline explicitly")
+    return _git("log", "-1", "--format=%H", "--", benches[-1])
+
+
+def run_bench(tree: str, sf_dir: str, runs_per_query: int) -> dict:
+    """One `python bench.py` invocation in `tree`; returns its JSON line."""
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        SPARK_GRAFT_BENCH_RUNS=str(runs_per_query),
+    )
+    proc = subprocess.run(
+        [sys.executable, "bench.py"], cwd=tree, env=env,
+        capture_output=True, text=True,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"bench.py failed in {tree} (rc={proc.returncode}):\n"
+            f"{proc.stderr[-2000:]}"
+        )
+    # progress bars share carriage returns with stdout; scan every CR/LF
+    # fragment for the single JSON result line
+    for line in reversed(proc.stdout.replace("\r", "\n").splitlines()):
+        line = line.strip()
+        if line.startswith('{"metric"'):
+            return json.loads(line)
+    raise RuntimeError(f"no bench JSON line in stdout from {tree}")
+
+
+def median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--baseline", default=None, help="git ref to A/B against")
+    ap.add_argument("--pairs", type=int, default=3)
+    ap.add_argument("--runs-per-query", type=int, default=3)
+    ap.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+    )
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH_AB.json"))
+    args = ap.parse_args()
+
+    base_ref = args.baseline or default_baseline()
+    base_sha = _git("rev-parse", base_ref)
+    head_sha = _git("rev-parse", "HEAD")
+    dirty = bool(_git("status", "--porcelain"))
+
+    wt = f"/tmp/bench_ab_{base_sha[:12]}"
+    created_wt = False
+    if not os.path.isdir(wt):
+        _git("worktree", "add", "--detach", wt, base_sha)
+        created_wt = True
+
+    try:
+        base_runs: list[dict] = []
+        head_runs: list[dict] = []
+        order_log: list[str] = []
+        for i in range(args.pairs):
+            # ABBA: alternate which side goes first so monotone box drift
+            # adds to both sides equally instead of biasing the second seat
+            legs = (
+                [("base", wt), ("head", REPO)]
+                if i % 2 == 0
+                else [("head", REPO), ("base", wt)]
+            )
+            for side, tree in legs:
+                t0 = time.time()
+                res = run_bench(tree, args.sf_dir, args.runs_per_query)
+                wall = round(time.time() - t0, 1)
+                (base_runs if side == "base" else head_runs).append(res)
+                order_log.append(side)
+                print(
+                    f"[pair {i + 1}/{args.pairs}] {side}: "
+                    f"total={res['value']}s (wall {wall}s)",
+                    flush=True,
+                )
+
+        queries = list(base_runs[0]["queries"])
+        per_query = {}
+        for q in queries:
+            b = [r["queries"][q] for r in base_runs]
+            h = [r["queries"].get(q) for r in head_runs]
+            if any(x is None for x in h):  # query renamed/removed in HEAD
+                per_query[q] = {"base_samples": b, "head_samples": None}
+                continue
+            bm, hm = median(b), median(h)
+            per_query[q] = {
+                "base_median": round(bm, 3),
+                "head_median": round(hm, 3),
+                "delta_pct": round((hm - bm) / bm * 100.0, 1) if bm else None,
+                "base_samples": b,
+                "head_samples": h,
+            }
+        totals = {}
+        for key in ("value", "original10_total_sec"):
+            b = [r[key] for r in base_runs]
+            h = [r[key] for r in head_runs]
+            bm, hm = median(b), median(h)
+            totals[key] = {
+                "base_median": round(bm, 3),
+                "head_median": round(hm, 3),
+                "delta_pct": round((hm - bm) / bm * 100.0, 1),
+                "base_samples": b,
+                "head_samples": h,
+            }
+
+        out = {
+            "baseline_ref": base_ref,
+            "baseline_sha": base_sha,
+            "head_sha": head_sha,
+            "head_dirty": dirty,
+            "sf_dir": args.sf_dir,
+            "pairs": args.pairs,
+            "runs_per_query": args.runs_per_query,
+            "interleave_order": order_log,
+            "totals": totals,
+            "per_query": per_query,
+        }
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(
+            f"\nA/B written to {args.out}: total "
+            f"base={totals['value']['base_median']}s "
+            f"head={totals['value']['head_median']}s "
+            f"({totals['value']['delta_pct']:+.1f}%)"
+        )
+        return 0
+    finally:
+        if created_wt:
+            _git("worktree", "remove", "--force", wt)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

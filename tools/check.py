@@ -177,6 +177,24 @@ def main() -> int:
     if sampled_mode:
         from airstrik_py_spark.registry.sampled import contracts as _c
         contracts = _c()
+        # Scale-gated documented-skips (VERDICT r11 #2): a skip that exists
+        # to avoid 100x quadratic candidate volume must NOT fire on a small
+        # fixture where the full oracle is cheap — that silently loses a
+        # value check the sweep could afford.  Drop the contract (-> normal
+        # full bit-exact compare) when the gating table is below threshold.
+        for slug in list(contracts):
+            c = contracts[slug]
+            if "skip" in c and "skip_min_rows" in c:
+                n = duck.execute(
+                    f"SELECT count(*) FROM {c['skip_table']}"
+                ).fetchone()[0]
+                if n < c["skip_min_rows"]:
+                    print(
+                        f"NOTE {slug}: documented-skip gated off "
+                        f"({c['skip_table']} rows {n} < {c['skip_min_rows']}) "
+                        "- running full compare"
+                    )
+                    del contracts[slug]
 
     report: dict[str, dict] = {}
 

@@ -221,6 +221,61 @@ def karney_inverse_km(
     return s12 / 1000.0
 
 
+# --- Karney 2013, DIRECT problem --------------------------------------------
+
+
+def _c1p(eps: float) -> list[float]:
+    """C'1l (eq. 21): coefficients of the INVERSE of the I1 series —
+    sigma = tau + sum C'1l sin(2 l tau) — order 6."""
+    e2 = eps * eps
+    return [
+        eps * (0.5 + e2 * (-9.0 / 32.0 + e2 * 205.0 / 1536.0)),
+        e2 * (5.0 / 16.0 + e2 * (-37.0 / 96.0 + e2 * 1335.0 / 4096.0)),
+        e2 * eps * (29.0 / 96.0 - e2 * 75.0 / 128.0),
+        e2 * e2 * (539.0 / 1536.0 - e2 * 2391.0 / 2560.0),
+        e2 * e2 * eps * (3467.0 / 7680.0),
+        e2 * e2 * e2 * (38081.0 / 61440.0),
+    ]
+
+
+def karney_direct(
+    lat1: float, lon1: float, azi1_deg: float, s_km: float
+) -> tuple[float, float]:
+    """WGS-84 direct (destination-point) problem, Karney 2013 §3: from
+    (lat1, lon1) travel s_km along initial azimuth azi1_deg (clockwise from
+    north).  Returns (lat2, lon2) with lon2 normalized to [-180, 180].
+    Closed form — no iteration: sigma2 comes from the published inverse
+    series (eq. 20-21), not from root-finding."""
+    sb1, cb1 = _reduced_lat(lat1)
+    alpha1 = math.radians(azi1_deg)
+    sa1, ca1 = math.sin(alpha1), math.cos(alpha1)
+    # Clairaut constant along the whole geodesic
+    sa0 = sa1 * cb1
+    ca0 = math.hypot(ca1, sa1 * sb1)
+    # arc position of point 1 on the auxiliary sphere
+    s1_ = math.atan2(sb1, cb1 * ca1)
+    w1 = math.atan2(sa0 * math.sin(s1_), math.cos(s1_))
+    k2 = _EP2 * ca0 * ca0
+    sq = math.sqrt(1.0 + k2)
+    eps = (sq - 1.0) / (sq + 1.0)
+    # advance arc length: s2 = b I1(sigma1) + s, inverted via tau series
+    a1c = _a1(eps)
+    s2_m = WGS84_B_M * _i1(s1_, eps) + s_km * 1000.0
+    tau2 = s2_m / (WGS84_B_M * a1c)
+    sigma2 = tau2 + _sin_series(tau2, _c1p(eps))
+    ss2, cs2 = math.sin(sigma2), math.cos(sigma2)
+    # back to the ellipsoid
+    sb2 = ca0 * ss2
+    cb2 = math.hypot(ca0 * cs2, sa0)
+    lat2 = math.degrees(math.atan2(sb2, (1.0 - WGS84_F) * cb2))
+    w2 = math.atan2(sa0 * ss2, cs2)
+    lam12 = (w2 - w1) - WGS84_F * sa0 * (
+        _i3_term(sigma2, eps) - _i3_term(s1_, eps)
+    )
+    lon2 = math.remainder(lon1 + math.degrees(lam12), 360.0)
+    return lat2, lon2
+
+
 # --- Vincenty 1975 ----------------------------------------------------------
 
 
@@ -283,6 +338,92 @@ def vincenty_inverse_km(
         )
     )
     return WGS84_B_M * a * (sigma - d_sigma) / 1000.0
+
+
+def vincenty_direct(
+    lat1: float, lon1: float, azi1_deg: float, s_km: float, max_iter: int = 200
+) -> tuple[float, float]:
+    """WGS-84 direct problem, Vincenty 1975 (the iterative sigma form).
+    Independent of karney_direct — shares no series or intermediate with
+    it, so their mutual agreement cross-validates both."""
+    s = s_km * 1000.0
+    alpha1 = math.radians(azi1_deg)
+    sa1, ca1 = math.sin(alpha1), math.cos(alpha1)
+    tan_u1 = (1.0 - WGS84_F) * math.tan(math.radians(lat1))
+    cu1 = 1.0 / math.sqrt(1.0 + tan_u1 * tan_u1)
+    su1 = tan_u1 * cu1
+    sigma1 = math.atan2(tan_u1, ca1)
+    sin_alpha = cu1 * sa1
+    cos2_alpha = 1.0 - sin_alpha * sin_alpha
+    u2 = cos2_alpha * _EP2
+    a = 1.0 + u2 / 16384.0 * (4096.0 + u2 * (-768.0 + u2 * (320.0 - 175.0 * u2)))
+    b = u2 / 1024.0 * (256.0 + u2 * (-128.0 + u2 * (74.0 - 47.0 * u2)))
+    sigma = s / (WGS84_B_M * a)
+    for _ in range(max_iter):
+        two_sm = 2.0 * sigma1 + sigma
+        cos_2sm = math.cos(two_sm)
+        ss, cs = math.sin(sigma), math.cos(sigma)
+        d_sigma = (
+            b
+            * ss
+            * (
+                cos_2sm
+                + b
+                / 4.0
+                * (
+                    cs * (-1.0 + 2.0 * cos_2sm * cos_2sm)
+                    - b
+                    / 6.0
+                    * cos_2sm
+                    * (-3.0 + 4.0 * ss * ss)
+                    * (-3.0 + 4.0 * cos_2sm * cos_2sm)
+                )
+            )
+        )
+        sigma_prev = sigma
+        sigma = s / (WGS84_B_M * a) + d_sigma
+        if abs(sigma - sigma_prev) < 1e-13:
+            break
+    else:
+        raise ValueError("vincenty direct failed to converge")
+    ss, cs = math.sin(sigma), math.cos(sigma)
+    cos_2sm = math.cos(2.0 * sigma1 + sigma)
+    lat2 = math.degrees(
+        math.atan2(
+            su1 * cs + cu1 * ss * ca1,
+            (1.0 - WGS84_F)
+            * math.hypot(sin_alpha, su1 * ss - cu1 * cs * ca1),
+        )
+    )
+    lam = math.atan2(ss * sa1, cu1 * cs - su1 * ss * ca1)
+    c = WGS84_F / 16.0 * cos2_alpha * (4.0 + WGS84_F * (4.0 - 3.0 * cos2_alpha))
+    big_l = lam - (1.0 - c) * WGS84_F * sin_alpha * (
+        sigma + c * ss * (cos_2sm + c * cs * (-1.0 + 2.0 * cos_2sm * cos_2sm))
+    )
+    lon2 = math.remainder(lon1 + math.degrees(big_l), 360.0)
+    return lat2, lon2
+
+
+def geodesic_dest_pandas_udf():
+    """Arrow-batched pandas_udf over karney_direct: the ellipsoid-exact
+    DESTINATION-POINT lane for D1's dead-reckoning unroll (VERDICT r11 #5).
+    Returns a struct<lat double, lon double>.  Verification-grade — the
+    100 TB hot path stays the spherical Column expressions in
+    functions/geo.py (FLOATS.md §D1 quantifies the trade)."""
+    import pandas as pd  # noqa: F811 (module-level import exists)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("lat double, lon double")
+    def _udf(
+        lat1: pd.Series, lon1: pd.Series, azi: pd.Series, dist_km: pd.Series
+    ) -> pd.DataFrame:
+        out = [
+            karney_direct(a, b, c, d)
+            for a, b, c, d in zip(lat1, lon1, azi, dist_km)
+        ]
+        return pd.DataFrame(out, columns=["lat", "lon"])
+
+    return _udf
 
 
 def geodesic_km_pandas_udf():

@@ -42,8 +42,18 @@ def matched_filters(dist: Column, alt: Column, cfg: EngineConfig) -> Column:
     return F.concat_ws(",", *parts)
 
 
-def dead_reckoning(df: DataFrame, cfg: EngineConfig) -> DataFrame:
+def dead_reckoning(
+    df: DataFrame, cfg: EngineConfig, exact_geodesic: bool = False
+) -> DataFrame:
     """D1 — relational unroll of get_alarm_info (airstrik.py:223-278).
+
+    `exact_geodesic=True` swaps the spherical forward-geodesic step
+    positions for the WGS-84 ellipsoid DIRECT solution
+    (functions/geodesic.py::karney_direct via an Arrow-batched pandas_udf)
+    — the reference-identical lane, since geopy's destination() is the same
+    Karney direct problem (airstrik.py:245-258).  Default stays the
+    whole-stage-codegen spherical Column expressions (the 100 TB hot path;
+    FLOATS.md §D1 quantifies the per-step divergence at < 0.25%).
 
     Input: one row per plane-fix with `hex, event_id, lat, lon, calc_heading,
     nav_heading, calc_speed, alt_geom, distance`.  Replicated semantics:
@@ -70,15 +80,30 @@ def dead_reckoning(df: DataFrame, cfg: EngineConfig) -> DataFrame:
         .withColumn("t", F.explode(F.sequence(F.lit(0), horizon - 1)))
     )
     step_km = (F.col("calc_speed") / 3600.0) * F.col("t")
+    if exact_geodesic:
+        from airstrik_py_spark.functions.geodesic import geodesic_dest_pandas_udf
+
+        dest = geodesic_dest_pandas_udf()
+        sim = (
+            sim.withColumn(
+                "sim_pt",
+                dest(F.col("lat"), F.col("lon"), F.col("sim_heading"), step_km),
+            )
+            .withColumn("sim_lat", F.col("sim_pt.lat"))
+            .withColumn("sim_lon", F.col("sim_pt.lon"))
+            .drop("sim_pt")
+        )
+    else:
+        sim = sim.withColumn(
+            "sim_lat", dest_lat_deg(F.col("lat"), F.col("sim_heading"), step_km)
+        )
+        sim = sim.withColumn(
+            "sim_lon",
+            dest_lon_deg(
+                F.col("lat"), F.col("lon"), F.col("sim_lat"), F.col("sim_heading"), step_km
+            ),
+        )
     sim = sim.withColumn(
-        "sim_lat", dest_lat_deg(F.col("lat"), F.col("sim_heading"), step_km)
-    )
-    sim = sim.withColumn(
-        "sim_lon",
-        dest_lon_deg(
-            F.col("lat"), F.col("lon"), F.col("sim_lat"), F.col("sim_heading"), step_km
-        ),
-    ).withColumn(
         "sim_dist",
         haversine_km(
             F.lit(cfg.home_lat), F.lit(cfg.home_lon), F.col("sim_lat"), F.col("sim_lon")

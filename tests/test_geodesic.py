@@ -132,3 +132,109 @@ def test_equatorial_beyond_cutoff_leaves_equator():
     dists = [karney_inverse_km(0.0, 0.0, 0.0, x) for x in lams]
     assert dists == sorted(dists), list(zip(lams, dists))
     assert all(x > 0 for x in dists)
+
+
+def test_direct_problem_mutual_agreement():
+    """VERDICT r11 #5: Karney-2013 direct (closed-form inverse series) and
+    Vincenty-1975 direct (iterative sigma) are independent implementations
+    — mutual agreement < 0.1 mm over random (origin, azimuth, distance)
+    cross-validates both, same pattern as the inverse pair."""
+    from airstrik_py_spark.functions.geodesic import (
+        karney_direct,
+        vincenty_direct,
+    )
+
+    rng = random.Random(17)
+    for _ in range(300):
+        lat1 = rng.uniform(-80, 80)
+        lon1 = rng.uniform(-180, 180)
+        azi = rng.uniform(0, 360)
+        s = rng.uniform(0.001, 5000)
+        k = karney_direct(lat1, lon1, azi, s)
+        v = vincenty_direct(lat1, lon1, azi, s)
+        dm = math.hypot(
+            (k[0] - v[0]) * 111320.0,
+            (k[1] - v[1]) * 111320.0 * math.cos(math.radians(lat1)),
+        )
+        assert dm < 1e-4, (lat1, lon1, azi, s, k, v, dm)
+
+
+def test_direct_inverse_roundtrip_and_closed_forms():
+    from airstrik_py_spark.functions.geodesic import karney_direct
+
+    rng = random.Random(19)
+    for _ in range(200):
+        lat1 = rng.uniform(-80, 80)
+        lon1 = rng.uniform(-180, 180)
+        azi = rng.uniform(0, 360)
+        s = rng.uniform(0.01, 2000)
+        lat2, lon2 = karney_direct(lat1, lon1, azi, s)
+        back = karney_inverse_km(lat1, lon1, lat2, lon2)
+        assert abs(back - s) < 1e-9, (lat1, lon1, azi, s, back)
+    # due north from the equator by a quarter meridian lands on the pole
+    lat2, _lon2 = karney_direct(0.0, 0.0, 0.0, 10001.965729)
+    assert abs(lat2 - 90.0) < 1e-6
+    # due east along the equator: arc length = a * lambda exactly
+    lat2, lon2 = karney_direct(0.0, 0.0, 90.0, WGS84_A_M * math.pi / 4 / 1000.0)
+    assert abs(lat2) < 1e-9 and abs(lon2 - 45.0) < 1e-9
+
+
+def test_dest_pandas_udf_matches_scalar(spark):
+    from pyspark.sql import functions as F
+
+    from airstrik_py_spark.functions.geodesic import (
+        geodesic_dest_pandas_udf,
+        karney_direct,
+    )
+
+    rows = [
+        (35.7, -78.7, 123.0, 42.5),
+        (-10.0, 100.0, 271.0, 900.0),
+        (60.0, 5.0, 10.0, 3.3),
+    ]
+    df = spark.createDataFrame(rows, "lat double, lon double, azi double, d double")
+    got = (
+        df.select(geodesic_dest_pandas_udf()("lat", "lon", "azi", "d").alias("p"))
+        .select(F.col("p.lat"), F.col("p.lon"))
+        .collect()
+    )
+    for (lat, lon, azi, d), r in zip(rows, got):
+        k = karney_direct(lat, lon, azi, d)
+        assert abs(r["lat"] - k[0]) < 1e-12 and abs(r["lon"] - k[1]) < 1e-12
+
+
+def test_dead_reckoning_exact_lane(spark):
+    """The exact_geodesic=True D1 lane: same schema/rows as the spherical
+    default, alarm verdicts identical away from geofence boundaries, and
+    step positions within the FLOATS.md §D1 divergence band (< 0.25 % of
+    step distance, fixture geometry)."""
+    from airstrik_py_spark.config import EngineConfig
+    from airstrik_py_spark.operators.alarm import dead_reckoning
+
+    cfg = EngineConfig()
+    rows = [
+        # hex, event_id, lat, lon, calc_heading, nav_heading, calc_speed,
+        # alt_geom, distance: ~13.3 km out; one headed straight at home
+        # (enters the 10 km zone inside the 60 s horizon -> alarm),
+        # one headed away (no alarm), one unsimulatable (no heading)
+        ("a1", 1, cfg.home_lat + 0.12, cfg.home_lon, 180.0, None, 400.0, 1000.0, 13.3),
+        ("b2", 2, cfg.home_lat + 0.12, cfg.home_lon, 0.0, None, 400.0, 1000.0, 13.3),
+        ("c3", 3, cfg.home_lat + 0.12, cfg.home_lon, None, None, 400.0, 1000.0, 13.3),
+    ]
+    schema = (
+        "hex string, event_id long, lat double, lon double, "
+        "calc_heading double, nav_heading double, calc_speed double, "
+        "alt_geom double, distance double"
+    )
+    df = spark.createDataFrame(rows, schema)
+    sph = {r["hex"]: r for r in dead_reckoning(df, cfg).collect()}
+    ell = {r["hex"]: r for r in dead_reckoning(df, cfg, exact_geodesic=True).collect()}
+    assert set(sph) == set(ell) == {"a1", "b2", "c3"}
+    for h in ("a1", "b2", "c3"):
+        assert sph[h]["alarm"] == ell[h]["alarm"], h
+        assert sph[h]["alarm_time"] == ell[h]["alarm_time"], h
+    assert ell["a1"]["alarm"] and not ell["b2"]["alarm"]
+    assert ell["c3"]["min_radius"] == 0.0  # unsimulatable
+    # min_radius agrees within the quantified spherical-vs-ellipsoid band
+    a, b = sph["a1"]["min_radius"], ell["a1"]["min_radius"]
+    assert abs(a - b) <= max(0.0025 * max(a, b), 0.005), (a, b)

@@ -263,3 +263,124 @@ def test_snapshot_corrupt_quarantine(spark, tmp_path):
             read_snapshot_batch_quarantined(spark, tape)
     finally:
         snap_mod.QUARANTINE_DRIVER_CAP = orig_cap
+
+
+def _store_key_rows(spark, store: str) -> dict:
+    """(flight_id, start_sec) -> (end_sec, n_obs, epoch) for every row in
+    the idempotent trips store, asserting key uniqueness on the way."""
+    rows = spark.read.parquet(store).collect()
+    out = {}
+    for r in rows:
+        k = (r["flight_id"], r["start_sec"])
+        assert k not in out, f"duplicate trip {k} in store"
+        out[k] = (r["end_sec"], r["n_obs"], r["_epoch"])
+    return out
+
+
+def test_idempotent_store_survives_crash_replay(spark, tmp_path):
+    """VERDICT r11 #7: exercise the exactly-once claim under an actual
+    failure, not just argue it.  foreachBatch is at-least-once: if the
+    process dies AFTER the sink write but BEFORE the checkpoint commit,
+    restart re-executes the same epoch with the same data.  Simulate
+    exactly that window by deleting the checkpoint's commits/<last> marker
+    (offsets/<last> stays — the batch is planned but uncommitted) and
+    restarting the stream: Spark re-runs the final batch, the writer
+    overwrites its own epoch partition, and the store must come out
+    IDENTICAL — zero duplicate trips."""
+    from airstrik_py_spark.streaming.pipeline import (
+        foreach_batch_idempotent_parquet,
+    )
+
+    tape = str(tmp_path / "tape_crash")
+    os.makedirs(tape)
+    _write_tape(tape)
+    store = str(tmp_path / "trips_store_crash")
+    ckpt = str(tmp_path / "ckpt_crash")
+
+    def run_stream():
+        q = (
+            stream_trips(read_snapshot_stream(spark, tape), CFG)
+            .writeStream.outputMode("append")
+            .foreachBatch(foreach_batch_idempotent_parquet(store))
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_stream()
+    before = _store_key_rows(spark, store)
+    assert len(before) == 5  # the tape's five closed trips landed
+
+    # crash window: last batch's sink write happened (parquet partition
+    # exists) but the commit marker is gone
+    commits = sorted(
+        f for f in os.listdir(os.path.join(ckpt, "commits"))
+        if not f.startswith(".")
+    )
+    last = commits[-1]
+    os.remove(os.path.join(ckpt, "commits", last))
+    # the local FS keeps a Hadoop checksum sidecar next to the marker; a
+    # crash before commit would have written neither, and a stale .crc
+    # makes the recovery rename fail as a concurrent-query conflict
+    crc = os.path.join(ckpt, "commits", f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    run_stream()  # recovery: re-executes epoch `last` against the store
+    after = _store_key_rows(spark, store)
+    assert after == before  # same keys, same values, zero duplicates
+    # and the re-run really happened: the commit marker is back
+    assert last in os.listdir(os.path.join(ckpt, "commits"))
+
+
+def test_idempotent_store_manual_epoch_replay(spark, tmp_path):
+    """Same contract, driven directly: invoking the foreachBatch writer
+    twice with one epoch_id (Spark's retry shape) must overwrite, never
+    append — and a RETRY WITH FEWER ROWS (a task that partially wrote,
+    then the batch replanned) must leave exactly the retry's rows."""
+    from airstrik_py_spark.streaming.pipeline import (
+        foreach_batch_idempotent_parquet,
+    )
+
+    store = str(tmp_path / "store_manual")
+    write = foreach_batch_idempotent_parquet(store)
+    df = spark.createDataFrame(
+        [("f1", 1.0, 2.0, 3), ("f2", 4.0, 5.0, 6)],
+        "flight_id string, start_sec double, end_sec double, n_obs int",
+    )
+    write(df, 0)
+    write(df, 0)  # identical retry
+    assert len(_store_key_rows(spark, store)) == 2
+    write(df.limit(1), 0)  # replanned retry with a subset
+    assert len(_store_key_rows(spark, store)) == 1
+    write(df, 1)  # a NEW epoch appends normally
+    assert len(spark.read.parquet(store).collect()) == 3
+
+
+def test_docs_ingest_same_epoch_retry_not_self_rejecting(spark, tmp_path):
+    """docs_ingest_foreach_batch retry hazard (the one its code comments
+    guard against): a retried epoch anti-joins the digest store, and its
+    OWN failed attempt's digests are already there — without the
+    epoch-exclusion filter the retry would reject itself and overwrite its
+    partition as EMPTY, silently losing the batch.  Replay the same epoch
+    twice and assert the accepted rows survive both times."""
+    from airstrik_py_spark.streaming.pipeline import docs_ingest_foreach_batch
+
+    out = str(tmp_path / "docs_out")
+    dstore = str(tmp_path / "digest_store")
+    run = docs_ingest_foreach_batch(out, dstore)
+    batch = spark.createDataFrame(
+        [(1, "hello world", 100.0), (2, "hello world", 101.0), (3, "other", 102.0)],
+        "doc_id long, text string, ingest_ts double",
+    )
+    run(batch, 0)
+    first = {(r["doc_id"], r["digest"]) for r in spark.read.parquet(out).collect()}
+    assert len(first) == 2  # doc 1 wins its digest, doc 3 unique
+    run(batch, 0)  # crash-window retry of the SAME epoch
+    second = {(r["doc_id"], r["digest"]) for r in spark.read.parquet(out).collect()}
+    assert second == first  # not empty, not duplicated
+    # a later epoch replaying an already-stored digest is still rejected
+    run(batch.filter("doc_id = 2"), 1)
+    third = spark.read.parquet(out).collect()
+    assert {(r["doc_id"], r["digest"]) for r in third} == first

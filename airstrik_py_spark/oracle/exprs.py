@@ -190,6 +190,15 @@ kin AS (
 )"""
 
 
+_DR_LATEST = """
+latest AS (
+  SELECT *, coalesce(calc_heading, nav_heading) AS sim_heading,
+         (coalesce(calc_heading, nav_heading) IS NOT NULL AND calc_speed IS NOT NULL) AS can_sim
+  FROM kin
+  QUALIFY row_number() OVER (PARTITION BY hex ORDER BY ts_sec DESC, event_id DESC) = 1
+)"""
+
+
 def dead_reckoning_ctes(
     think_ahead: int = 60,
     most_generous_dist: float = 10.0,
@@ -201,13 +210,7 @@ def dead_reckoning_ctes(
     test, break-before-evaluate ±90, growth break among in-zone steps)."""
     step_km = "(l.calc_speed / 3600.0) * s.t"
     dest_lat = duck_dest_lat("l.lat", "l.sim_heading", step_km)
-    return f"""
-latest AS (
-  SELECT *, coalesce(calc_heading, nav_heading) AS sim_heading,
-         (coalesce(calc_heading, nav_heading) IS NOT NULL AND calc_speed IS NOT NULL) AS can_sim
-  FROM kin
-  QUALIFY row_number() OVER (PARTITION BY hex ORDER BY ts_sec DESC, event_id DESC) = 1
-),
+    return f"""{_DR_LATEST},
 steps AS (
   SELECT l.hex, l.event_id, l.lat, l.lon, l.calc_speed, l.sim_heading,
          CAST(s.t AS INTEGER) AS t,
@@ -223,7 +226,15 @@ steps3 AS (
   SELECT *, {duck_haversine(str(home_lat), str(home_lon), 'sim_lat', 'sim_lon')} AS sim_dist
   FROM steps2
 ),
-flagged AS (
+{_dr_tail(think_ahead, most_generous_dist)}"""
+
+
+def _dr_tail(think_ahead: int, most_generous_dist: float) -> str:
+    """flagged -> breaks -> sim_agg -> reckoned: the break/aggregate half of
+    the D1 oracle, shared verbatim by the spherical and ellipsoid-exact
+    variants (both feed it a steps3 CTE with hex, event_id, t, sim_lat,
+    sim_lon, sim_dist)."""
+    return f"""flagged AS (
   SELECT *,
          (sim_dist < {most_generous_dist}) AS in_zone,
          (abs(sim_lat) > 90.0 OR abs(sim_lon) > 90.0) AS oob,
@@ -301,3 +312,210 @@ def duck_dest_lon(lat1: str, lon1: str, lat2_deg: str, brg_deg: str, dist_km: st
         f"cos(({dist_km}) / {EARTH_RADIUS_KM}) - sin(radians({lat1})) * sin(radians({lat2_deg}))"
         f"))"
     )
+
+
+# --- WGS-84 ellipsoid DIRECT problem (Karney 2013), SQL mirror --------------
+# Mirror of functions/geodesic.py::karney_direct for the D1 exact lane.
+# Constants are emitted via repr() so the SQL literals are bit-identical to
+# the Python module's doubles; every expression below copies the Python
+# source's operand ORDER (same-precedence chains associate left in both
+# languages), so the only cross-engine divergence left is libm ulps — and
+# this box's CPython and DuckDB both resolve to glibc libm.  Known ulp
+# seams, absorbed by the 4-dp output rounding: math.hypot (mirrored as
+# sqrt(x*x+y*y)) and math.remainder (mirrored as x-360*round(x/360), equal
+# on |x|<180 — fixture longitudes never touch the antimeridian).
+_GD_F = 1.0 / 298.257223563
+_GD_A = 6378137.0
+_GD_B = _GD_A * (1.0 - _GD_F)
+_GD_E2 = _GD_F * (2.0 - _GD_F)
+_GD_EP2 = _GD_E2 / (1.0 - _GD_E2)
+_GD_N = _GD_F / (2.0 - _GD_F)
+
+
+import re as _re
+
+
+def _dlit(x: float) -> str:
+    """repr(x) as a DuckDB DOUBLE literal: a bare decimal literal parses as
+    DECIMAL there (losing precision and overflowing scale in chained
+    multiplies — the r12 'Needed scale 39' failure); an exponent suffix
+    forces DOUBLE, and strtod round-trips repr exactly."""
+    r = repr(x)
+    return r if ("e" in r or "E" in r or "inf" in r or "nan" in r) else r + "e0"
+
+
+def _dblify(sql: str) -> str:
+    """Rewrite every bare decimal literal in `sql` to its e0 DOUBLE form so
+    DuckDB evaluates the whole expression in binary doubles, matching the
+    Python implementation operation-for-operation."""
+    return _re.sub(r"(?<![\w.])(\d+\.\d+)(?![\w.eE])", r"\1e0", sql)
+
+
+def _karney_series_sql() -> dict[str, str]:
+    """SQL expressions (in columns eps, ee = eps*eps) for the Karney series
+    coefficients, copied operand-for-operand from functions/geodesic.py
+    (_a1, _c1, _c1p, _a3, _c3) with n replaced by its repr'd literal; all
+    fraction literals are e0-suffixed (via _dblify at the call site) so
+    DuckDB evaluates them as DOUBLE division, bit-identical to Python."""
+    n = _dlit(_GD_N)
+    return {
+        "a1c": "(1.0 + ee * (1.0 / 4.0 + ee * (1.0 / 64.0 + ee / 256.0))) / (1.0 - eps)",
+        # C1l (eq. 18)
+        "c11": "eps * (-0.5 + ee * (3.0 / 16.0 - ee / 32.0))",
+        "c12": "ee * (-1.0 / 16.0 + ee * (1.0 / 32.0 - 9.0 / 2048.0 * ee))",
+        "c13": "ee * eps * (-1.0 / 48.0 + ee * 3.0 / 256.0)",
+        "c14": "ee * ee * (-5.0 / 512.0 + ee * 3.0 / 512.0)",
+        "c15": "ee * ee * eps * (-7.0 / 1280.0)",
+        "c16": "ee * ee * ee * (-7.0 / 2048.0)",
+        # C'1l (eq. 21)
+        "cp11": "eps * (0.5 + ee * (-9.0 / 32.0 + ee * 205.0 / 1536.0))",
+        "cp12": "ee * (5.0 / 16.0 + ee * (-37.0 / 96.0 + ee * 1335.0 / 4096.0))",
+        "cp13": "ee * eps * (29.0 / 96.0 - ee * 75.0 / 128.0)",
+        "cp14": "ee * ee * (539.0 / 1536.0 - ee * 2391.0 / 2560.0)",
+        "cp15": "ee * ee * eps * (3467.0 / 7680.0)",
+        "cp16": "ee * ee * ee * (38081.0 / 61440.0)",
+        # A3 (eq. 24) — powers via power() to match Python's eps**k (both
+        # resolve to libm pow)
+        "a3c": (
+            f"1.0 - eps * (0.5 - {n} / 2.0)"
+            f" - power(eps, 2) * (1.0 / 4.0 + {n} / 8.0 - 3.0 * {n} * {n} / 8.0)"
+            f" - power(eps, 3) * (1.0 / 16.0 + 3.0 * {n} / 16.0 + {n} * {n} / 16.0)"
+            f" - power(eps, 4) * (3.0 / 64.0 + {n} / 32.0)"
+            f" - power(eps, 5) * (3.0 / 128.0)"
+        ),
+        # C3l (eq. 25)
+        "c31": (
+            f"eps * (1.0 / 4.0 - {n} / 4.0)"
+            f" + power(eps, 2) * (1.0 / 8.0 - {n} * {n} / 8.0)"
+            f" + power(eps, 3) * (3.0 / 64.0 + 3.0 * {n} / 64.0 - {n} * {n} / 64.0)"
+            f" + power(eps, 4) * (5.0 / 128.0 + {n} / 64.0)"
+            f" + power(eps, 5) * (3.0 / 128.0)"
+        ),
+        "c32": (
+            f"power(eps, 2) * (1.0 / 16.0 - 3.0 * {n} / 32.0 + {n} * {n} / 32.0)"
+            f" + power(eps, 3) * (3.0 / 64.0 - {n} / 32.0 - 3.0 * {n} * {n} / 64.0)"
+            f" + power(eps, 4) * (3.0 / 128.0 + {n} / 128.0)"
+            f" + power(eps, 5) * (5.0 / 256.0)"
+        ),
+        "c33": (
+            f"power(eps, 3) * (5.0 / 192.0 - 3.0 * {n} / 64.0 + 5.0 * {n} * {n} / 192.0)"
+            f" + power(eps, 4) * (3.0 / 128.0 - 5.0 * {n} / 192.0)"
+            f" + power(eps, 5) * (7.0 / 512.0)"
+        ),
+        "c34": (
+            f"power(eps, 4) * (7.0 / 512.0 - 7.0 * {n} / 256.0)"
+            f" + power(eps, 5) * 7.0 / 512.0"
+        ),
+        "c35": "power(eps, 5) * (21.0 / 2560.0)",
+    }
+
+
+def _sin_series_sql(sigma: str, coeffs: list[str]) -> str:
+    """sum_l c_l * sin(2(l+1) sigma) — mirror of geodesic._sin_series."""
+    return " + ".join(
+        f"{c} * sin({_dlit(2.0 * (i + 1))} * {sigma})" for i, c in enumerate(coeffs)
+    )
+
+
+def dead_reckoning_exact_ctes(
+    think_ahead: int = 60,
+    most_generous_dist: float = 10.0,
+    home_lat: float = 35.727,
+    home_lon: float = -78.696,
+) -> str:
+    """D1 with ellipsoid-exact step positions: the same latest/break/agg
+    pipeline as dead_reckoning_ctes, but each step's destination point is
+    the WGS-84 direct problem (Karney 2013) instead of the spherical
+    forward formulas — mirroring operators/alarm.py::dead_reckoning with
+    exact_geodesic=True (geodesic_dest_pandas_udf -> karney_direct).
+    Per-plane geodesic constants (Clairaut, eps, series coefficients,
+    I1/I3 at sigma1) are hoisted into one CTE; each of the think_ahead
+    steps costs only the inverse-series + I3 evaluation.  sim_dist stays
+    the spherical haversine exactly as the engine lane does."""
+    s = {k: _dblify(v) for k, v in _karney_series_sql().items()}
+    f, one_m_f = _dlit(_GD_F), _dlit(1.0 - _GD_F)
+    b, ep2 = _dlit(_GD_B), _dlit(_GD_EP2)
+    c1_at_sigma1 = _sin_series_sql("sigma1", [f"c1{i}" for i in range(1, 7)])
+    c3_at_sigma1 = _sin_series_sql("sigma1", [f"c3{i}" for i in range(1, 6)])
+    cp1_at_tau2 = _sin_series_sql("tau2", [f"cp1{i}" for i in range(1, 7)])
+    c3_at_sigma2 = _sin_series_sql("sigma2", [f"c3{i}" for i in range(1, 6)])
+    return f"""{_DR_LATEST},
+g1 AS (  -- reduced latitude + azimuth ingredients (geodesic._reduced_lat)
+  SELECT hex, event_id, lat, lon, calc_speed, sim_heading,
+         {one_m_f} * sin(radians(lat)) AS sbu,
+         cos(radians(lat)) AS cbu,
+         sin(radians(sim_heading)) AS sa1,
+         cos(radians(sim_heading)) AS ca1
+  FROM latest WHERE can_sim
+),
+g2 AS (
+  SELECT *, sbu / sqrt(sbu * sbu + cbu * cbu) AS sb1,
+            cbu / sqrt(sbu * sbu + cbu * cbu) AS cb1
+  FROM g1
+),
+g3 AS (  -- Clairaut constant + arc position of point 1
+  SELECT *, sa1 * cb1 AS sa0,
+            sqrt(ca1 * ca1 + (sa1 * sb1) * (sa1 * sb1)) AS ca0,
+            atan2(sb1, cb1 * ca1) AS sigma1
+  FROM g2
+),
+g4 AS (
+  SELECT *, atan2(sa0 * sin(sigma1), cos(sigma1)) AS w1,
+            sqrt(1.0e0 + {ep2} * ca0 * ca0) AS sq
+  FROM g3
+),
+g5 AS (
+  SELECT *, (sq - 1.0e0) / (sq + 1.0e0) AS eps FROM g4
+),
+g6 AS (
+  SELECT *, eps * eps AS ee FROM g5
+),
+g7 AS (  -- series coefficients (geodesic._a1/_c1/_c1p/_a3/_c3)
+  SELECT *,
+         {s['a1c']} AS a1c, {s['a3c']} AS a3c,
+         {s['c11']} AS c11, {s['c12']} AS c12, {s['c13']} AS c13,
+         {s['c14']} AS c14, {s['c15']} AS c15, {s['c16']} AS c16,
+         {s['cp11']} AS cp11, {s['cp12']} AS cp12, {s['cp13']} AS cp13,
+         {s['cp14']} AS cp14, {s['cp15']} AS cp15, {s['cp16']} AS cp16,
+         {s['c31']} AS c31, {s['c32']} AS c32, {s['c33']} AS c33,
+         {s['c34']} AS c34, {s['c35']} AS c35
+  FROM g6
+),
+gconst AS (  -- I1/I3 at sigma1, computed once per plane
+  SELECT *,
+         a1c * (sigma1 + ({c1_at_sigma1})) AS i1s1,
+         a3c * (sigma1 + ({c3_at_sigma1})) AS i3s1
+  FROM g7
+),
+e1 AS (  -- per-step arc advance: invert I1 via tau series (eq. 20-21)
+  SELECT g.*, CAST(s.t AS INTEGER) AS t,
+         ({b} * g.i1s1 + ((g.calc_speed / 3600.0e0) * s.t) * 1000.0e0)
+           / ({b} * g.a1c) AS tau2
+  FROM gconst g CROSS JOIN range(0, {think_ahead}) s(t)
+),
+e2 AS (
+  SELECT *, tau2 + ({cp1_at_tau2}) AS sigma2 FROM e1
+),
+e3 AS (
+  SELECT *, sin(sigma2) AS ss2, cos(sigma2) AS cs2,
+         a3c * (sigma2 + ({c3_at_sigma2})) AS i3s2
+  FROM e2
+),
+e4 AS (  -- back to the ellipsoid
+  SELECT *, ca0 * ss2 AS sb2,
+         sqrt((ca0 * cs2) * (ca0 * cs2) + sa0 * sa0) AS cb2,
+         atan2(sa0 * ss2, cs2) AS w2
+  FROM e3
+),
+e5 AS (
+  SELECT *, degrees(atan2(sb2, {one_m_f} * cb2)) AS sim_lat,
+         lon + degrees((w2 - w1) - {f} * sa0 * (i3s2 - i3s1)) AS lon_raw
+  FROM e4
+),
+steps3 AS (
+  SELECT hex, event_id, lat, lon, calc_speed, sim_heading, t, sim_lat,
+         lon_raw - 360.0e0 * round(lon_raw / 360.0e0) AS sim_lon,
+         {duck_haversine(str(home_lat), str(home_lon), 'sim_lat', "lon_raw - 360.0e0 * round(lon_raw / 360.0e0)")} AS sim_dist
+  FROM e5
+),
+{_dr_tail(think_ahead, most_generous_dist)}"""

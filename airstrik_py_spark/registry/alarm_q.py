@@ -9,7 +9,11 @@ from pyspark.sql import functions as F
 from airstrik_py_spark.config import REFERENCE
 from airstrik_py_spark.operators import alarm as AL
 from airstrik_py_spark.operators import kinematics as K
-from airstrik_py_spark.oracle.exprs import dead_reckoning_ctes, kin_ctes
+from airstrik_py_spark.oracle.exprs import (
+    dead_reckoning_ctes,
+    dead_reckoning_exact_ctes,
+    kin_ctes,
+)
 from airstrik_py_spark.session import pin_session
 from airstrik_py_spark.sources.tables import observations
 
@@ -56,6 +60,28 @@ def q_alarm_dead_reckoning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_alarm_dead_reckoning_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 with WGS-84 ellipsoid-exact step positions (VERDICT r11 #5 made
+    queryable): dead_reckoning(exact_geodesic=True) swaps the spherical
+    destination formulas for karney_direct — the same direct problem
+    geopy's destination() solves (airstrik.py:245-258), so this lane is
+    the reference-identical D1.  The oracle mirrors the Karney math as
+    staged SQL (oracle/exprs.py::dead_reckoning_exact_ctes) with the
+    per-plane geodesic constants hoisted out of the 60-step unroll.
+    Verification lane: the Arrow-batched pandas_udf is NOT the 100 TB hot
+    path (the spherical alarm_dead_reckoning is; FLOATS.md §D1 quantifies
+    the divergence at <= 33.5 m per step / 105.6 m on the zone distance)."""
+    out = AL.dead_reckoning(_latest_state(spark, sf_dir), CFG, exact_geodesic=True)
+    return out.select(
+        "hex",
+        "can_sim",
+        "alarm_ll",
+        F.col("alarm_time").cast("long").alias("alarm_time"),
+        "min_radius",
+        "alarm",
+    )
+
+
 def q_alarm_event_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D2 — raise_alarm payload assembly + topic routing
     (airstrik.py:318-368, README.md:57-68)."""
@@ -83,9 +109,16 @@ _DR = dead_reckoning_ctes(
     home_lat=CFG.home_lat,
     home_lon=CFG.home_lon,
 )
+_DRX = dead_reckoning_exact_ctes(
+    CFG.think_ahead,
+    CFG.most_generous_dist_km,
+    home_lat=CFG.home_lat,
+    home_lon=CFG.home_lon,
+)
 
 QUERIES = {
     "alarm_dead_reckoning": q_alarm_dead_reckoning,
+    "alarm_dead_reckoning_exact": q_alarm_dead_reckoning_exact,
     "alarm_event_routing": q_alarm_event_routing,
 }
 
@@ -93,6 +126,11 @@ ORACLES = {
     "alarm_dead_reckoning": f"""
 WITH {_KIN},
 {_DR}
+SELECT hex, can_sim, alarm_ll, alarm_time, min_radius, alarm FROM reckoned
+""",
+    "alarm_dead_reckoning_exact": f"""
+WITH {_KIN},
+{_DRX}
 SELECT hex, can_sim, alarm_ll, alarm_time, min_radius, alarm FROM reckoned
 """,
     "alarm_event_routing": f"""

@@ -254,6 +254,96 @@ def extract_features_real(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, REAL_FEATURE_SCHEMA)
 
 
+RESIZE_REAL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("container", T.StringType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("f1", T.LongType()),
+        T.StructField("f2", T.LongType()),
+        T.StructField("f3", T.LongType()),
+    ]
+)
+
+
+def resize_real(media: DataFrame, factor: int = 2) -> DataFrame:
+    """REAL pixel-level downsample over decoded container bytes: decode the
+    PNG/BMP payload, keep every `factor`-th pixel in both axes
+    (nearest-neighbor subsample — rows y*factor, cols x*factor), and return
+    the resized dims + per-channel integer sums; WAV payloads decimate to
+    every `factor`-th frame (n_frames', sum|s|, peak|s| over kept frames,
+    signed sum).  Unlike multimodal_resize_plan (dims-only planning), this
+    lane touches actual pixels — the decode -> transform -> feature shape a
+    training-data image pipeline runs, minus only the PIL/ffmpeg codecs
+    this container lacks.  Features stay integers (FLOATS.md discipline);
+    the oracle recomputes them closed-form from the deterministic content.
+    Scale: per-payload Python inside Arrow batches, partition-local, no
+    shuffle added beyond the mapInPandas exchange."""
+    from airstrik_py_spark.functions import codecs
+
+    if factor < 1:
+        raise ValueError(f"resize factor must be >= 1, got {factor}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                kind = codecs.sniff_media(payload)
+                if kind in ("png", "bmp"):
+                    w, h, ch, px = (
+                        codecs.png_decode(payload)
+                        if kind == "png"
+                        else codecs.bmp_decode(payload)
+                    )
+                    if ch < 3:
+                        raise ValueError(
+                            f"doc {doc_id}: expected RGB payload, got {ch} channels"
+                        )
+                    sums = [0, 0, 0]
+                    for y in range(0, h, factor):
+                        for x in range(0, w, factor):
+                            base = (y * w + x) * ch
+                            sums[0] += px[base]
+                            sums[1] += px[base + 1]
+                            sums[2] += px[base + 2]
+                    w2 = (w + factor - 1) // factor
+                    h2 = (h + factor - 1) // factor
+                    rows.append((int(doc_id), kind, w2, h2, *sums))
+                elif kind == "wav":
+                    _rate, ch, n_frames, samples = codecs.wav_decode(payload)
+                    kept = [
+                        s
+                        for i, s in enumerate(samples)
+                        if (i // ch) % factor == 0
+                    ]
+                    n2 = (n_frames + factor - 1) // factor
+                    rows.append(
+                        (
+                            int(doc_id),
+                            kind,
+                            n2,
+                            ch,
+                            sum(abs(s) for s in kept),
+                            max((abs(s) for s in kept), default=0),
+                            sum(kept),
+                        )
+                    )
+                else:
+                    raise ValueError(
+                        f"doc {doc_id}: undecodable payload (magic {payload[:4]!r})"
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "container", "width", "height", "f1", "f2", "f3",
+                ],
+            )
+
+    return media.mapInPandas(run, RESIZE_REAL_SCHEMA)
+
+
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

@@ -118,6 +118,28 @@ def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features_real(media)
 
 
+RESIZE_REAL_FACTOR = 2
+
+
+def q_multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode + pixel-level downsample (r12, extends the decode-real
+    lane): genuine PNG/BMP/WAV container bytes are decoded and
+    nearest-neighbor subsampled by factor 2 (every 2nd frame for WAV);
+    output is the resized dims + integer channel sums over the KEPT
+    pixels/frames only.  The oracle recomputes those sums closed-form from
+    the deterministic content formula — no decoder, no resize code in SQL —
+    so any corruption in decode, subsample indexing, or the ceil-div dims
+    mismatches."""
+    from airstrik_py_spark.operators.multimodal import (
+        attach_real_media,
+        resize_real,
+    )
+
+    pin_session(spark)
+    media = attach_real_media(load_table(spark, sf_dir, "documents"))
+    return resize_real(media, factor=RESIZE_REAL_FACTOR)
+
+
 GATE_MIN_WORDS = 30
 GATE_MAX_WORDS = 1000
 GATE_MIN_AVG_LEN = 3.0
@@ -439,6 +461,7 @@ QUERIES = {
     "text_fingerprint": q_text_fingerprint,
     "multimodal_metadata": q_multimodal_metadata,
     "multimodal_decode_real": q_multimodal_decode_real,
+    "multimodal_resize_real": q_multimodal_resize_real,
     # the round-2 additions (quality gates, rollup, split, framesample,
     # resize plan) register via extras_q so the round-1 verified set keeps
     # the front of the driver's enumeration
@@ -613,6 +636,46 @@ FROM isums
 UNION ALL
 SELECT doc_id, 'audio/wav' AS media_type, 'wav' AS container,
        CAST(n AS BIGINT) AS width, CAST(1 AS BIGINT) AS height,
+       CAST(f1 AS BIGINT) AS f1, CAST(f2 AS BIGINT) AS f2, CAST(f3 AS BIGINT) AS f3
+FROM asums
+""",
+    # Closed-form mirror of the REAL resize lane: kept pixels are the
+    # (y, x) lattice at stride RESIZE_REAL_FACTOR; kept WAV frames are
+    # every factor-th index.  Sums computed from the content formula
+    # directly — decode + subsample correctness is proven by equality.
+    "multimodal_resize_real": f"""
+WITH img AS (
+  SELECT doc_id, 1 + doc_id % 8 AS w, 1 + (doc_id // 2) % 6 AS h
+  FROM documents WHERE doc_id % 2 = 0),
+ys AS (
+  SELECT doc_id, w, h, unnest(range(0, h, {RESIZE_REAL_FACTOR})) AS y FROM img),
+xs AS (
+  SELECT doc_id, w, h, y, unnest(range(0, w, {RESIZE_REAL_FACTOR})) AS x FROM ys),
+isums AS (
+  SELECT doc_id, w, h,
+         sum((doc_id * 31 + ((y * w + x) * 3 + 0) * 7) % 256) AS f1,
+         sum((doc_id * 31 + ((y * w + x) * 3 + 1) * 7) % 256) AS f2,
+         sum((doc_id * 31 + ((y * w + x) * 3 + 2) * 7) % 256) AS f3
+  FROM xs GROUP BY 1, 2, 3),
+aud AS (
+  SELECT doc_id, 64 + doc_id % 64 AS n FROM documents WHERE doc_id % 2 = 1),
+smp AS (
+  SELECT doc_id, n,
+         (doc_id * 7919 + unnest(range(0, n, {RESIZE_REAL_FACTOR})) * 104729) % 65536 - 32768 AS s
+  FROM aud),
+asums AS (
+  SELECT doc_id, n, sum(abs(s)) AS f1, max(abs(s)) AS f2, sum(s) AS f3
+  FROM smp GROUP BY 1, 2)
+SELECT doc_id,
+       CASE WHEN doc_id % 4 = 0 THEN 'png' ELSE 'bmp' END AS container,
+       CAST((w + {RESIZE_REAL_FACTOR} - 1) // {RESIZE_REAL_FACTOR} AS BIGINT) AS width,
+       CAST((h + {RESIZE_REAL_FACTOR} - 1) // {RESIZE_REAL_FACTOR} AS BIGINT) AS height,
+       CAST(f1 AS BIGINT) AS f1, CAST(f2 AS BIGINT) AS f2, CAST(f3 AS BIGINT) AS f3
+FROM isums
+UNION ALL
+SELECT doc_id, 'wav' AS container,
+       CAST((n + {RESIZE_REAL_FACTOR} - 1) // {RESIZE_REAL_FACTOR} AS BIGINT) AS width,
+       CAST(1 AS BIGINT) AS height,
        CAST(f1 AS BIGINT) AS f1, CAST(f2 AS BIGINT) AS f2, CAST(f3 AS BIGINT) AS f3
 FROM asums
 """,

@@ -357,3 +357,37 @@ def test_gen_media_fixtures_deterministic(tmp_path, monkeypatch):
     for name in ("foreign_rgb.png", "foreign_topdown.bmp",
                  "foreign_stereo.wav", "manifest.json"):
         assert (tmp_path / name).read_bytes() == _fixture(name), name
+
+
+def test_resize_real_handworked(spark):
+    """resize_real on a hand-worked 3x3 RGB PNG at factor 2: kept pixels
+    are (0,0), (0,2), (2,0), (2,2); resized dims are ceil(3/2) = 2x2.
+    WAV: 5 mono frames at factor 2 keep indices 0, 2, 4."""
+    from airstrik_py_spark.operators.multimodal import resize_real
+
+    px = bytes(range(27))  # pixel (y,x) channel c = (y*3+x)*3+c
+    png = codecs.png_encode(3, 3, 3, px)
+    kept = [(0, 0), (0, 2), (2, 0), (2, 2)]
+    want = [sum(px[(y * 3 + x) * 3 + c] for y, x in kept) for c in range(3)]
+    samples = [100, -200, 300, -400, 500]
+    wav = codecs.wav_encode(8000, 1, samples)
+    df = spark.createDataFrame(
+        [
+            (0, "image/png", bytearray(png), len(png)),
+            (1, "audio/wav", bytearray(wav), len(wav)),
+        ],
+        "doc_id long, media_type string, payload binary, payload_len int",
+    )
+    got = {r["doc_id"]: r for r in resize_real(df, factor=2).collect()}
+    assert (got[0]["width"], got[0]["height"]) == (2, 2)
+    assert (got[0]["f1"], got[0]["f2"], got[0]["f3"]) == tuple(want)
+    kept_s = [samples[0], samples[2], samples[4]]
+    assert (got[1]["width"], got[1]["height"]) == (3, 1)
+    assert got[1]["f1"] == sum(abs(s) for s in kept_s)
+    assert got[1]["f2"] == max(abs(s) for s in kept_s)
+    assert got[1]["f3"] == sum(kept_s)
+    # factor 1 is the identity: matches extract_features_real's full sums
+    full = {r["doc_id"]: r for r in resize_real(df, factor=1).collect()}
+    assert (full[0]["f1"], full[0]["f2"], full[0]["f3"]) == (
+        sum(px[0::3]), sum(px[1::3]), sum(px[2::3]))
+    assert full[1]["width"] == 5

@@ -27,6 +27,14 @@ Both are scalar Python wrapped in Arrow-batched pandas_udfs — fine for a
 parity/verification lane, NOT for the 100 TB hot path (the haversine
 Column expression is; FLOATS.md quantifies what that trade costs per
 query).
+
+Scalar math.* is LOAD-BEARING, not an oversight: the
+alarm_dead_reckoning_exact oracle mirrors karney_direct
+operand-for-operand in DuckDB SQL, and both CPython's math module and
+DuckDB resolve to the platform libm, which is what makes that compare
+bit-exact (ORACLES-PORTABILITY §17).  Vectorizing with numpy would swap
+in numpy's SIMD sin/cos (different ulps) and silently demote the oracle
+from bit-exact to rounding-absorbed — don't.
 """
 
 from __future__ import annotations

@@ -64,3 +64,58 @@ def test_rollup_oracle_is_bigint_now(duck):
     types = {col: typ for col, typ, *_ in desc}
     assert types["total_tokens"] == "BIGINT"
     assert types["total_chars"] == "BIGINT"
+
+
+def test_dblify_double_literal_rewrite():
+    """ORACLES-PORTABILITY §17: DuckDB parses bare decimal literals as
+    DECIMAL; _dblify must e0-suffix every bare literal (forcing DOUBLE)
+    while leaving already-suffixed literals, integers, and identifiers
+    alone."""
+    from airstrik_py_spark.oracle.exprs import _dblify, _dlit
+
+    assert _dblify("eps * (-0.5 + ee * (3.0 / 16.0 - ee / 32.0))") == (
+        "eps * (-0.5e0 + ee * (3.0e0 / 16.0e0 - ee / 32.0e0))"
+    )
+    assert _dblify("power(eps, 2) * (1.0 / 8.0)") == "power(eps, 2) * (1.0e0 / 8.0e0)"
+    # already-suffixed and scientific literals untouched
+    assert _dblify("c11 * sin(2.0e0 * x)") == "c11 * sin(2.0e0 * x)"
+    # integers and column names untouched
+    assert _dblify("range(0, n, 2)") == "range(0, n, 2)"
+    assert _dblify("tbl.col1 + 7") == "tbl.col1 + 7"
+    # _dlit round-trips repr exactly and always carries an exponent
+    assert _dlit(0.0033528106647474805) == "0.0033528106647474805e0"
+    assert float(_dlit(1.0 / 298.257223563).rstrip("e0") or "0") or True
+    assert "e" in _dlit(6356752.314245179)
+
+
+def test_karney_direct_oracle_matches_python_scalar():
+    """The staged-SQL Karney direct mirror must agree with the Python
+    implementation on raw (unrounded) destination coordinates — DuckDB and
+    CPython resolve to the same libm here, so agreement is ~bit-exact; the
+    1e-9 degree tolerance (~0.1 mm) allows the two documented ulp seams
+    (hypot, remainder)."""
+    import duckdb
+
+    from airstrik_py_spark.functions.geodesic import karney_direct
+    from airstrik_py_spark.oracle.exprs import dead_reckoning_exact_ctes
+
+    ctes = dead_reckoning_exact_ctes(think_ahead=4)
+    d = duckdb.connect()
+    d.execute("""CREATE TABLE kin AS SELECT * FROM (VALUES
+        ('a', 1, 35.9, -78.7, 123.0, NULL, 400.0, 0.0, 500.0, 0.0),
+        ('b', 2, -10.0, 100.0, 271.0, NULL, 900.0, 0.0, 500.0, 0.0),
+        ('c', 3, 60.0, 5.0, 10.0, NULL, 50.0, 0.0, 500.0, 0.0)
+      ) t(hex, event_id, lat, lon, calc_heading, nav_heading, calc_speed,
+          ts_sec, alt_geom, distance)""")
+    sql = "WITH " + ctes + " SELECT hex, t, sim_lat, sim_lon FROM steps3 ORDER BY hex, t"
+    got = {(r[0], r[1]): (r[2], r[3]) for r in d.execute(sql).fetchall()}
+    for hexid, lat, lon, azi, spd in (
+        ("a", 35.9, -78.7, 123.0, 400.0),
+        ("b", -10.0, 100.0, 271.0, 900.0),
+        ("c", 60.0, 5.0, 10.0, 50.0),
+    ):
+        for t in range(4):
+            want = karney_direct(lat, lon, azi, (spd / 3600.0) * t)
+            have = got[(hexid, t)]
+            assert abs(have[0] - want[0]) < 1e-9, (hexid, t, have, want)
+            assert abs(have[1] - want[1]) < 1e-9, (hexid, t, have, want)

@@ -260,6 +260,31 @@ def contracts() -> dict[str, dict]:
         "count_sql": "SELECT count(*) FROM documents",
     }
 
+    # multimodal_resize_real: same per-document decomposability argument
+    # as decode_real (r12 sibling lane — decode + stride-2 subsample is
+    # still a pure function of doc_id).
+    out["multimodal_resize_real"] = {
+        "views": {"documents": f"doc_id % {VEC_MOD} = 0"},
+        "filter_sql": f"doc_id % {VEC_MOD} = 0",
+        "note": f"documents restricted to doc_id%{VEC_MOD}=0; per-document "
+        "decomposable (resized features are a pure function of doc_id)",
+        "count_sql": "SELECT count(*) FROM documents",
+    }
+
+    # alarm_dead_reckoning_exact: the D1 unroll partitions by hex end to
+    # end (kinematics windows, step windows on (hex, event_id), the final
+    # per-plane aggregate) and dims are broadcast — the same
+    # hex-decomposability as the sessions family, so an events-view
+    # restriction is exact.  Output is one row per plane: count is the
+    # full distinct-hex count.
+    out["alarm_dead_reckoning_exact"] = {
+        "views": _events_views(),
+        "filter_sql": _hex_filter("hex"),
+        "note": f"events restricted to user_id%{HEX_MOD}=0; "
+        "hex-decomposable (all windows partition by hex)",
+        "count_sql": "SELECT count(DISTINCT user_id) FROM events",
+    }
+
     anchor_where = f"FROM e WHERE vec_id % {TRIPLET_ANCHOR_MOD} = 0"
     trip = _an["embedding_triplet_mine"].replace(
         anchor_where, anchor_where + f" AND vec_id % {VEC_MOD} = 0"

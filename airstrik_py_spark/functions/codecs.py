@@ -62,6 +62,8 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"PNG CRC mismatch in {ctype!r}")
         pos += 12 + length
         if ctype == b"IHDR":
+            if length != 13:
+                raise ValueError(f"bad PNG IHDR length {length} (want 13)")
             width, height, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", chunk
             )
@@ -259,6 +261,10 @@ def wav_decode(data: bytes) -> tuple[int, int, int, list[int]]:
             raise ValueError(f"truncated WAV chunk {cid!r}")
         pos += 8 + clen + (clen & 1)  # RIFF pads odd chunks
         if cid == b"fmt ":
+            # WAVEFORMAT(EX) needs at least 16 bytes; a shorter-but-valid
+            # chunk would otherwise leak struct.error from the unpacks
+            if clen < 16:
+                raise ValueError(f"bad WAV fmt chunk length {clen} (want >= 16)")
             audio_fmt, channels, rate = struct.unpack("<HHI", chunk[:8])
             bits = struct.unpack("<H", chunk[14:16])[0]
             if audio_fmt != 1 or bits != 16:

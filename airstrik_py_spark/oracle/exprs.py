@@ -512,10 +512,13 @@ e5 AS (
          lon + degrees((w2 - w1) - {f} * sa0 * (i3s2 - i3s1)) AS lon_raw
   FROM e4
 ),
+e6 AS (  -- normalize longitude ONCE: sim_lon and sim_dist must share it
+  SELECT *, lon_raw - 360.0e0 * round(lon_raw / 360.0e0) AS sim_lon FROM e5
+),
 steps3 AS (
   SELECT hex, event_id, lat, lon, calc_speed, sim_heading, t, sim_lat,
-         lon_raw - 360.0e0 * round(lon_raw / 360.0e0) AS sim_lon,
-         {duck_haversine(str(home_lat), str(home_lon), 'sim_lat', "lon_raw - 360.0e0 * round(lon_raw / 360.0e0)")} AS sim_dist
-  FROM e5
+         sim_lon,
+         {duck_haversine(str(home_lat), str(home_lon), 'sim_lat', 'sim_lon')} AS sim_dist
+  FROM e6
 ),
 {_dr_tail(think_ahead, most_generous_dist)}"""

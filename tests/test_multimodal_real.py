@@ -391,3 +391,20 @@ def test_resize_real_handworked(spark):
     assert (full[0]["f1"], full[0]["f2"], full[0]["f3"]) == (
         sum(px[0::3]), sum(px[1::3]), sum(px[2::3]))
     assert full[1]["width"] == 5
+
+
+def test_malformed_header_chunks_raise_valueerror_not_struct_error():
+    """r12 self-review: undersized IHDR / fmt chunks with VALID lengths and
+    CRCs passed the truncation guards and leaked struct.error from the
+    header unpacks — same contract gap as the truncated-chunk class."""
+    # PNG: IHDR declaring 12 bytes (valid CRC) instead of 13
+    bad_ihdr = struct.pack(">IIBBBB", 2, 2, 8, 2, 0, 0)  # 12 bytes
+    stream = codecs.PNG_SIG + _chunk(b"IHDR", bad_ihdr) + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="IHDR length"):
+        codecs.png_decode(stream)
+    # WAV: fmt chunk of 4 bytes (consistent clen, so not 'truncated')
+    wav = (b"RIFF" + struct.pack("<I", 24) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 4) + b"\x00" * 4
+           + b"data" + struct.pack("<I", 0))
+    with pytest.raises(ValueError, match="fmt chunk length"):
+        codecs.wav_decode(wav)

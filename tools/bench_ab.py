@@ -137,14 +137,22 @@ def main() -> int:
                     flush=True,
                 )
 
-        queries = list(base_runs[0]["queries"])
+        base_qs = list(base_runs[0]["queries"])
+        head_qs = list(head_runs[0]["queries"])
+        # totals are compared over the COMMON query set only: if the
+        # HEADLINE tuple changed between the two trees, summing each side's
+        # own set would report the set change as a phantom code regression
+        # (or improvement) — the exact confusion this tool exists to kill.
+        common = [q for q in base_qs if q in set(head_qs)]
+        added = [q for q in head_qs if q not in set(base_qs)]
+        removed = [q for q in base_qs if q not in set(head_qs)]
         per_query = {}
-        for q in queries:
+        for q in base_qs:
             b = [r["queries"][q] for r in base_runs]
-            h = [r["queries"].get(q) for r in head_runs]
-            if any(x is None for x in h):  # query renamed/removed in HEAD
+            if q not in set(head_qs):  # renamed/removed in HEAD
                 per_query[q] = {"base_samples": b, "head_samples": None}
                 continue
+            h = [r["queries"][q] for r in head_runs]
             bm, hm = median(b), median(h)
             per_query[q] = {
                 "base_median": round(bm, 3),
@@ -153,17 +161,30 @@ def main() -> int:
                 "base_samples": b,
                 "head_samples": h,
             }
+        for q in added:  # present in HEAD only: recorded, never compared
+            per_query[q] = {
+                "base_samples": None,
+                "head_samples": [r["queries"][q] for r in head_runs],
+            }
         totals = {}
+        b = [sum(r["queries"][q] for q in common) for r in base_runs]
+        h = [sum(r["queries"][q] for q in common) for r in head_runs]
+        bm, hm = median(b), median(h)
+        totals["common_total_sec"] = {
+            "n_queries": len(common),
+            "base_median": round(bm, 3),
+            "head_median": round(hm, 3),
+            "delta_pct": round((hm - bm) / bm * 100.0, 1) if bm else None,
+            "base_samples": [round(x, 3) for x in b],
+            "head_samples": [round(x, 3) for x in h],
+        }
+        # each side's own recorded totals, kept for cross-referencing the
+        # BENCH_r*.json series — NOT comparable to each other when the
+        # headline set changed (see added/removed below)
         for key in ("value", "original10_total_sec"):
-            b = [r[key] for r in base_runs]
-            h = [r[key] for r in head_runs]
-            bm, hm = median(b), median(h)
             totals[key] = {
-                "base_median": round(bm, 3),
-                "head_median": round(hm, 3),
-                "delta_pct": round((hm - bm) / bm * 100.0, 1),
-                "base_samples": b,
-                "head_samples": h,
+                "base_samples": [r[key] for r in base_runs],
+                "head_samples": [r[key] for r in head_runs],
             }
 
         out = {
@@ -175,17 +196,22 @@ def main() -> int:
             "pairs": args.pairs,
             "runs_per_query": args.runs_per_query,
             "interleave_order": order_log,
+            "queries_added_in_head": added,
+            "queries_removed_in_head": removed,
             "totals": totals,
             "per_query": per_query,
         }
         with open(args.out, "w") as f:
             json.dump(out, f, indent=1, sort_keys=True)
             f.write("\n")
+        ct = totals["common_total_sec"]
         print(
-            f"\nA/B written to {args.out}: total "
-            f"base={totals['value']['base_median']}s "
-            f"head={totals['value']['head_median']}s "
-            f"({totals['value']['delta_pct']:+.1f}%)"
+            f"\nA/B written to {args.out}: common-set total "
+            f"({ct['n_queries']} queries) "
+            f"base={ct['base_median']}s head={ct['head_median']}s "
+            f"({ct['delta_pct']:+.1f}%)"
+            + (f"; added in head: {added}" if added else "")
+            + (f"; removed in head: {removed}" if removed else "")
         )
         return 0
     finally:

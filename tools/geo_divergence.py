@@ -147,6 +147,10 @@ def main():
                 zone_ell = karney_inverse_km(*HOME, e_lat, e_lon)
                 max_zone = max(max_zone, abs(zone_sph - zone_ell))
     print()
+    if n_fwd == 0:
+        print("| D1 forward: no fixture transitions inside the 10-1200 km/h "
+              "speed gate — section skipped | 0 | - | - | - | - |")
+        return
     for t in (1, 30, 59):
         print(
             f"| D1 forward step t={t}s (sphere_dest vs karney_direct) "

@@ -29,27 +29,24 @@ _MODULES = (
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# VERDICT r11 #3 hand-pin (rotation hygiene): the r8-stale cohort leads the
-# r12 window (their last driver evidence is 4 rounds old — all pass local
-# sweeps, but driver rows should never lag more than ~2 rounds), plus
-# dedup_embedding_cosine_hi whose documented-skip is now scale-gated
-# (VERDICT r11 #2) so the driver's sf0.01 run can value-verify it again
-# (last driver-green r10).  The changed-since-green hash key below still
-# re-selects rewritten slugs automatically; the pin guarantees THIS cohort
-# wins window slots regardless of how many slugs the conservative
-# module-level hash marks changed.  Refresh once CORRECTNESS_r12 records
-# them.
+# VERDICT r12 #2 hand-pin (rotation hygiene, same rule as r11 #3 which
+# worked — CORRECTNESS_r12 records the whole r8-stale cohort green): the
+# trip cohort's driver evidence is now the oldest in the registry (r9,
+# 3 rounds back; everything else is >= r10).  All ten pass the local
+# sweep; the pin guarantees they win window slots in the r13 driver run
+# regardless of how many slugs the conservative module-level source hash
+# marks changed.  Refresh once CORRECTNESS_r13 records them.
 _FORCE_WINDOW = (
-    # r8-stale cohort (least-recently-driver-green across the registry):
-    "ann_ivf_label",
-    "sink_orc_roundtrip",
-    "events_timeseries_gapfill",
-    "sample_weighted_priority",
-    "sketch_cms_topk",
-    "corpus_upsert_merge",
-    "profile_column_stats",
-    # skip now scale-gated; needs a fresh driver value row:
-    "dedup_embedding_cosine_hi",
+    "window_session_trip",
+    "filter_min_trip_length",
+    "agg_argmin_closest",
+    "join_asof_closest",
+    "agg_first_callsign",
+    "join_icao_enrichment",
+    "agg_trip_assembly",
+    "agg_extremes_config",
+    "topk_by_distance",
+    "window_latest_value",
 )
 
 

@@ -22,8 +22,9 @@ def test_median():
 
 def test_default_baseline_is_commit_of_newest_bench(monkeypatch):
     """default_baseline must resolve to the commit that last touched the
-    HIGHEST-numbered BENCH_r*.json (lexicographic works while rounds are
-    zero-padded to two digits)."""
+    HIGHEST-numbered BENCH_r*.json by PARSED round number — an unpadded
+    BENCH_r9 or a three-digit BENCH_r100 must not win a string sort
+    (ADVICE r12)."""
     seen = {}
 
     def fake_git(*args, cwd=None):
@@ -33,11 +34,38 @@ def test_default_baseline_is_commit_of_newest_bench(monkeypatch):
     monkeypatch.setattr(bench_ab, "_git", fake_git)
     monkeypatch.setattr(
         bench_ab.os, "listdir",
-        lambda _p: ["BENCH_r02.json", "BENCH_r11.json", "BENCH_r10.json",
-                    "CORRECTNESS_r11.json"],
+        lambda _p: ["BENCH_r02.json", "BENCH_r9.json", "BENCH_r100.json",
+                    "BENCH_r11.json", "CORRECTNESS_r11.json"],
     )
     assert bench_ab.default_baseline() == "abc123"
-    assert seen["args"][-1] == "BENCH_r11.json"
+    assert seen["args"][-1] == "BENCH_r100.json"
+
+
+def test_main_refuses_dirty_head(monkeypatch):
+    """A dirty working tree must be a hard refusal (VERDICT r12 #3): the
+    artifact's head_sha would not identify the code measured.  The refusal
+    must fire BEFORE any worktree is created."""
+
+    def fake_git(*args, cwd=None):
+        if args[0] == "status":
+            return " M some_file.py"
+        if args[0] == "rev-parse":
+            return "deadbeef" * 5
+        if args[0] == "log":
+            return "deadbeef" * 5
+        raise AssertionError(f"unexpected git call before refusal: {args}")
+
+    monkeypatch.setattr(bench_ab, "_git", fake_git)
+    monkeypatch.setattr(
+        bench_ab.os, "listdir", lambda _p: ["BENCH_r12.json"]
+    )
+    monkeypatch.setattr(bench_ab.sys, "argv", ["bench_ab.py"])
+    try:
+        bench_ab.main()
+    except SystemExit as e:
+        assert "dirty" in str(e)
+    else:
+        raise AssertionError("expected SystemExit on dirty HEAD")
 
 
 def test_run_bench_parses_json_line_through_progress_noise(monkeypatch, tmp_path):

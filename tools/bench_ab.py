@@ -34,6 +34,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import subprocess
 import sys
 import time
@@ -49,14 +50,17 @@ def _git(*args: str, cwd: str = REPO) -> str:
 
 def default_baseline() -> str:
     """The commit that last touched the newest BENCH_r*.json — the tree the
-    prior round's recorded bench numbers actually measured."""
-    benches = sorted(
-        f for f in os.listdir(REPO)
-        if f.startswith("BENCH_r") and f.endswith(".json")
-    )
+    prior round's recorded bench numbers actually measured.  "Newest" is by
+    the parsed round NUMBER, not lexicographic order (an unpadded BENCH_r9
+    or a future BENCH_r100 would silently win a string sort)."""
+    benches = [
+        (int(m.group(1)), f)
+        for f in os.listdir(REPO)
+        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
+    ]
     if not benches:
         raise SystemExit("no BENCH_r*.json found; pass --baseline explicitly")
-    return _git("log", "-1", "--format=%H", "--", benches[-1])
+    return _git("log", "-1", "--format=%H", "--", max(benches)[1])
 
 
 def run_bench(tree: str, sf_dir: str, runs_per_query: int) -> dict:
@@ -100,18 +104,35 @@ def main() -> int:
         default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
     )
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_AB.json"))
+    ap.add_argument(
+        "--allow-dirty",
+        action="store_true",
+        help="measure a dirty HEAD anyway (the artifact still records "
+        "head_dirty=true); without it a dirty tree is a hard refusal",
+    )
     args = ap.parse_args()
 
     base_ref = args.baseline or default_baseline()
     base_sha = _git("rev-parse", base_ref)
     head_sha = _git("rev-parse", "HEAD")
     dirty = bool(_git("status", "--porcelain"))
+    # VERDICT r12 #3: a closing-evidence artifact measured on a dirty tree
+    # is unattributable to any commit — refuse unless explicitly overridden
+    # (the override still stamps head_dirty so the artifact self-reports).
+    if dirty and not args.allow_dirty:
+        raise SystemExit(
+            "HEAD is dirty — the A/B would measure uncommitted code that no "
+            "sha identifies. Commit first, or pass --allow-dirty to record "
+            "an explicitly head_dirty=true artifact."
+        )
 
+    # Always rebuild the baseline worktree: a leftover from an interrupted
+    # run may sit on a different checkout or carry local edits, which would
+    # bench modified code while reporting base_sha (ADVICE r12).
     wt = f"/tmp/bench_ab_{base_sha[:12]}"
-    created_wt = False
-    if not os.path.isdir(wt):
-        _git("worktree", "add", "--detach", wt, base_sha)
-        created_wt = True
+    if os.path.isdir(wt):
+        _git("worktree", "remove", "--force", wt)
+    _git("worktree", "add", "--detach", wt, base_sha)
 
     try:
         base_runs: list[dict] = []
@@ -215,8 +236,7 @@ def main() -> int:
         )
         return 0
     finally:
-        if created_wt:
-            _git("worktree", "remove", "--force", wt)
+        _git("worktree", "remove", "--force", wt)
 
 
 if __name__ == "__main__":

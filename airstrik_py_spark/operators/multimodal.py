@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -301,23 +302,26 @@ def resize_real(media: DataFrame, factor: int = 2) -> DataFrame:
                         raise ValueError(
                             f"doc {doc_id}: expected RGB payload, got {ch} channels"
                         )
-                    sums = [0, 0, 0]
-                    for y in range(0, h, factor):
-                        for x in range(0, w, factor):
-                            base = (y * w + x) * ch
-                            sums[0] += px[base]
-                            sums[1] += px[base + 1]
-                            sums[2] += px[base + 2]
+                    # stride-slice the (h, w, ch) view: rows y*factor, cols
+                    # x*factor — identical pixel set (and exact integer sums)
+                    # to the scalar loop this replaced (VERDICT r12 #4), but
+                    # the per-pixel work stays inside numpy
+                    kept = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)[
+                        ::factor, ::factor, :3
+                    ]
+                    sums = kept.sum(axis=(0, 1), dtype=np.int64)
                     w2 = (w + factor - 1) // factor
                     h2 = (h + factor - 1) // factor
-                    rows.append((int(doc_id), kind, w2, h2, *sums))
+                    rows.append(
+                        (int(doc_id), kind, w2, h2, *(int(s) for s in sums))
+                    )
                 elif kind == "wav":
                     _rate, ch, n_frames, samples = codecs.wav_decode(payload)
-                    kept = [
-                        s
-                        for i, s in enumerate(samples)
-                        if (i // ch) % factor == 0
-                    ]
+                    # mask by frame index, not reshape: a malformed stream
+                    # can carry a trailing partial frame whose samples the
+                    # scalar loop counted, and reshape would reject it
+                    a = np.asarray(samples, dtype=np.int64)
+                    kept = a[(np.arange(a.size) // ch) % factor == 0]
                     n2 = (n_frames + factor - 1) // factor
                     rows.append(
                         (
@@ -325,9 +329,9 @@ def resize_real(media: DataFrame, factor: int = 2) -> DataFrame:
                             kind,
                             n2,
                             ch,
-                            sum(abs(s) for s in kept),
-                            max((abs(s) for s in kept), default=0),
-                            sum(kept),
+                            int(np.abs(kept).sum()),
+                            int(np.abs(kept).max()) if kept.size else 0,
+                            int(kept.sum()),
                         )
                     )
                 else:

@@ -412,3 +412,70 @@ def foreach_batch_idempotent_parquet(out_dir: str):
         )
 
     return write
+
+
+def stats_upsert_foreach_batch(
+    trips_store_dir: str, stats_store_dir: str, cfg: EngineConfig
+):
+    """S6 day-keyed stats upsert, made replay-safe (VERDICT r12 #6).
+
+    The reference flushes one stats document at day rollover and its
+    restart path re-INSERTs a day whose document already exists — the
+    known duplicate-key crash (airstrik.py:677-685).  Here the day is the
+    store key and the write is a partition REPLACE, so at-least-once
+    redelivery converges instead of colliding: each micro-batch
+
+      1. lands its closed trips in the epoch-partitioned idempotent trips
+         store (foreach_batch_idempotent_parquet — replay overwrites the
+         same epoch partition);
+      2. recomputes the daily rollup FROM THE STORE for only the calendar
+         days this batch touched (the store, not the batch, is the source
+         of truth: a day's trips can span many epochs);
+      3. overwrites exactly those day= partitions of the stats store.
+
+    Re-executing the same epoch after a crash re-runs 1-3 against the
+    same store state and rewrites the same partitions with the same rows:
+    one row per day, never a dup-key failure.  The touched-day collect()
+    is bounded by the batch's calendar span (a micro-batch covers minutes
+    to hours — a handful of days), not by data volume.  Row shape matches
+    the reference's stats doc (`_id` = day string + the four counters,
+    airstrik.py:670-676)."""
+    from airstrik_py_spark.operators.stats import daily_stats, day_str
+
+    write_trips = foreach_batch_idempotent_parquet(trips_store_dir)
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        write_trips(batch_df, epoch_id)
+        days = [
+            r["day"]
+            for r in batch_df.select(
+                day_str(F.col("end_sec"), cfg).alias("day")
+            )
+            .distinct()
+            .collect()
+        ]
+        if not days:
+            return
+        spark = batch_df.sparkSession
+        trips = spark.read.parquet(trips_store_dir)
+        rollup = daily_stats(
+            trips.select("flight_id", "end_sec", "alarmed"), cfg
+        ).filter(F.col("day").isin(days))
+        for row_day, part in [
+            (d, rollup.filter(F.col("day") == d)) for d in days
+        ]:
+            (
+                part.select(
+                    F.col("day").alias("_id"),
+                    "unique_planes",
+                    "total_trips",
+                    "unique_alarm_planes",
+                    F.col("total_alarm_trips").cast("long").alias(
+                        "total_alarm_trips"
+                    ),
+                )
+                .write.mode("overwrite")
+                .parquet(f"{stats_store_dir}/day={row_day}")
+            )
+
+    return write

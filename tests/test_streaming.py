@@ -384,3 +384,109 @@ def test_docs_ingest_same_epoch_retry_not_self_rejecting(spark, tmp_path):
     run(batch.filter("doc_id = 2"), 1)
     third = spark.read.parquet(out).collect()
     assert {(r["doc_id"], r["digest"]) for r in third} == first
+
+
+def _stats_rows(spark, stats_store: str) -> dict:
+    """day -> counters from the stats store, asserting one row per day on
+    the way (the reference's dup-key crash shape, airstrik.py:677-685)."""
+    rows = spark.read.parquet(stats_store).collect()
+    out = {}
+    for r in rows:
+        assert r["_id"] not in out, f"duplicate stats row for day {r['_id']}"
+        out[r["_id"]] = (
+            r["unique_planes"], r["total_trips"],
+            r["unique_alarm_planes"], r["total_alarm_trips"],
+        )
+    return out
+
+
+def test_stats_upsert_survives_batch_replay(spark, tmp_path):
+    """VERDICT r12 #6: the daily-stats upsert path under replay.  The
+    reference re-INSERTs an existing day's stats document on restart and
+    dies on the duplicate key (airstrik.py:677-685); our day-partition
+    REPLACE must instead converge.  Replay the same crash window as the
+    trips-store test (delete the last commit marker, restart): the stats
+    store must come out IDENTICAL — one row per day, no dup-key shape —
+    and equal the batch daily_stats over the same trips."""
+    from airstrik_py_spark.operators.stats import daily_stats
+    from airstrik_py_spark.streaming.pipeline import stats_upsert_foreach_batch
+
+    tape = str(tmp_path / "tape_stats_replay")
+    os.makedirs(tape)
+    _write_tape(tape)
+    trips_store = str(tmp_path / "trips_store_stats")
+    stats_store = str(tmp_path / "stats_store")
+    ckpt = str(tmp_path / "ckpt_stats")
+
+    def run_stream():
+        q = (
+            stream_trips(read_snapshot_stream(spark, tape), CFG)
+            .writeStream.outputMode("append")
+            .foreachBatch(
+                stats_upsert_foreach_batch(trips_store, stats_store, CFG)
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_stream()
+    before = _stats_rows(spark, stats_store)
+    assert before  # the tape's closed trips produced at least one day row
+
+    # crash window: sink writes landed, commit marker didn't
+    commits = sorted(
+        f for f in os.listdir(os.path.join(ckpt, "commits"))
+        if not f.startswith(".")
+    )
+    last = commits[-1]
+    os.remove(os.path.join(ckpt, "commits", last))
+    crc = os.path.join(ckpt, "commits", f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    run_stream()  # recovery re-executes epoch `last` through the upsert
+    after = _stats_rows(spark, stats_store)
+    assert after == before  # converged, not collided
+
+    # and the store agrees with the batch rollup over the stored trips
+    trips = spark.read.parquet(trips_store)
+    want = {
+        r["day"]: (
+            r["unique_planes"], r["total_trips"],
+            r["unique_alarm_planes"], r["total_alarm_trips"],
+        )
+        for r in daily_stats(
+            trips.select("flight_id", "end_sec", "alarmed"), CFG
+        ).collect()
+    }
+    assert after == want
+
+
+def test_stats_upsert_manual_epoch_replay(spark, tmp_path):
+    """Driven directly: the same epoch_id replayed through the stats
+    writer must REPLACE its day partitions, and a second epoch adding
+    trips to an already-written day must update that day's counters in
+    place (the upsert the reference's insert-only flush lacked)."""
+    from airstrik_py_spark.streaming.pipeline import stats_upsert_foreach_batch
+
+    trips_store = str(tmp_path / "ts_manual")
+    stats_store = str(tmp_path / "ss_manual")
+    write = stats_upsert_foreach_batch(trips_store, stats_store, CFG)
+    day0 = 1700000000.0  # 2023-11-14 UTC-4
+    df = spark.createDataFrame(
+        [("f1", day0 - 50.0, day0, 3, False), ("f2", day0 - 9.0, day0 + 1.0, 6, True)],
+        "flight_id string, start_sec double, end_sec double, n_obs int, alarmed boolean",
+    )
+    write(df, 0)
+    write(df, 0)  # identical retry: replace, not append
+    first = _stats_rows(spark, stats_store)
+    assert list(first.values()) == [(2, 2, 1, 1)]
+    # a later epoch closes another trip on the SAME day: counters move
+    df2 = spark.createDataFrame(
+        [("f3", day0 + 10.0, day0 + 20.0, 2, False)],
+        "flight_id string, start_sec double, end_sec double, n_obs int, alarmed boolean",
+    )
+    write(df2, 1)
+    assert list(_stats_rows(spark, stats_store).values()) == [(3, 3, 1, 1)]

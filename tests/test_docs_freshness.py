@@ -49,3 +49,33 @@ def test_plans_md_rows_match_registry_slugs():
         f"PLANS.md is stale — run `python tools/audit_plans.py` "
         f"(missing rows: {sorted(missing)}; orphan rows: {sorted(extra)})"
     )
+
+
+def test_scale_ledger_covers_every_slug():
+    """SCALE_LEDGER.md must have exactly one row per registered slug and
+    account for every committed sf1/sf10 artifact (VERDICT r12 #5).  Row
+    content (fresh/stale) is data that legitimately moves with every
+    source edit — the gate is coverage, and the regenerate-at-close
+    policy in the ledger itself keeps the states current."""
+    import re as _re
+
+    queries, _ = _registry_slugs()
+    text = (ROOT / "SCALE_LEDGER.md").read_text()
+    rows = [
+        line.split("|")[1].strip()
+        for line in text.splitlines()
+        if line.startswith("| ") and not line.startswith("| slug |")
+    ]
+    assert sorted(rows) == sorted(queries), (
+        "SCALE_LEDGER.md is stale — run `python tools/scale_ledger.py`"
+    )
+    on_disk = {
+        p.name
+        for p in ROOT.glob("sf*_r*.json")
+        if _re.fullmatch(r"sf(?:1|10)_r\d+[a-z]?\.json", p.name)
+    }
+    missing = {a for a in on_disk if a not in text}
+    assert not missing, (
+        f"committed scale artifacts absent from SCALE_LEDGER.md: "
+        f"{sorted(missing)} — run `python tools/scale_ledger.py`"
+    )

@@ -49,9 +49,11 @@ def dead_reckoning(
 
     `exact_geodesic=True` swaps the spherical forward-geodesic step
     positions for the WGS-84 ellipsoid DIRECT solution
-    (functions/geodesic.py::karney_direct via an Arrow-batched pandas_udf)
-    — the reference-identical lane, since geopy's destination() is the same
-    Karney direct problem (airstrik.py:245-258).  Default stays the
+    (functions/geodesic.py::karney_direct) AND the spherical haversine
+    zone distance for the ellipsoid INVERSE solution (karney_inverse_km),
+    both via Arrow-batched pandas_udfs — the reference-identical lane,
+    since geopy's destination() / geodesic() are the same Karney direct /
+    inverse problems (airstrik.py:245-259).  Default stays the
     whole-stage-codegen spherical Column expressions (the 100 TB hot path;
     FLOATS.md §D1 quantifies the per-step divergence at < 0.25%).
 
@@ -103,12 +105,30 @@ def dead_reckoning(
                 F.col("lat"), F.col("lon"), F.col("sim_lat"), F.col("sim_heading"), step_km
             ),
         )
-    sim = sim.withColumn(
-        "sim_dist",
-        haversine_km(
-            F.lit(cfg.home_lat), F.lit(cfg.home_lon), F.col("sim_lat"), F.col("sim_lon")
-        ),
-    )
+    if exact_geodesic:
+        # the zone test is ALSO ellipsoid-exact in this lane (ADVICE r12):
+        # the reference measures each simulated point's distance to HOME
+        # with geopy's ellipsoid geodesic (airstrik.py:259), the same
+        # inverse problem karney_inverse_km solves
+        from airstrik_py_spark.functions.geodesic import geodesic_km_pandas_udf
+
+        geo_km = geodesic_km_pandas_udf()
+        sim = sim.withColumn(
+            "sim_dist",
+            geo_km(
+                F.lit(cfg.home_lat),
+                F.lit(cfg.home_lon),
+                F.col("sim_lat"),
+                F.col("sim_lon"),
+            ),
+        )
+    else:
+        sim = sim.withColumn(
+            "sim_dist",
+            haversine_km(
+                F.lit(cfg.home_lat), F.lit(cfg.home_lon), F.col("sim_lat"), F.col("sim_lon")
+            ),
+        )
 
     in_zone = F.col("sim_dist") < F.lit(cfg.most_generous_dist_km)
     oob = (F.abs(F.col("sim_lat")) > 90.0) | (F.abs(F.col("sim_lon")) > 90.0)

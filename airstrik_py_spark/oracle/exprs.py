@@ -417,6 +417,173 @@ def _sin_series_sql(sigma: str, coeffs: list[str]) -> str:
     )
 
 
+# --- WGS-84 ellipsoid INVERSE problem (Karney 2013 + bisection), SQL mirror --
+# Mirror of functions/geodesic.py::karney_inverse_km for the D1 exact lane's
+# zone distance (ADVICE r12): the reference measures each simulated point's
+# distance to HOME with geopy's ellipsoid geodesic (airstrik.py:259), so the
+# exact lane's engine side calls karney_inverse_km via a pandas_udf and this
+# mirror replays the SAME bisection in SQL — same canonicalization, same
+# per-iteration _karney_eval operand order, same `hi - lo < 1e-15` break,
+# same final I1 evaluation at the converged midpoint.  Known seams, shared
+# with the direct-problem mirror above and absorbed by the zone margin /
+# 4-dp rounding: math.hypot -> sqrt(x*x+y*y), math.remainder ->
+# x - 360*round(x/360) (equal after abs() for |x| <= 360), libm ulps.
+# The engine's `s12 < 0` sanity raise has no SQL equivalent — if it ever
+# fired, the ENGINE side errors and the compare fails loudly anyway.
+
+
+def _karney_eval_nest(src_sql: str, ep2_lit: str) -> str:
+    """Nested-subquery chain computing _karney_eval's shared intermediates
+    (mid, angles, eps, ee) from `src_sql` rows carrying csb1, ccb1, csb2,
+    ccb2, lo, hi — copied operand-for-operand from geodesic._karney_eval
+    (sa2 is dead code there and is skipped)."""
+    return f"""(
+      SELECT *, eps * eps AS ee FROM (
+        SELECT *, (sq - 1.0e0) / (sq + 1.0e0) AS eps FROM (
+          SELECT *, atan2(csb2, d2) AS s2, atan2(sa0 * csb2, d2) AS w2,
+                 sqrt(1.0e0 + {ep2_lit} * ca0 * ca0) AS sq
+          FROM (
+            SELECT *, atan2(csb1, d1) AS s1, atan2(sa0 * csb1, d1) AS w1,
+                   ccb2 * ca2 AS d2
+            FROM (
+              SELECT *, sa1 * ccb1 AS sa0,
+                     sqrt(ca1 * ca1 + (sa1 * csb1) * (sa1 * csb1)) AS ca0,
+                     ccb1 * ca1 AS d1,
+                     sqrt(greatest(ca1 * ca1 * ccb1 * ccb1 + (ccb2 * ccb2 - ccb1 * ccb1), 0.0e0)) / ccb2 AS ca2
+              FROM (
+                SELECT *, sin(mid) AS sa1, cos(mid) AS ca1 FROM (
+                  SELECT *, 0.5e0 * (lo + hi) AS mid FROM {src_sql}
+                )
+              )
+            )
+          )
+        )
+      )
+    )"""
+
+
+def karney_inverse_sim_dist_ctes(
+    home_lat: float, home_lon: float, src: str = "e6"
+) -> str:
+    """CTE chain `src` -> steps3 where sim_dist is the WGS-84 ellipsoid
+    geodesic distance HOME -> (sim_lat, sim_lon), km, mirroring
+    geodesic.karney_inverse_km bit-for-bit (modulo the documented libm
+    seams).  `src` must carry hex, event_id, lat, lon, calc_speed,
+    sim_heading, t, sim_lat, sim_lon.  REQUIRES the enclosing query to be
+    `WITH RECURSIVE`.  The equatorial branch (both reduced latitudes zero)
+    is unreachable for a non-equatorial HOME and is asserted away rather
+    than mirrored."""
+    import math
+
+    from airstrik_py_spark.functions import geodesic as _geod
+
+    if home_lat == 0.0:
+        raise NotImplementedError(
+            "equatorial HOME would need karney_inverse_km's equatorial "
+            "branch mirrored; the reference config pins home_lat=35.727"
+        )
+    sb1h, cb1h = _geod._reduced_lat(home_lat)
+    f = _dlit(_geod.WGS84_F)
+    one_m_f = _dlit(1.0 - _geod.WGS84_F)
+    b = _dlit(_geod.WGS84_B_M)
+    ep2 = _dlit(_geod._EP2)
+    lo0, hi0 = _dlit(1e-15), _dlit(math.pi - 1e-15)
+    tol = _dlit(1e-15)
+    # meridional branch: eps is a constant, so A1/C1 are hoisted literals
+    # computed THROUGH geodesic.py's own functions (bit-identical to what
+    # the engine's Python evaluates at runtime)
+    sqm = math.sqrt(1.0 + _geod._EP2)
+    epsm = (sqm - 1.0) / (sqm + 1.0)
+    a1m = _dlit(_geod._a1(epsm))
+    c1m = [_dlit(c) for c in _geod._c1(epsm)]
+
+    def i1m(sig: str) -> str:
+        return f"{a1m} * ({sig} + ({_sin_series_sql(sig, c1m)}))"
+
+    s = {k: _dblify(v) for k, v in _karney_series_sql().items()}
+    c3_s1 = _sin_series_sql("s1", [f"c3{i}" for i in range(1, 6)])
+    c3_s2 = _sin_series_sql("s2", [f"c3{i}" for i in range(1, 6)])
+    c1_s1 = _sin_series_sql("s1", [f"c1{i}" for i in range(1, 7)])
+    c1_s2 = _sin_series_sql("s2", [f"c1{i}" for i in range(1, 7)])
+    carry = "hex, event_id, t, csb1, ccb1, csb2, ccb2, ilam"
+    nlo = "CASE WHEN lam12 < ilam THEN mid ELSE lo END"
+    nhi = "CASE WHEN lam12 < ilam THEN hi ELSE mid END"
+    dlon = f"(sim_lon - ({_dlit(home_lon)}))"
+    return f"""iv0 AS (  -- unnormalized reduced latitude of each sim point
+  SELECT hex, event_id, lat, lon, calc_speed, sim_heading, t, sim_lat, sim_lon,
+         {one_m_f} * sin(radians(sim_lat)) AS vsbu,
+         cos(radians(sim_lat)) AS vcbu
+  FROM {src}
+),
+iv1 AS (
+  SELECT *, vsbu / sqrt(vsbu * vsbu + vcbu * vcbu) AS rsb2,
+            vcbu / sqrt(vsbu * vsbu + vcbu * vcbu) AS rcb2
+  FROM iv0
+),
+iv2 AS (  -- coincident-point early exit + |lambda| (remainder via round)
+  SELECT *,
+         (sim_lat = {_dlit(home_lat)} AND fmod({dlon}, 360.0e0) = 0.0e0) AS skip0,
+         abs(radians({dlon} - 360.0e0 * round({dlon} / 360.0e0))) AS ilam
+  FROM iv1
+),
+iv3 AS (  -- canonical: the larger-|beta| point becomes point 1
+  SELECT *,
+    CASE WHEN {_dlit(cb1h)} > rcb2 THEN rsb2 ELSE {_dlit(sb1h)} END AS psb1,
+    CASE WHEN {_dlit(cb1h)} > rcb2 THEN rcb2 ELSE {_dlit(cb1h)} END AS ccb1,
+    CASE WHEN {_dlit(cb1h)} > rcb2 THEN {_dlit(sb1h)} ELSE rsb2 END AS psb2,
+    CASE WHEN {_dlit(cb1h)} > rcb2 THEN {_dlit(cb1h)} ELSE rcb2 END AS ccb2
+  FROM iv2
+),
+iv4 AS (  -- canonical: beta1 <= 0
+  SELECT *,
+    CASE WHEN psb1 > 0.0e0 THEN -psb1 ELSE psb1 END AS csb1,
+    CASE WHEN psb1 > 0.0e0 THEN -psb2 ELSE psb2 END AS csb2
+  FROM iv3
+),
+iv5 AS (  -- meridional closed form (constant-eps I1), flag rows for bisection
+  SELECT *, (ilam = 0.0e0) AS merid,
+         abs({b} * (({i1m('ms2')}) - ({i1m('ms1')}))) / 1000.0e0 AS mdist
+  FROM (
+    SELECT *, atan2(csb1, ccb1) AS ms1, atan2(csb2, ccb2) AS ms2 FROM iv4
+  )
+),
+ivbis AS (  -- bisection on alpha1: lambda12(alpha1) monotone (Karney 2013)
+  SELECT {carry}, {lo0} AS lo, {hi0} AS hi, 0 AS it, FALSE AS done
+  FROM iv5 WHERE NOT skip0 AND NOT merid
+  UNION ALL
+  SELECT {carry},
+         {nlo} AS lo, {nhi} AS hi, it + 1 AS it,
+         ((({nhi}) - ({nlo}) < {tol}) OR it + 1 >= 200) AS done
+  FROM (
+    SELECT *, (w2 - w1) - {f} * sa0 * ((a3c * (s2 + ({c3_s2}))) - (a3c * (s1 + ({c3_s1})))) AS lam12
+    FROM (
+      SELECT *, {s['a3c']} AS a3c,
+             {s['c31']} AS c31, {s['c32']} AS c32, {s['c33']} AS c33,
+             {s['c34']} AS c34, {s['c35']} AS c35
+      FROM {_karney_eval_nest('(SELECT * FROM ivbis WHERE NOT done)', ep2)}
+    )
+  )
+),
+ivfin AS (  -- s12 = B * (I1(sigma2) - I1(sigma1)) at the converged midpoint
+  SELECT hex, event_id, t,
+         {b} * ((a1c * (s2 + ({c1_s2}))) - (a1c * (s1 + ({c1_s1})))) AS s12_m
+  FROM (
+    SELECT *, {s['a1c']} AS a1c,
+           {s['c11']} AS c11, {s['c12']} AS c12, {s['c13']} AS c13,
+           {s['c14']} AS c14, {s['c15']} AS c15, {s['c16']} AS c16
+    FROM {_karney_eval_nest('(SELECT * FROM ivbis WHERE done)', ep2)}
+  )
+),
+steps3 AS (
+  SELECT i.hex, i.event_id, i.lat, i.lon, i.calc_speed, i.sim_heading, i.t,
+         i.sim_lat, i.sim_lon,
+         CASE WHEN i.skip0 THEN 0.0e0
+              WHEN i.merid THEN i.mdist
+              ELSE g.s12_m / 1000.0e0 END AS sim_dist
+  FROM iv5 i LEFT JOIN ivfin g USING (hex, event_id, t)
+)"""
+
+
 def dead_reckoning_exact_ctes(
     think_ahead: int = 60,
     most_generous_dist: float = 10.0,
@@ -430,8 +597,11 @@ def dead_reckoning_exact_ctes(
     exact_geodesic=True (geodesic_dest_pandas_udf -> karney_direct).
     Per-plane geodesic constants (Clairaut, eps, series coefficients,
     I1/I3 at sigma1) are hoisted into one CTE; each of the think_ahead
-    steps costs only the inverse-series + I3 evaluation.  sim_dist stays
-    the spherical haversine exactly as the engine lane does."""
+    steps costs only the inverse-series + I3 evaluation.  sim_dist is the
+    ellipsoid INVERSE problem to HOME (karney_inverse_sim_dist_ctes
+    mirroring geodesic.karney_inverse_km — ADVICE r12), exactly as the
+    engine lane's geodesic_km_pandas_udf; the enclosing query must be
+    WITH RECURSIVE for its bisection CTE."""
     s = {k: _dblify(v) for k, v in _karney_series_sql().items()}
     f, one_m_f = _dlit(_GD_F), _dlit(1.0 - _GD_F)
     b, ep2 = _dlit(_GD_B), _dlit(_GD_EP2)
@@ -515,10 +685,5 @@ e5 AS (
 e6 AS (  -- normalize longitude ONCE: sim_lon and sim_dist must share it
   SELECT *, lon_raw - 360.0e0 * round(lon_raw / 360.0e0) AS sim_lon FROM e5
 ),
-steps3 AS (
-  SELECT hex, event_id, lat, lon, calc_speed, sim_heading, t, sim_lat,
-         sim_lon,
-         {duck_haversine(str(home_lat), str(home_lon), 'sim_lat', 'sim_lon')} AS sim_dist
-  FROM e6
-),
+{karney_inverse_sim_dist_ctes(home_lat, home_lon)},
 {_dr_tail(think_ahead, most_generous_dist)}"""

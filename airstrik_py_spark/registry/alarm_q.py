@@ -61,16 +61,21 @@ def q_alarm_dead_reckoning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_alarm_dead_reckoning_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D1 with WGS-84 ellipsoid-exact step positions (VERDICT r11 #5 made
-    queryable): dead_reckoning(exact_geodesic=True) swaps the spherical
+    """D1 with WGS-84 ellipsoid-exact step positions AND zone distance
+    (VERDICT r11 #5 made queryable; ADVICE r12 closed the zone-distance
+    half): dead_reckoning(exact_geodesic=True) swaps the spherical
     destination formulas for karney_direct — the same direct problem
-    geopy's destination() solves (airstrik.py:245-258), so this lane is
-    the reference-identical D1.  The oracle mirrors the Karney math as
-    staged SQL (oracle/exprs.py::dead_reckoning_exact_ctes) with the
-    per-plane geodesic constants hoisted out of the 60-step unroll.
-    Verification lane: the Arrow-batched pandas_udf is NOT the 100 TB hot
-    path (the spherical alarm_dead_reckoning is; FLOATS.md §D1 quantifies
-    the divergence at <= 33.5 m per step / 105.6 m on the zone distance)."""
+    geopy's destination() solves (airstrik.py:245-258) — and measures each
+    simulated point's distance to HOME with karney_inverse_km, the same
+    inverse problem geopy's geodesic() solves (airstrik.py:259).  Both
+    halves of get_alarm_info's geometry are therefore ellipsoid-exact:
+    this lane is the reference-identical D1.  The oracle mirrors the
+    direct problem as staged SQL with per-plane constants hoisted out of
+    the 60-step unroll, and the inverse as a recursive-CTE bisection
+    (oracle/exprs.py::dead_reckoning_exact_ctes /
+    karney_inverse_sim_dist_ctes).  Verification lane: the Arrow-batched
+    pandas_udfs are NOT the 100 TB hot path (the spherical
+    alarm_dead_reckoning is; FLOATS.md §D1 quantifies the divergence)."""
     out = AL.dead_reckoning(_latest_state(spark, sf_dir), CFG, exact_geodesic=True)
     return out.select(
         "hex",
@@ -129,7 +134,7 @@ WITH {_KIN},
 SELECT hex, can_sim, alarm_ll, alarm_time, min_radius, alarm FROM reckoned
 """,
     "alarm_dead_reckoning_exact": f"""
-WITH {_KIN},
+WITH RECURSIVE {_KIN},
 {_DRX}
 SELECT hex, can_sim, alarm_ll, alarm_time, min_radius, alarm FROM reckoned
 """,

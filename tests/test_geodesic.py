@@ -207,7 +207,10 @@ def test_dead_reckoning_exact_lane(spark):
     """The exact_geodesic=True D1 lane: same schema/rows as the spherical
     default, alarm verdicts identical away from geofence boundaries, and
     step positions within the FLOATS.md §D1 divergence band (< 0.25 % of
-    step distance, fixture geometry)."""
+    step distance, fixture geometry).  alarm_time may differ by ONE step
+    at the zone boundary: the exact lane's zone distance is the ellipsoid
+    inverse (ADVICE r12), and the documented ~105 m haversine-vs-geodesic
+    gap near the 10 km ring legitimately moves the crossing second."""
     from airstrik_py_spark.config import EngineConfig
     from airstrik_py_spark.operators.alarm import dead_reckoning
 
@@ -232,9 +235,70 @@ def test_dead_reckoning_exact_lane(spark):
     assert set(sph) == set(ell) == {"a1", "b2", "c3"}
     for h in ("a1", "b2", "c3"):
         assert sph[h]["alarm"] == ell[h]["alarm"], h
-        assert sph[h]["alarm_time"] == ell[h]["alarm_time"], h
+        assert abs(sph[h]["alarm_time"] - ell[h]["alarm_time"]) <= 1, h
     assert ell["a1"]["alarm"] and not ell["b2"]["alarm"]
     assert ell["c3"]["min_radius"] == 0.0  # unsimulatable
-    # min_radius agrees within the quantified spherical-vs-ellipsoid band
+    # min_radius combines BOTH divergence sources now (spherical step
+    # positions vs Karney direct, ~0.25 %, AND haversine vs Karney inverse
+    # zone measurement, ~0.22 % — FLOATS.md §D1): band is their sum
     a, b = sph["a1"]["min_radius"], ell["a1"]["min_radius"]
-    assert abs(a - b) <= max(0.0025 * max(a, b), 0.005), (a, b)
+    assert abs(a - b) <= max(0.005 * max(a, b), 0.005), (a, b)
+
+
+def test_inverse_sql_mirror_matches_python_bitexact():
+    """The DuckDB mirror of karney_inverse_km (ADVICE r12: the exact D1
+    lane's zone distance) must agree with the Python function it mirrors
+    BIT-EXACTLY across every code branch: coincident (incl. modulo-360
+    longitudes), meridional (incl. equator-crossing), swap both ways,
+    sign canonicalization, near-antipodal lam, poles, and the ~10 km
+    zone-boundary magnitudes D1 actually compares."""
+    import duckdb
+    import pandas as pd
+
+    from airstrik_py_spark.functions.geodesic import karney_inverse_km
+    from airstrik_py_spark.oracle.exprs import karney_inverse_sim_dist_ctes
+
+    hlat, hlon = 35.727, -78.696
+    cases = [
+        (35.727, -78.696), (35.727, 281.304),          # coincident
+        (36.0, -78.696), (-10.0, -78.696),             # meridional
+        (35.8, -78.7), (35.6, -78.6),                  # near home
+        (60.0, -78.0), (10.0, -79.0),                  # swap both ways
+        (-35.727, -78.695), (35.727, 101.304),         # sign / lam ~ pi
+        (89.9, 10.0), (-89.9, 10.0),                   # near poles
+        (0.0, -78.696), (0.0, 10.0),                   # equatorial point 2
+        (35.727001, -78.696),                          # tiny meridional
+        (40.0, 179.9), (40.0, -179.9),                 # antimeridian-ish
+        (35.727042, -78.69595), (35.72, -78.69),       # zone-boundary scale
+    ]
+    pts = [
+        ("h%d" % k, 1, 35.0, -78.0, 100.0, 90.0, k, a, b)
+        for k, (a, b) in enumerate(cases)
+    ]
+    df = pd.DataFrame(
+        pts,
+        columns=["hex", "event_id", "lat", "lon", "calc_speed",
+                 "sim_heading", "t", "sim_lat", "sim_lon"],
+    )
+    con = duckdb.connect()
+    con.register("pts", df)
+    sql = f"""WITH RECURSIVE e6 AS (SELECT * FROM pts),
+{karney_inverse_sim_dist_ctes(hlat, hlon)}
+SELECT t, sim_lat, sim_lon, sim_dist FROM steps3 ORDER BY t"""
+    rows = con.sql(sql).fetchall()
+    assert len(rows) == len(cases)
+    for t, lat2, lon2, got in rows:
+        want = karney_inverse_km(hlat, hlon, lat2, lon2)
+        assert got == want, (t, lat2, lon2, got, want)
+
+
+def test_inverse_sql_mirror_refuses_equatorial_home():
+    """The equatorial branch of karney_inverse_km is unreachable for a
+    non-equatorial HOME and deliberately unmirrored — the generator must
+    refuse rather than silently produce a wrong mirror."""
+    import pytest
+
+    from airstrik_py_spark.oracle.exprs import karney_inverse_sim_dist_ctes
+
+    with pytest.raises(NotImplementedError):
+        karney_inverse_sim_dist_ctes(0.0, 10.0)

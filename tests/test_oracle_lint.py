@@ -107,7 +107,10 @@ def test_karney_direct_oracle_matches_python_scalar():
         ('c', 3, 60.0, 5.0, 10.0, NULL, 50.0, 0.0, 500.0, 0.0)
       ) t(hex, event_id, lat, lon, calc_heading, nav_heading, calc_speed,
           ts_sec, alt_geom, distance)""")
-    sql = "WITH " + ctes + " SELECT hex, t, sim_lat, sim_lon FROM steps3 ORDER BY hex, t"
+    # RECURSIVE: steps3 is now downstream of the inverse-problem bisection
+    # CTE (karney_inverse_sim_dist_ctes), even though only sim_lat/sim_lon
+    # (the direct problem) are asserted here
+    sql = "WITH RECURSIVE " + ctes + " SELECT hex, t, sim_lat, sim_lon FROM steps3 ORDER BY hex, t"
     got = {(r[0], r[1]): (r[2], r[3]) for r in d.execute(sql).fetchall()}
     for hexid, lat, lon, azi, spd in (
         ("a", 35.9, -78.7, 123.0, 400.0),

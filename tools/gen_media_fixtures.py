@@ -21,6 +21,18 @@ features our encoders NEVER emit:
                          bottom-up, no gap.
   * foreign_stereo.wav — written by the Python STDLIB `wave` module (a
                          genuinely foreign encoder), stereo 16-bit PCM.
+  * foreign_420.jpg    — hand-assembled baseline JPEG (r13, VERDICT r12
+                         #7): 16x16 YCbCr with 4:2:0 subsampling (one MCU
+                         = 4 Y blocks + Cb + Cr), two quant tables, the
+                         four Annex K Huffman tables.  codecs.py ships NO
+                         jpeg encoder, so every JPEG stream is foreign by
+                         construction; expected RGB pixels are computed
+                         here with an independent numpy IDCT + JFIF
+                         matrix (the decoder uses scalar math.cos loops).
+  * foreign_gray_rst.jpg— hand-assembled 24x8 GRAYSCALE baseline JPEG
+                         with DRI=1 and RST0/RST1 markers splitting the
+                         three MCUs into independent entropy chunks (DC
+                         predictor resets exercised).
 
 The fixture files are checked in; this script only exists so the judge can
 audit/regenerate them (`python tools/gen_media_fixtures.py` is
@@ -33,6 +45,7 @@ lane reproduce them.
 from __future__ import annotations
 
 import json
+import math
 import os
 import struct
 import wave
@@ -154,6 +167,260 @@ def gen_wav(path: str) -> dict:
     }
 
 
+# --- JPEG assembly (ITU T.81, spec-level: bit writer + canonical codes) -----
+
+# Annex K (T.81) typical Huffman tables — public spec constants
+K_DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+K_DC_LUM_VALS = bytes(range(12))
+K_DC_CHR_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+K_DC_CHR_VALS = bytes(range(12))
+K_AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+K_AC_LUM_VALS = bytes([
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+])
+K_AC_CHR_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+K_AC_CHR_VALS = bytes([
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+])
+
+_JZZ = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+class _JBitWriter:
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def put(self, value: int, n: int):
+        for i in range(n - 1, -1, -1):
+            self.bits.append((value >> i) & 1)
+
+    def tobytes(self) -> bytes:
+        """Pad with 1-bits to a byte boundary (T.81 F.1.2.3) and stuff
+        0x00 after any 0xFF."""
+        bits = self.bits + [1] * ((8 - len(self.bits) % 8) % 8)
+        raw = bytearray()
+        for i in range(0, len(bits), 8):
+            b = 0
+            for bit in bits[i : i + 8]:
+                b = (b << 1) | bit
+            raw.append(b)
+            if b == 0xFF:
+                raw.append(0x00)
+        return bytes(raw)
+
+
+def _jcodes(bits: list[int], vals: bytes) -> dict[int, tuple[int, int]]:
+    """Canonical codes (T.81 C.2): symbol -> (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+def _jseg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+
+def _emit_block(bw: _JBitWriter, dc_codes, ac_codes, dc_diff: int,
+                acs: list[tuple[int, int]]) -> None:
+    """Write one block: DC diff + sparse ACs [(zigzag index, value)] + EOB."""
+
+    def size_of(v: int) -> int:
+        return abs(v).bit_length()
+
+    s = size_of(dc_diff)
+    code, ln = dc_codes[s]
+    bw.put(code, ln)
+    if s:
+        bw.put(dc_diff if dc_diff > 0 else dc_diff + (1 << s) - 1, s)
+    prev = 0
+    for idx, v in sorted(acs):
+        assert 1 <= idx <= 63 and v != 0
+        run = idx - prev - 1
+        while run >= 16:
+            c, ln = ac_codes[0xF0]  # ZRL
+            bw.put(c, ln)
+            run -= 16
+        sz = size_of(v)
+        c, ln = ac_codes[(run << 4) | sz]
+        bw.put(c, ln)
+        bw.put(v if v > 0 else v + (1 << sz) - 1, sz)
+        prev = idx
+    if not acs or max(i for i, _ in acs) < 63:
+        c, ln = ac_codes[0x00]  # EOB
+        bw.put(c, ln)
+
+
+def _jpeg_block_pixels(acs_with_dc: dict[int, int], quant: list[int]):
+    """Independent IDCT (numpy matrix form) -> clamped 8x8 ints; asserts
+    every pre-round value is far from a .5 boundary so the decoder's
+    scalar-loop IDCT (<= ~1e-9 apart) must round identically."""
+    import numpy as np
+
+    coef = np.zeros(64)
+    for zz_idx, v in acs_with_dc.items():
+        coef[_JZZ[zz_idx]] = v * quant[zz_idx]
+    C = np.array([
+        [
+            math.sqrt((1.0 if u else 0.5) / 4.0)
+            * math.cos((2 * x + 1) * u * math.pi / 16)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ])
+    spatial = C.T @ coef.reshape(8, 8) @ C
+    frac = np.abs(spatial - np.floor(spatial) - 0.5)
+    assert frac.min() > 1e-6, "coefficient choice lands on a .5 rounding boundary"
+    return np.clip(np.round(spatial) + 128, 0, 255).astype(int)
+
+
+def gen_jpeg_420() -> tuple[bytes, dict]:
+    """16x16 color baseline JPEG, 4:2:0: one MCU = 4 Y + 1 Cb + 1 Cr."""
+    import numpy as np
+
+    q0 = [1 + (i % 4) for i in range(64)]        # luminance table
+    q1 = [2 + (i % 3) for i in range(64)]        # chrominance table
+    y_blocks = [  # (dc, acs) per (by, bx) in scan order
+        (60, [(1, 7), (5, -3)]),
+        (-40, [(2, 9)]),
+        (25, [(8, -6), (20, 4)]),
+        (90, []),
+    ]
+    cb = (30, [(2, 12)])
+    cr = (-50, [(3, -9)])
+
+    dc_l, ac_l = _jcodes(K_DC_LUM_BITS, K_DC_LUM_VALS), _jcodes(K_AC_LUM_BITS, K_AC_LUM_VALS)
+    dc_c, ac_c = _jcodes(K_DC_CHR_BITS, K_DC_CHR_VALS), _jcodes(K_AC_CHR_BITS, K_AC_CHR_VALS)
+    bw = _JBitWriter()
+    pred = 0
+    for dc, acs in y_blocks:
+        _emit_block(bw, dc_l, ac_l, dc - pred, acs)
+        pred = dc
+    _emit_block(bw, dc_c, ac_c, cb[0], cb[1])
+    _emit_block(bw, dc_c, ac_c, cr[0], cr[1])
+
+    data = b"".join([
+        b"\xff\xd8",
+        _jseg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"),
+        _jseg(0xDB, bytes([0x00]) + bytes(q0) + bytes([0x01]) + bytes(q1)),
+        _jseg(0xC0, bytes([8]) + struct.pack(">HH", 16, 16)
+              + bytes([3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])),
+        _jseg(0xC4, bytes([0x00]) + bytes(K_DC_LUM_BITS) + K_DC_LUM_VALS),
+        _jseg(0xC4, bytes([0x10]) + bytes(K_AC_LUM_BITS) + K_AC_LUM_VALS),
+        _jseg(0xC4, bytes([0x01]) + bytes(K_DC_CHR_BITS) + K_DC_CHR_VALS),
+        _jseg(0xC4, bytes([0x11]) + bytes(K_AC_CHR_BITS) + K_AC_CHR_VALS),
+        _jseg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])),
+        bw.tobytes(),
+        b"\xff\xd9",
+    ])
+
+    # expected pixels, independent implementation
+    yplane = np.zeros((16, 16), dtype=int)
+    for bi, (dc, acs) in enumerate(y_blocks):
+        by, bx = divmod(bi, 2)
+        blk = _jpeg_block_pixels({0: dc, **dict(acs)}, q0)
+        yplane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+    cbp = _jpeg_block_pixels({0: cb[0], **dict(cb[1])}, q1)
+    crp = _jpeg_block_pixels({0: cr[0], **dict(cr[1])}, q1)
+    flat = []
+    for y in range(16):
+        for x in range(16):
+            Y = float(yplane[y, x])
+            B = float(cbp[y // 2, x // 2])
+            R = float(crp[y // 2, x // 2])
+            rgb = (
+                Y + 1.402 * (R - 128.0),
+                Y - 0.344136 * (B - 128.0) - 0.714136 * (R - 128.0),
+                Y + 1.772 * (B - 128.0),
+            )
+            for c in rgb:
+                flat.append(int(np.clip(round(c), 0, 255)))
+    expect = {
+        "width": 16, "height": 16, "channels": 3,
+        "sum_r": sum(flat[0::3]),
+        "sum_g": sum(flat[1::3]),
+        "sum_b": sum(flat[2::3]),
+        "pixels": flat,
+    }
+    return data, expect
+
+
+def gen_jpeg_gray_restart() -> tuple[bytes, dict]:
+    """24x8 grayscale baseline JPEG, DRI=1: three MCUs in three entropy
+    chunks split by RST0/RST1, DC predictor reset at each restart."""
+    import numpy as np
+
+    q = [1 + (i % 5) for i in range(64)]
+    mcus = [(88, [(1, 11)]), (-72, [(4, 6), (17, -8)]), (160, [(33, 5)])]
+    dc_t, ac_t = _jcodes(K_DC_LUM_BITS, K_DC_LUM_VALS), _jcodes(K_AC_LUM_BITS, K_AC_LUM_VALS)
+    body = bytearray()
+    for i, (dc, acs) in enumerate(mcus):
+        bw = _JBitWriter()
+        _emit_block(bw, dc_t, ac_t, dc, acs)  # predictor reset -> diff = dc
+        body += bw.tobytes()
+        if i < len(mcus) - 1:
+            body += bytes([0xFF, 0xD0 + i])
+    data = b"".join([
+        b"\xff\xd8",
+        _jseg(0xDB, bytes([0x00]) + bytes(q)),
+        _jseg(0xC0, bytes([8]) + struct.pack(">HH", 8, 24) + bytes([1, 1, 0x11, 0])),
+        _jseg(0xC4, bytes([0x00]) + bytes(K_DC_LUM_BITS) + K_DC_LUM_VALS),
+        _jseg(0xC4, bytes([0x10]) + bytes(K_AC_LUM_BITS) + K_AC_LUM_VALS),
+        _jseg(0xDD, struct.pack(">H", 1)),
+        _jseg(0xDA, bytes([1, 1, 0x00, 0, 63, 0])),
+        bytes(body),
+        b"\xff\xd9",
+    ])
+    plane = np.zeros((8, 24), dtype=int)
+    for i, (dc, acs) in enumerate(mcus):
+        plane[:, i * 8 : i * 8 + 8] = _jpeg_block_pixels({0: dc, **dict(acs)}, q)
+    flat = [int(v) for v in plane.flatten()]
+    expect = {
+        "width": 24, "height": 8, "channels": 1,
+        "sum_gray": sum(flat),
+        "pixels": flat,
+    }
+    return data, expect
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     manifest: dict[str, dict] = {}
@@ -169,6 +436,14 @@ def main() -> None:
     manifest["foreign_stereo.wav"] = gen_wav(
         os.path.join(OUT, "foreign_stereo.wav")
     )
+
+    jpg, manifest["foreign_420.jpg"] = gen_jpeg_420()
+    with open(os.path.join(OUT, "foreign_420.jpg"), "wb") as f:
+        f.write(jpg)
+
+    jpg2, manifest["foreign_gray_rst.jpg"] = gen_jpeg_gray_restart()
+    with open(os.path.join(OUT, "foreign_gray_rst.jpg"), "wb") as f:
+        f.write(jpg2)
 
     with open(os.path.join(OUT, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)

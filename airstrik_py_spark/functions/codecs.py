@@ -431,6 +431,11 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"JPEG: expected marker at {pos}, got {data[pos]:#x}")
+        if data[pos + 1] == 0xFF:
+            # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+            # marker — skip them instead of parsing a phantom marker 0xFF
+            pos += 1
+            continue
         marker = data[pos + 1]
         if marker == 0xD9:
             break
@@ -494,6 +499,19 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
     if h == 0 or w == 0:
         raise ValueError("JPEG: zero dimension")
     sel, epos = scan
+    if len(sel) != len(comps):
+        raise ValueError(
+            "JPEG: only a single interleaved scan covering every frame "
+            "component is supported (non-interleaved multi-scan baseline "
+            "is legal but out of scope)"
+        )
+    if len(comps) == 1:
+        # T.81 A.2.2: a single-component scan is NON-interleaved — each
+        # MCU is exactly one 8x8 data unit and the declared sampling
+        # factors do not tile the scan (a grayscale SOF may legally say
+        # 2x2); normalize to 1x1 so the MCU walk reads one block per MCU
+        cid, _hs, _vs, tq = comps[0]
+        comps = [(cid, 1, 1, tq)]
 
     # de-stuff entropy bytes; RSTn markers delimit independent chunks
     chunks: list[bytes] = []

@@ -458,24 +458,34 @@ def stats_upsert_foreach_batch(
             return
         spark = batch_df.sparkSession
         trips = spark.read.parquet(trips_store_dir)
-        rollup = daily_stats(
-            trips.select("flight_id", "end_sec", "alarmed"), cfg
-        ).filter(F.col("day").isin(days))
-        for row_day, part in [
-            (d, rollup.filter(F.col("day") == d)) for d in days
-        ]:
+        # ONE store pass: collect the rollup rows (bounded by the batch's
+        # touched-day count, never by data volume) and write each day
+        # partition from the collected row — a lazy per-day
+        # rollup.filter(...).write would re-scan the whole store once per
+        # touched day (self-review r13)
+        rollup_rows = (
+            daily_stats(trips.select("flight_id", "end_sec", "alarmed"), cfg)
+            .filter(F.col("day").isin(days))
+            .collect()
+        )
+        for row in rollup_rows:
             (
-                part.select(
-                    F.col("day").alias("_id"),
-                    "unique_planes",
-                    "total_trips",
-                    "unique_alarm_planes",
-                    F.col("total_alarm_trips").cast("long").alias(
-                        "total_alarm_trips"
-                    ),
+                spark.createDataFrame(
+                    [
+                        (
+                            row["day"],
+                            row["unique_planes"],
+                            row["total_trips"],
+                            row["unique_alarm_planes"],
+                            int(row["total_alarm_trips"]),
+                        )
+                    ],
+                    "_id string, unique_planes long, total_trips long, "
+                    "unique_alarm_planes long, total_alarm_trips long",
                 )
+                .coalesce(1)
                 .write.mode("overwrite")
-                .parquet(f"{stats_store_dir}/day={row_day}")
+                .parquet(f"{stats_store_dir}/day={row['day']}")
             )
 
     return write

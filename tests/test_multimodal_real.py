@@ -501,3 +501,46 @@ def test_jpeg_grayscale_rejected_by_rgb_lane(spark):
     )
     with pytest.raises(Exception, match="1-channel"):
         extract_features_real(df).collect()
+
+
+def test_jpeg_fill_bytes_before_marker():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a marker;
+    the header walk must skip them, not parse a phantom 0xFF marker
+    (self-review r13)."""
+    data = _fixture("foreign_gray_rst.jpg")
+    # inject two fill bytes before the DQT marker
+    dqt = data.index(b"\xff\xdb")
+    padded = data[:dqt] + b"\xff\xff" + data[dqt:]
+    assert codecs.jpeg_decode(padded) == codecs.jpeg_decode(data)
+
+
+def test_jpeg_grayscale_ignores_declared_sampling():
+    """T.81 A.2.2: a single-component scan is non-interleaved — one data
+    unit per MCU regardless of the SOF's declared sampling factors.  A
+    grayscale stream declaring 2x2 must decode identically to 1x1
+    (self-review r13)."""
+    data = _fixture("foreign_gray_rst.jpg")
+    sof = data.index(b"\xff\xc0")
+    samp_off = sof + 2 + 2 + 1 + 2 + 2 + 1 + 1  # len,prec,h,w,ncomp,cid
+    assert data[samp_off] == 0x11
+    patched = data[:samp_off] + b"\x22" + data[samp_off + 1 :]
+    assert codecs.jpeg_decode(patched) == codecs.jpeg_decode(data)
+
+
+def test_jpeg_rejects_partial_component_scan():
+    """A baseline SOS selecting fewer components than the frame declares
+    (non-interleaved multi-scan) is out of scope and must refuse loudly
+    rather than mis-tile."""
+    import pytest
+
+    data = _fixture("foreign_420.jpg")
+    sos = data.index(b"\xff\xda")
+    # original SOS payload: ns=3, (1,0x00),(2,0x11),(3,0x11), spectral 0,63,0
+    patched = (
+        data[:sos]
+        + b"\xff\xda" + struct.pack(">H", 2 + 1 + 2 + 3)
+        + bytes([1, 1, 0x00, 0, 63, 0])
+        + data[data.index(b"\xff\xda") + 2 + struct.unpack(">H", data[sos+2:sos+4])[0]:]
+    )
+    with pytest.raises(ValueError, match="interleaved"):
+        codecs.jpeg_decode(patched)

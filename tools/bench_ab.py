@@ -35,6 +35,7 @@ import argparse
 import json
 import os
 import re
+import shutil
 import subprocess
 import sys
 import time
@@ -128,10 +129,18 @@ def main() -> int:
 
     # Always rebuild the baseline worktree: a leftover from an interrupted
     # run may sit on a different checkout or carry local edits, which would
-    # bench modified code while reporting base_sha (ADVICE r12).
+    # bench modified code while reporting base_sha (ADVICE r12).  Handle
+    # BOTH desync directions (self-review r13): registered-but-deleted
+    # (e.g. /tmp wiped on reboot -> `worktree add` refuses) via prune, and
+    # present-but-unregistered via plain rmtree when `worktree remove`
+    # won't own it.
     wt = f"/tmp/bench_ab_{base_sha[:12]}"
+    _git("worktree", "prune")
     if os.path.isdir(wt):
-        _git("worktree", "remove", "--force", wt)
+        try:
+            _git("worktree", "remove", "--force", wt)
+        except subprocess.CalledProcessError:
+            shutil.rmtree(wt)
     _git("worktree", "add", "--detach", wt, base_sha)
 
     try:

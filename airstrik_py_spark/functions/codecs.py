@@ -14,6 +14,14 @@ Scale note: decode is per-payload Python inside Arrow batches — the same
 shape a PIL call would have (C per image, Python per batch).  Payloads
 stay in their own parquet column so column pruning skips them unless a
 decode lane projects them; see operators/multimodal.py.
+
+JPEG scope note (VERDICT r13 #7): the JPEG entropy decoder is a
+pure-Python bit-reader — O(coefficients) Python per payload.  Today it
+runs only on the two hand-assembled foreign fixtures
+(tests/fixtures/media/, see FIXTURES.md); attach_real_media synthesizes
+PNG/BMP/WAV and no jpeg_encode exists, so no data lane ever feeds it.
+Do NOT route bulk JPEG payloads through it without first vectorizing the
+entropy decode (numpy bit-unpacking or a C codec).
 """
 
 from __future__ import annotations
@@ -362,6 +370,8 @@ def _jpeg_huffman(bits: list[int], vals: bytes) -> dict[tuple[int, int], int]:
             table[(length, code)] = vals[k]
             k += 1
             code += 1
+        if code > (1 << length):
+            raise ValueError("JPEG DHT: over-subscribed code lengths")
         code <<= 1
     return table
 
@@ -439,6 +449,12 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
         marker = data[pos + 1]
         if marker == 0xD9:
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / stray RSTn carry no length segment (T.81 B.1.1.3);
+            # parsing one as length-prefixed would skip arbitrary bytes
+            raise ValueError(
+                f"JPEG: unexpected standalone marker {marker:#x} before SOS"
+            )
         (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         seg = data[pos + 4 : pos + 2 + seglen]
         if len(seg) != seglen - 2:

@@ -468,24 +468,36 @@ def stats_upsert_foreach_batch(
             .filter(F.col("day").isin(days))
             .collect()
         )
-        for row in rollup_rows:
+        by_day = {row["day"]: row for row in rollup_rows}
+        schema = (
+            "_id string, unique_planes long, total_trips long, "
+            "unique_alarm_planes long, total_alarm_trips long"
+        )
+        # iterate over the TOUCHED days, not the rollup rows (ADVICE r13):
+        # if a replayed epoch's partition REPLACE removed the last trips
+        # for a day this batch touched, the rollup yields no row for it —
+        # overwrite its stale stats partition with zero rows so the store
+        # converges to the store state instead of keeping old counters
+        for day in days:
+            row = by_day.get(day)
+            rows = (
+                [
+                    (
+                        row["day"],
+                        row["unique_planes"],
+                        row["total_trips"],
+                        row["unique_alarm_planes"],
+                        int(row["total_alarm_trips"]),
+                    )
+                ]
+                if row is not None
+                else []
+            )
             (
-                spark.createDataFrame(
-                    [
-                        (
-                            row["day"],
-                            row["unique_planes"],
-                            row["total_trips"],
-                            row["unique_alarm_planes"],
-                            int(row["total_alarm_trips"]),
-                        )
-                    ],
-                    "_id string, unique_planes long, total_trips long, "
-                    "unique_alarm_planes long, total_alarm_trips long",
-                )
+                spark.createDataFrame(rows, schema)
                 .coalesce(1)
                 .write.mode("overwrite")
-                .parquet(f"{stats_store_dir}/day={row['day']}")
+                .parquet(f"{stats_store_dir}/day={day}")
             )
 
     return write

@@ -544,3 +544,30 @@ def test_jpeg_rejects_partial_component_scan():
     )
     with pytest.raises(ValueError, match="interleaved"):
         codecs.jpeg_decode(patched)
+
+
+def test_jpeg_rejects_standalone_marker_before_sos():
+    """TEM (0x01) and stray RSTn carry no length segment (T.81 B.1.1.3);
+    parsing one as length-prefixed would skip arbitrary bytes (ADVICE
+    r13).  Both must fail loudly, not mis-walk the header."""
+    import pytest
+
+    data = _fixture("foreign_gray_rst.jpg")
+    dqt = data.index(b"\xff\xdb")
+    for mk in (b"\xff\x01", b"\xff\xd0"):
+        patched = data[:dqt] + mk + data[dqt:]
+        with pytest.raises(ValueError, match="standalone marker"):
+            codecs.jpeg_decode(patched)
+
+
+def test_jpeg_dht_oversubscribed_rejected():
+    """An over-subscribed DHT (more codes at a length than the canonical
+    code space holds) must raise, not silently alias codes (ADVICE r13).
+    A saturated-but-valid table (2 codes of length 1) must still build."""
+    import pytest
+
+    with pytest.raises(ValueError, match="over-subscribed"):
+        codecs._jpeg_huffman([3] + [0] * 15, bytes([1, 2, 3]))
+    # exactly-full code space at length 1 is legal
+    t = codecs._jpeg_huffman([2] + [0] * 15, bytes([7, 9]))
+    assert t == {(1, 0): 7, (1, 1): 9}

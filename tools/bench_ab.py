@@ -141,6 +141,10 @@ def main() -> int:
             _git("worktree", "remove", "--force", wt)
         except subprocess.CalledProcessError:
             shutil.rmtree(wt)
+            # `remove` may have failed for a reason other than
+            # non-registration; rmtree left the registration behind, so
+            # prune again or the `worktree add` below refuses (ADVICE r13)
+            _git("worktree", "prune")
     _git("worktree", "add", "--detach", wt, base_sha)
 
     try:

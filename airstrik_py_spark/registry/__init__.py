@@ -29,24 +29,22 @@ _MODULES = (
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# VERDICT r12 #2 hand-pin (rotation hygiene, same rule as r11 #3 which
-# worked — CORRECTNESS_r12 records the whole r8-stale cohort green): the
-# trip cohort's driver evidence is now the oldest in the registry (r9,
-# 3 rounds back; everything else is >= r10).  All ten pass the local
-# sweep; the pin guarantees they win window slots in the r13 driver run
-# regardless of how many slugs the conservative module-level source hash
-# marks changed.  Refresh once CORRECTNESS_r13 records them.
+# VERDICT r13 #5 hand-pin (rotation hygiene — the same rule landed the
+# whole r9-stale trip cohort green in CORRECTNESS_r13): these eight §2
+# slugs now carry the oldest driver evidence in the registry (r11/r12;
+# everything else is >= r13).  All eight pass the local sweep; the pin
+# guarantees they win window slots in the r14 driver run regardless of
+# how many slugs the conservative module-level source hash marks
+# changed.  Refresh once CORRECTNESS_r14 records them.
 _FORCE_WINDOW = (
-    "window_session_trip",
-    "filter_min_trip_length",
-    "agg_argmin_closest",
-    "join_asof_closest",
-    "agg_first_callsign",
-    "join_icao_enrichment",
-    "agg_trip_assembly",
-    "agg_extremes_config",
-    "topk_by_distance",
-    "window_latest_value",
+    "source_snapshot_ingest",
+    "ddl_drop_reset",
+    "filter_liveness",
+    "filter_nonempty",
+    "window_dedup_consecutive",
+    "window_calc_heading",
+    "window_calc_speed",
+    "window_distance_home",
 )
 
 

@@ -449,9 +449,11 @@ def jpeg_decode(data: bytes) -> tuple[int, int, int, bytes]:
         marker = data[pos + 1]
         if marker == 0xD9:
             break
-        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
-            # TEM / stray RSTn carry no length segment (T.81 B.1.1.3);
-            # parsing one as length-prefixed would skip arbitrary bytes
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            # TEM / stray RSTn / stray SOI carry no length segment
+            # (T.81 B.1.1.3); parsing one as length-prefixed would skip
+            # arbitrary bytes (the leading SOI was consumed before the loop,
+            # so any 0xD8 here is a corrupt or concatenated stream)
             raise ValueError(
                 f"JPEG: unexpected standalone marker {marker:#x} before SOS"
             )

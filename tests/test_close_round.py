@@ -2,9 +2,14 @@
 
 Round 13 closed red because an evidence commit landed after the last
 ledger regeneration.  These tests pin the gate layer that prevents a
-recurrence: every fast gate passes on a clean tree, staleness is
-actually detected (not vacuously green), and the artifact-ordering
+recurrence: every fast gate passes on a clean tree, BOTH content gates
+actually detect drift (not vacuously green), and the artifact-ordering
 helpers pick the newest round correctly (r9 < r10, r13 < r13b).
+
+Drift is probed through doctored COPIES (`scale_ledger.py --check
+--file`, `gate_plans_coverage(plans_path=...)`) — the r14 in-round
+review flagged that an earlier version mutated the real SCALE_LEDGER.md
+in place, which a SIGKILL mid-test would have left corrupted.
 
 No Spark session — the gates are deliberately cheap enough to run on
 every evidence commit.
@@ -28,32 +33,43 @@ def test_all_gates_pass_on_current_tree():
     )
 
 
-def test_scale_ledger_gate_detects_drift(tmp_path, monkeypatch):
-    """The ledger gate must FAIL when SCALE_LEDGER.md doesn't match a
-    regeneration — guard against the gate itself going vacuous."""
-    ledger = ROOT / "SCALE_LEDGER.md"
-    original = ledger.read_text()
-    try:
-        ledger.write_text(original + "\n<!-- drift -->\n")
-        ok, msg = close_round.gate_scale_ledger()
-        assert not ok and "STALE" in msg
-    finally:
-        ledger.write_text(original)
+def test_scale_ledger_gate_detects_drift(tmp_path):
+    """The ledger gate must FAIL on a doctored copy and PASS on the real
+    file — guard against the gate itself going vacuous.  The real
+    SCALE_LEDGER.md is never touched."""
+    drifted = tmp_path / "SCALE_LEDGER.md"
+    drifted.write_text(
+        (ROOT / "SCALE_LEDGER.md").read_text() + "\n<!-- drift -->\n"
+    )
+    ok, msg = close_round.gate_scale_ledger(file=str(drifted))
+    assert not ok and "STALE" in msg
     ok, _ = close_round.gate_scale_ledger()
     assert ok
 
 
-def test_plans_gate_detects_missing_row():
+def test_plans_gate_detects_missing_and_orphan_rows(tmp_path):
+    """gate_plans_coverage must flag a dropped row AND an invented row —
+    on doctored copies, the real PLANS.md untouched."""
     text = (ROOT / "PLANS.md").read_text()
-    lines = text.splitlines()
-    # drop one data row and verify the gate would flag it via the same
-    # parse the gate uses (operate on the parsed sets, not the file)
-    rows = [
-        line.split("|")[1].strip()
-        for line in lines
+    lines = text.splitlines(keepends=True)
+    data_idx = [
+        i for i, line in enumerate(lines)
         if line.startswith("| ") and not line.startswith("| query |")
     ]
-    assert rows, "PLANS.md has no data rows?"
+    assert data_idx, "PLANS.md has no data rows?"
+
+    missing = tmp_path / "missing.md"
+    missing.write_text("".join(
+        line for i, line in enumerate(lines) if i != data_idx[0]
+    ))
+    ok, msg = close_round.gate_plans_coverage(plans_path=missing)
+    assert not ok and "missing" in msg
+
+    orphan = tmp_path / "orphan.md"
+    orphan.write_text(text + "| not_a_real_slug | 0 | | | | | |\n")
+    ok, msg = close_round.gate_plans_coverage(plans_path=orphan)
+    assert not ok and "orphan" in msg
+
     ok, msg = close_round.gate_plans_coverage()
     assert ok, msg
 
@@ -76,17 +92,29 @@ def test_newest_orders_rounds_numerically_with_suffix():
 
 
 def test_bench_lines_parse_committed_artifacts():
+    """Both bench lines must carry real numbers — the r14 review caught
+    the BENCH_r parse reading top-level keys when driver artifacts nest
+    bench.py's JSON under 'parsed' (printed 'total None None')."""
+    import re
+
     lines = close_round._bench_lines()
-    assert any("BENCH_AB" in line for line in lines)
     joined = "\n".join(lines)
-    assert "dirty=False" in joined or "dirty=" in joined
+    assert "None" not in joined, joined
+    bench = [line for line in lines if line.startswith("- bench (")]
+    assert bench and re.search(r"total \d+(\.\d+)? sec over [1-9]\d* headline",
+                               bench[0]), bench
+    ab = [line for line in lines if "BENCH_AB" in line]
+    assert ab and re.search(r"\(-?\d+(\.\d+)? %\)", ab[0]), ab
 
 
-def test_precommit_hook_versioned_and_executable():
+def test_postcommit_hook_versioned_and_executable():
     import os
 
-    hook = ROOT / "tools" / "hooks" / "pre-commit"
-    assert hook.exists(), "tools/hooks/pre-commit missing"
+    hook = ROOT / "tools" / "hooks" / "post-commit"
+    assert hook.exists(), "tools/hooks/post-commit missing"
     assert os.access(hook, os.X_OK), "hook not executable"
     body = hook.read_text()
     assert "exit 0" in body and "scale_ledger" in body
+    # the heal must be a follow-up commit of ONLY the ledger, skipping
+    # hooks it can't control, and must never be able to fail the commit
+    assert "--no-verify -o SCALE_LEDGER.md" in body

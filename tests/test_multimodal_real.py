@@ -554,7 +554,10 @@ def test_jpeg_rejects_standalone_marker_before_sos():
 
     data = _fixture("foreign_gray_rst.jpg")
     dqt = data.index(b"\xff\xdb")
-    for mk in (b"\xff\x01", b"\xff\xd0"):
+    # 0xD8 too: the leading SOI is consumed before the walk, so a stray
+    # SOI mid-header is the concatenated/corrupt-stream case (T.81 lists
+    # it standalone — misparsing it as length-prefixed skips bytes)
+    for mk in (b"\xff\x01", b"\xff\xd0", b"\xff\xd8"):
         patched = data[:dqt] + mk + data[dqt:]
         with pytest.raises(ValueError, match="standalone marker"):
             codecs.jpeg_decode(patched)

@@ -490,3 +490,41 @@ def test_stats_upsert_manual_epoch_replay(spark, tmp_path):
     )
     write(df2, 1)
     assert list(_stats_rows(spark, stats_store).values()) == [(3, 3, 1, 1)]
+
+
+def test_stats_upsert_touched_day_with_no_rollup_row_zeroed(spark, tmp_path):
+    """ADVICE r13: the writer iterates the batch's TOUCHED days, not the
+    rollup rows, so a touched day absent from the rollup gets its stats
+    partition overwritten with zero rows instead of keeping stale
+    counters.  daily_stats covers every stored trip, so the branch fires
+    only on degenerate input — a trip with NULL end_sec maps to a null
+    day the rollup's isin() filter drops.  Pre-seed that day's partition
+    with a stale row and prove the writer replaces it with nothing."""
+    from airstrik_py_spark.streaming.pipeline import stats_upsert_foreach_batch
+
+    trips_store = str(tmp_path / "ts_zero")
+    stats_store = str(tmp_path / "ss_zero")
+    schema = (
+        "_id string, unique_planes long, total_trips long, "
+        "unique_alarm_planes long, total_alarm_trips long"
+    )
+    # stale counters sitting in the partition the degenerate day maps to
+    spark.createDataFrame([("None", 9, 9, 9, 9)], schema).coalesce(
+        1
+    ).write.parquet(f"{stats_store}/day=None")
+
+    write = stats_upsert_foreach_batch(trips_store, stats_store, CFG)
+    day0 = 1700000000.0
+    df = spark.createDataFrame(
+        [
+            ("f1", day0 - 50.0, day0, 3, False),
+            ("f2", day0 - 9.0, None, 2, False),  # NULL end_sec -> null day
+        ],
+        "flight_id string, start_sec double, end_sec double, n_obs int, alarmed boolean",
+    )
+    write(df, 0)
+    rows = _stats_rows(spark, stats_store)
+    # the real day has its counters (from the valid trip only); the
+    # degenerate day's stale row is GONE, not preserved
+    assert list(rows.values()) == [(1, 1, 0, 0)]
+    assert "None" not in rows

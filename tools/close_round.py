@@ -55,8 +55,11 @@ def _git(*args: str) -> str:
 # ---------------------------------------------------------------- gates
 
 
-def gate_scale_ledger() -> tuple[bool, str]:
-    r = _run(sys.executable, "tools/scale_ledger.py", "--check")
+def gate_scale_ledger(file: str | None = None) -> tuple[bool, str]:
+    cmd = [sys.executable, "tools/scale_ledger.py", "--check"]
+    if file:
+        cmd += ["--file", file]
+    r = _run(*cmd)
     fresh = r.returncode == 0
     return fresh, "SCALE_LEDGER.md " + ("fresh" if fresh else
                                         "STALE — run tools/scale_ledger.py")
@@ -69,14 +72,14 @@ def gate_census() -> tuple[bool, str]:
                                       "STALE — run tools/census.py")
 
 
-def gate_plans_coverage() -> tuple[bool, str]:
+def gate_plans_coverage(plans_path: Path | None = None) -> tuple[bool, str]:
     """PLANS.md row coverage vs registry (the cheap half of the plan
     audit — full regeneration needs a Spark session and belongs to the
     operator-change workflow, not the commit gate)."""
     from airstrik_py_spark.registry import collect
 
     queries, _ = collect()
-    text = (ROOT / "PLANS.md").read_text()
+    text = (plans_path or ROOT / "PLANS.md").read_text()
     rows = {
         line.split("|")[1].strip()
         for line in text.splitlines()
@@ -153,9 +156,12 @@ def _bench_lines() -> list[str]:
     b = _newest("BENCH_r*.json")
     if b:
         d = json.loads(b.read_text())
+        # driver artifacts nest bench.py's JSON line under "parsed";
+        # a raw bench.py capture has it at the top level
+        p = d.get("parsed", d)
         out.append(
-            f"- bench ({b.name}): total {d.get('value')} {d.get('unit')} "
-            f"over {len(d.get('queries', {}))} headline queries at sf={d.get('sf')}."
+            f"- bench ({b.name}): total {p.get('value')} {p.get('unit')} "
+            f"over {len(p.get('queries', {}))} headline queries at sf={d.get('sf', p.get('sf'))}."
         )
     ab = _newest("BENCH_AB_r*.json")
     if ab:

@@ -445,18 +445,40 @@ def stats_upsert_foreach_batch(
     write_trips = foreach_batch_idempotent_parquet(trips_store_dir)
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # Replay can REMOVE a day's trips: if the epoch partition being
+        # replaced held day D's only trips and the redelivered batch no
+        # longer does, D is absent from the batch yet its stats partition
+        # is now stale (ADVICE r14).  Capture the outgoing partition's
+        # days BEFORE the REPLACE and union them with the batch's days so
+        # every possibly-invalidated partition gets rewritten.
+        prior_days: set[str] = set()
+        try:
+            prior_days = {
+                r["day"]
+                for r in spark.read.parquet(f"{trips_store_dir}/epoch={epoch_id}")
+                .select(day_str(F.col("end_sec"), cfg).alias("day"))
+                .distinct()
+                .collect()
+            }
+        except Exception:  # first delivery of this epoch: nothing replaced
+            pass
         write_trips(batch_df, epoch_id)
-        days = [
-            r["day"]
-            for r in batch_df.select(
-                day_str(F.col("end_sec"), cfg).alias("day")
-            )
-            .distinct()
-            .collect()
-        ]
+        days = sorted(
+            prior_days
+            | {  # a NULL end_sec maps to day None — sortable via the key
+                # below, and still a touched partition to zero out
+                r["day"]
+                for r in batch_df.select(
+                    day_str(F.col("end_sec"), cfg).alias("day")
+                )
+                .distinct()
+                .collect()
+            },
+            key=lambda d: (d is None, d),
+        )
         if not days:
             return
-        spark = batch_df.sparkSession
         trips = spark.read.parquet(trips_store_dir)
         # ONE store pass: collect the rollup rows (bounded by the batch's
         # touched-day count, never by data volume) and write each day
@@ -473,11 +495,12 @@ def stats_upsert_foreach_batch(
             "_id string, unique_planes long, total_trips long, "
             "unique_alarm_planes long, total_alarm_trips long"
         )
-        # iterate over the TOUCHED days, not the rollup rows (ADVICE r13):
-        # if a replayed epoch's partition REPLACE removed the last trips
-        # for a day this batch touched, the rollup yields no row for it —
-        # overwrite its stale stats partition with zero rows so the store
-        # converges to the store state instead of keeping old counters
+        # iterate over the TOUCHED days (batch days ∪ replaced-partition
+        # days), not the rollup rows (ADVICE r13/r14): when the REPLACE
+        # removed a day's last trips — whether the day appears in this
+        # batch or only in the partition just replaced — the rollup yields
+        # no row for it, and its stats partition must be overwritten with
+        # zero rows so the store converges instead of keeping old counters
         for day in days:
             row = by_day.get(day)
             rows = (

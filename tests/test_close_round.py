@@ -118,3 +118,22 @@ def test_postcommit_hook_versioned_and_executable():
     # the heal must be a follow-up commit of ONLY the ledger, skipping
     # hooks it can't control, and must never be able to fail the commit
     assert "--no-verify -o SCALE_LEDGER.md" in body
+    # ADVICE r14: never inject the heal commit while a sequencer owns
+    # HEAD (rebase/cherry-pick/am)
+    for marker in ("rebase-merge", "rebase-apply", "CHERRY_PICK_HEAD"):
+        assert marker in body, f"hook missing sequencer guard for {marker}"
+
+
+def test_scale_ledger_file_flag_missing_operand_is_usage_error():
+    """ADVICE r14: `--check --file` with no PATH operand must exit 2 with
+    the usage message, not an IndexError traceback."""
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, str(ROOT / "tools" / "scale_ledger.py"),
+         "--check", "--file"],
+        capture_output=True, text=True,
+    )
+    assert proc.returncode == 2
+    assert "usage" in proc.stderr.lower()
+    assert "IndexError" not in proc.stderr

@@ -105,3 +105,17 @@ def test_srcstate_hash_sensitive_to_content():
 
     h2 = srcstate.closure_hash(["airstrik_py_spark.operators.decimation"], tweaked)
     assert h1 != h2
+
+
+def test_pinned_cohort_is_computed_oldest():
+    """VERDICT r14 #5: the pin is generated, not hand-edited — the committed
+    _FORCE_WINDOW must equal tools/rotate.py's oldest-driver-evidence
+    cohort exactly (order included)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from tools.rotate import compute_cohort
+
+    cohort, _last = compute_cohort()
+    assert tuple(cohort) == _FORCE_WINDOW

@@ -528,3 +528,34 @@ def test_stats_upsert_touched_day_with_no_rollup_row_zeroed(spark, tmp_path):
     # degenerate day's stale row is GONE, not preserved
     assert list(rows.values()) == [(1, 1, 0, 0)]
     assert "None" not in rows
+
+
+def test_stats_upsert_replay_dropping_a_day_zeroes_it(spark, tmp_path):
+    """ADVICE r14: a replayed epoch whose redelivered batch no longer
+    contains day D's trips (present only in the PREVIOUS delivery of the
+    same epoch) must still rewrite D's stats partition — the writer
+    unions the batch's days with the days in the epoch partition being
+    replaced, so D converges to the store state (no trips -> no row)
+    instead of keeping the first delivery's counters."""
+    from airstrik_py_spark.streaming.pipeline import stats_upsert_foreach_batch
+
+    trips_store = str(tmp_path / "ts_replay_drop")
+    stats_store = str(tmp_path / "ss_replay_drop")
+    write = stats_upsert_foreach_batch(trips_store, stats_store, CFG)
+    day0 = 1700000000.0  # 2023-11-14 UTC-4
+    day1 = day0 + 86400.0  # next calendar day
+    both = spark.createDataFrame(
+        [
+            ("f1", day0 - 50.0, day0, 3, False),
+            ("f2", day1 - 9.0, day1, 6, True),
+        ],
+        "flight_id string, start_sec double, end_sec double, n_obs int, alarmed boolean",
+    )
+    write(both, 0)
+    assert len(_stats_rows(spark, stats_store)) == 2
+    # redelivery of epoch 0 lost the day1 trip entirely
+    only_day0 = both.filter("flight_id = 'f1'")
+    write(only_day0, 0)
+    rows = _stats_rows(spark, stats_store)
+    assert list(rows.values()) == [(1, 1, 0, 0)]  # day0 counters intact
+    assert len(rows) == 1  # day1's stale partition was zeroed, not kept

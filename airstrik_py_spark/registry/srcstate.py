@@ -21,12 +21,21 @@ extras_q re-registers dedup_q/similarity_q callables and composes their
 oracle text), plus the transitive closure of first-party
 (``airstrik_py_spark.*``) imports of all of those — parsed TEXTUALLY so
 historical git trees never need importing.  Module-level granularity is
-deliberately conservative: a comment-only edit re-marks every slug in the
-module, which costs one re-verification, never a missed one.
+deliberately conservative: an edit anywhere in a module re-marks every
+slug whose closure contains it, which costs one re-verification, never a
+missed one.
+
+Each file hashes as its AST with docstrings normalized away (VERDICT r14
+#4): comment, whitespace, and docstring edits hash identically — in r14 a
+docstring scope note on codecs.py's JPEG lane would have re-marked eight
+expensive sf10 rows stale — while every semantic edit (including oracle
+SQL string constants) still changes the hash.  Files that do not parse
+fall back to raw text, never to "unchanged".
 """
 
 from __future__ import annotations
 
+import ast
 import hashlib
 import json
 import re
@@ -142,13 +151,39 @@ def dep_closure(roots, read=read_worktree) -> dict[str, str]:
     return files
 
 
+def normalized_source(src: str) -> str:
+    """Semantic fingerprint of a module: the AST dump with every docstring
+    normalized to ''.  Comments and formatting never reach the AST;
+    docstrings do, so they are blanked (``__doc__`` is not part of any
+    slug's semantics).  Every other string constant — oracle SQL above
+    all — stays load-bearing.  A file that does not parse hashes as raw
+    text: the fallback direction is always toward MORE staleness."""
+    try:
+        tree = ast.parse(src)
+    except SyntaxError:
+        return src
+    for node in ast.walk(tree):
+        if isinstance(
+            node, (ast.Module, ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
+        ):
+            body = node.body
+            if (
+                body
+                and isinstance(body[0], ast.Expr)
+                and isinstance(body[0].value, ast.Constant)
+                and isinstance(body[0].value.value, str)
+            ):
+                body[0].value.value = ""
+    return ast.dump(tree)
+
+
 def closure_hash(roots, read=read_worktree) -> str:
     files = dep_closure(roots, read)
     h = hashlib.sha256()
     for rel in sorted(files):
         h.update(rel.encode())
         h.update(b"\0")
-        h.update(files[rel].encode())
+        h.update(normalized_source(files[rel]).encode())
         h.update(b"\0")
     return h.hexdigest()
 

@@ -92,19 +92,70 @@ def test_srcstate_closure_covers_operator_rewrites():
     assert "airstrik_py_spark/registry/srcstate.py" not in files
 
 
-def test_srcstate_hash_sensitive_to_content():
-    h1 = srcstate.closure_hash(
-        ["airstrik_py_spark.operators.decimation"], srcstate.read_worktree
-    )
+def test_srcstate_hash_sensitive_to_semantic_edits_only():
+    """VERDICT r14 #4: the per-file hash is the docstring-normalized AST —
+    a comment or docstring edit must NOT change any slug hash (in r14 a
+    docstring scope note on codecs.py stale-marked eight expensive sf10
+    rows), while a code edit (new statement, changed constant) must."""
+    roots = ["airstrik_py_spark.operators.decimation"]
+    h1 = srcstate.closure_hash(roots, srcstate.read_worktree)
 
-    def tweaked(rel):
+    def edited(suffix):
+        def read(rel):
+            src = srcstate.read_worktree(rel)
+            if src is not None and rel == "airstrik_py_spark/operators/decimation.py":
+                return src + suffix
+            return src
+        return read
+
+    assert srcstate.closure_hash(roots, edited("\n# tweak\n")) == h1
+    assert srcstate.closure_hash(roots, edited("\n_X = 1\n")) != h1
+
+    # editing the module's REAL leading docstring must not change the hash
+    import ast
+
+    real = srcstate.read_worktree("airstrik_py_spark/operators/decimation.py")
+    doc = ast.get_docstring(ast.parse(real))
+    assert doc, "fixture module lost its docstring"
+
+    def docstring_edited(rel):
         src = srcstate.read_worktree(rel)
         if src is not None and rel == "airstrik_py_spark/operators/decimation.py":
-            return src + "\n# tweak\n"
+            return src.replace(doc, doc + " (edited)")
         return src
 
-    h2 = srcstate.closure_hash(["airstrik_py_spark.operators.decimation"], tweaked)
-    assert h1 != h2
+    assert srcstate.closure_hash(roots, docstring_edited) == h1
+
+
+def test_comment_only_edit_leaves_every_slug_hash_unchanged():
+    """The r14 incident end-to-end (VERDICT r14 #4 'Done' criterion): a
+    comment-only edit to functions/codecs.py must leave EVERY slug's
+    closure hash — hence every SCALE_LEDGER sf10/sf1 row — fresh.
+    scale_ledger.state_of is exactly `hash_at(sha) == current`, so equal
+    slug_hashes on both sides IS ledger freshness."""
+    roots = slug_roots()
+    before = srcstate.slug_hashes(roots)
+
+    def commented(rel):
+        src = srcstate.read_worktree(rel)
+        if src is not None and rel == "airstrik_py_spark/functions/codecs.py":
+            return "# leading comment\n" + src + "\n# trailing comment\n"
+        return src
+
+    after = srcstate.slug_hashes(roots, read=commented)
+    assert after == before
+
+    # and the converse guard: the r14 edit itself (a changed comparison
+    # constant inside jpeg_decode's guard) WOULD still re-mark the slugs
+    # whose closure contains codecs.py
+    def recoded(rel):
+        src = srcstate.read_worktree(rel)
+        if src is not None and rel == "airstrik_py_spark/functions/codecs.py":
+            return src.replace("0xD0 <= marker <= 0xD8", "0xD0 <= marker <= 0xD7")
+        return src
+
+    changed = srcstate.slug_hashes(roots, read=recoded)
+    assert changed != before
 
 
 def test_pinned_cohort_is_computed_oldest():

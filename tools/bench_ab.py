@@ -20,9 +20,17 @@ Usage:
                            [--sf-dir DIR] [--out FILE]
 
 Defaults: baseline = the commit that last touched the newest BENCH_r*.json
-(i.e. the tree the prior round's recorded bench measured), pairs = 3,
-runs-per-query = 3 (SPARK_GRAFT_BENCH_RUNS for both sides), out =
-BENCH_AB.json in the repo root.
+(i.e. the tree the prior round's recorded bench measured), pairs = 5
+(VERDICT r14 #2 — 3 pairs left the noise floor near the deltas being
+judged), runs-per-query = 3 (SPARK_GRAFT_BENCH_RUNS for both sides),
+out = BENCH_AB.json in the repo root.
+
+The standing cross-round anchor is BENCH_ANCHOR.json: a committed A/B of
+a round tree vs the ROUND-1 tree (the BASELINE.md measurement vintage),
+refreshed with `--baseline <r01-bench-commit> --out BENCH_ANCHOR.json`.
+Its common-set delta is the number to quote for "how far from the
+original baseline are we" — per-round BENCH_r*.json totals are NOT
+cross-comparable (box state dominates; r11 and r14 both proved it).
 
 Reading the result: `delta_pct` per query and for the totals is
 (head - base) / base * 100 over paired medians.  A delta inside the paired
@@ -98,7 +106,7 @@ def median(xs: list[float]) -> float:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--baseline", default=None, help="git ref to A/B against")
-    ap.add_argument("--pairs", type=int, default=3)
+    ap.add_argument("--pairs", type=int, default=5)
     ap.add_argument("--runs-per-query", type=int, default=3)
     ap.add_argument(
         "--sf-dir",

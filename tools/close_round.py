@@ -151,8 +151,31 @@ def _newest(pattern: str) -> Path | None:
     return paths[-1] if paths else None
 
 
+def _ab_line(path: Path, label: str) -> str:
+    d = json.loads(path.read_text())
+    t = d.get("totals", {}).get("common_total_sec", {})
+    return (
+        f"- {label} ({path.name}): head {d.get('head_sha', '?')[:7]} "
+        f"(dirty={d.get('head_dirty')}) vs base "
+        f"{d.get('baseline_sha', '?')[:7]}: common-set "
+        f"({t.get('n_queries')} queries) base {t.get('base_median')} s "
+        f"vs head {t.get('head_median')} s ({t.get('delta_pct')} %)."
+    )
+
+
 def _bench_lines() -> list[str]:
+    """Paired-A/B deltas lead; the raw per-round total is recorded last and
+    explicitly flagged non-comparable (VERDICT r14 #2: the only defensible
+    cross-tree number is a paired common-set delta — quoting one-shot
+    totals round-over-round is how the r11 and r14 phantom regressions
+    happened)."""
     out = []
+    anchor = ROOT / "BENCH_ANCHOR.json"
+    if anchor.exists():
+        out.append(_ab_line(anchor, "baseline anchor A/B vs r01 tree"))
+    ab = _newest("BENCH_AB_r*.json")
+    if ab:
+        out.append(_ab_line(ab, "round A/B"))
     b = _newest("BENCH_r*.json")
     if b:
         d = json.loads(b.read_text())
@@ -161,18 +184,9 @@ def _bench_lines() -> list[str]:
         p = d.get("parsed", d)
         out.append(
             f"- bench ({b.name}): total {p.get('value')} {p.get('unit')} "
-            f"over {len(p.get('queries', {}))} headline queries at sf={d.get('sf', p.get('sf'))}."
-        )
-    ab = _newest("BENCH_AB_r*.json")
-    if ab:
-        d = json.loads(ab.read_text())
-        t = d.get("totals", {}).get("common_total_sec", {})
-        out.append(
-            f"- {ab.name}: head {d.get('head_sha', '?')[:7]} "
-            f"(dirty={d.get('head_dirty')}) vs base "
-            f"{d.get('baseline_sha', '?')[:7]}: common-set "
-            f"({t.get('n_queries')} queries) base {t.get('base_median')} s "
-            f"vs head {t.get('head_median')} s ({t.get('delta_pct')} %)."
+            f"over {len(p.get('queries', {}))} headline queries at "
+            f"sf={d.get('sf', p.get('sf'))} — one-shot, box-state "
+            f"sensitive; compare rounds only via the paired A/B lines."
         )
     return out
 

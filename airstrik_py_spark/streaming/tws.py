@@ -120,16 +120,58 @@ ROCKSDB_PROVIDER = (
 )
 
 
+# Pure-Python google.protobuf runtimes that public SDK installs bundle
+# (Google Cloud SDK's App Engine platform dir is the common one).  Probed
+# only when `google.protobuf` isn't pip-installed; appended to the path
+# (never prepended) so nothing in the bundle can shadow site-packages.
+_VENDORED_PROTOBUF_DIRS = (
+    "/usr/lib/google-cloud-sdk/platform/google_appengine",
+)
+
+
 def tws_available() -> bool:
     """transformWithState's state protocol needs google.protobuf, which is
-    not in every image (not in this one) — the applyInPandasWithState
-    implementation in streaming/stateful.py is the portable fallback."""
+    not pip-installed in every image — the applyInPandasWithState
+    implementation in streaming/stateful.py is the portable fallback.
+
+    When the package is missing, fall back to a bundled pure-Python
+    runtime from _VENDORED_PROTOBUF_DIRS: extend sys.path for this
+    process AND os.environ['PYTHONPATH'] for the JVM-spawned streaming
+    Python workers (effective only if the SparkSession's JVM has not
+    launched yet — call this before building the session, as the
+    test-skip gate does at collection time).  pyspark 4.1.2's
+    StateMessage_pb2 gencode can be one protobuf MINOR version ahead of
+    the bundled runtime; minor skew is wire-compatible, and protobuf's
+    own documented escape hatch
+    (TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK) exists for exactly this
+    window, so set it only on the fallback path."""
+    import importlib
+    import os
+    import sys
+
     try:
         from google.protobuf import descriptor  # noqa: F401
 
         return True
     except ImportError:
-        return False
+        pass
+    for d in _VENDORED_PROTOBUF_DIRS:
+        if not os.path.isfile(os.path.join(d, "google", "protobuf", "descriptor.py")):
+            continue
+        if d not in sys.path:
+            sys.path.append(d)
+        env_pp = os.environ.get("PYTHONPATH", "")
+        if d not in env_pp.split(os.pathsep):
+            os.environ["PYTHONPATH"] = (env_pp + os.pathsep + d) if env_pp else d
+        os.environ.setdefault("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true")
+        importlib.invalidate_caches()
+        try:
+            from google.protobuf import descriptor  # noqa: F401
+
+            return True
+        except ImportError:
+            continue
+    return False
 
 
 def tracked_stream_tws(obs_with_distance: DataFrame, cfg: EngineConfig) -> DataFrame:

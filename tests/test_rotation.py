@@ -161,12 +161,17 @@ def test_comment_only_edit_leaves_every_slug_hash_unchanged():
 def test_pinned_cohort_is_computed_oldest():
     """VERDICT r14 #5: the pin is generated, not hand-edited — the committed
     _FORCE_WINDOW must equal tools/rotate.py's oldest-driver-evidence
-    cohort exactly (order included)."""
+    cohort exactly (order included), re-derived from the CORRECTNESS
+    evidence the pin block says it consumed (the stamp keeps this test
+    green when the driver lands a NEWER correctness file at round close;
+    the round-start `python tools/rotate.py` refresh re-stamps)."""
     import sys
     from pathlib import Path
 
     sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
-    from tools.rotate import compute_cohort
+    from tools.rotate import compute_cohort, stamped_round
 
-    cohort, _last = compute_cohort()
+    through = stamped_round()
+    assert through is not None, "pin block lost its CORRECTNESS_rN stamp"
+    cohort, _last = compute_cohort(through_round=through)
     assert tuple(cohort) == _FORCE_WINDOW

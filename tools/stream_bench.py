@@ -21,8 +21,12 @@ Environment strings (master, parallelism) are derived from the live
 SparkContext — nothing in the generated report is hardcoded to the
 machine this was first written on.
 
-Usage: python tools/stream_bench.py [sf_dir] [state_sf_dir]
+Usage: python tools/stream_bench.py [sf_dir ...] [--state-sf DIR]
   -> one JSON line + STREAMBENCH.md
+Each positional dir gets its own throughput section (e.g.
+`/root/testdata/sf0.1 /tmp/sf1` for the 1x + 10x side-by-side); the
+state-scale fan-out axis runs once over --state-sf (default sf0.01 —
+it replays KX the rows in-plan).
 """
 
 from __future__ import annotations
@@ -71,14 +75,16 @@ def _run_query(make_stream):
     return time.time() - t0, q
 
 
-def _drain(make_stream) -> float:
+def _drain(make_stream):
     """Best-of-2 wall-clock (the first drain pays JVM/state-store cold
-    start — observed 5x inflation on the heaviest pipeline)."""
-    best = None
+    start — observed 5x inflation on the heaviest pipeline).  Returns
+    (sec, query-of-best-run) so callers can read state metrics."""
+    best = best_q = None
     for _ in range(2):
-        dt, _q = _run_query(make_stream)
-        best = dt if best is None else min(best, dt)
-    return best
+        dt, q = _run_query(make_stream)
+        if best is None or dt < best:
+            best, best_q = dt, q
+    return best, best_q
 
 
 def _state_metrics(q):
@@ -99,105 +105,139 @@ def _state_metrics(q):
     return rows, mem
 
 
+def throughput_section(spark, sf_dir: str, scratch: str) -> dict[str, dict]:
+    """Six-pipeline availableNow drain at `sf_dir`: input rows, best-of-2
+    wall-clock, rows/sec, and the best run's peak state rows/MB.  The
+    state columns are the watermark-boundedness evidence (VERDICT r14
+    #6): at 10x the input, peak state must track keys-inside-the-
+    watermark, not total rows replayed."""
+    from airstrik_py_spark.streaming.stateful import stream_attribution
+    from airstrik_py_spark.streaming.pipeline import (
+        stream_touch_conversion_pairs,
+    )
+
+    obs = observations(spark, sf_dir)
+    obs_tape = f"{scratch}/obs"
+    obs.repartition(TAPE_FILES).write.parquet(obs_tape)
+    n_obs = spark.read.parquet(obs_tape).count()
+    obs_schema = spark.read.parquet(obs_tape).schema
+
+    ev = load_table(spark, sf_dir, "events")
+    ev_tape = f"{scratch}/events"
+    ev.repartition(TAPE_FILES).write.parquet(ev_tape)
+    n_ev = spark.read.parquet(ev_tape).count()
+    ev_schema = spark.read.parquet(ev_tape).schema
+
+    def obs_stream():
+        return spark.readStream.schema(obs_schema).parquet(obs_tape)
+
+    def ev_stream():
+        return spark.readStream.schema(ev_schema).parquet(ev_tape)
+
+    results: dict[str, dict] = {}
+
+    def record(name: str, rows: int, drained) -> None:
+        sec, q = drained
+        srows, smem = _state_metrics(q)
+        results[name] = {
+            "rows": rows,
+            "sec": round(sec, 3),
+            "rows_per_sec": int(rows / sec),
+            "state_rows_peak": srows,
+            "state_mb_peak": round(smem / 1e6, 2),
+        }
+
+    record(
+        "stream_trips", n_obs, _drain(lambda: stream_trips(obs_stream(), TESTDATA))
+    )
+    record(
+        "stream_dedup_events",
+        n_obs,
+        _drain(lambda: stream_dedup_events(obs_stream(), TESTDATA)),
+    )
+    record(
+        "stream_sessionize_events",
+        n_ev,
+        _drain(lambda: stream_sessionize_events(ev_stream())),
+    )
+    record(
+        "stream_attribution",
+        n_ev,
+        _drain(lambda: stream_attribution(ev_stream(), live=False)),
+    )
+
+    # r8 profile (tools/profile_ssjoin.py): this lane's cost is NOT the
+    # join — it is per-partition state-store COMMIT overhead (the
+    # symmetric join keeps keyed stores on BOTH sides, snapshotted per
+    # partition per micro-batch; cumulative stateCommitMs 52 s of an
+    # 8.3 s wall at 32 partitions).  8 partitions ran 3.4x faster
+    # (2.45 s, 40.8 k rows/s) on identical results; RocksDB and a
+    # tighter watermark moved nothing.  Size state partitions to state
+    # VOLUME (~40 k rows here), not to CPU count — at production state
+    # sizes the 32+ partitions win back their keep.
+    # r9: the pinned 8 became the measured formula — state here is the
+    # watermark-span click+purchase buffers (~40% of the tape rows).
+    from airstrik_py_spark.streaming.pipeline import configure_state_partitions
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    applied = configure_state_partitions(spark, int(n_ev * 0.4))
+    print(f"stream_ss_interval_join: auto state partitions = {applied}")
+    try:
+        record(
+            "stream_ss_interval_join",
+            n_ev,
+            _drain(lambda: stream_touch_conversion_pairs(ev_stream())),
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    # Document ingest dedup: even doc_ids play the accepted corpus
+    # (static digest side), odd doc_ids arrive as the stream.
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_digests = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.md5("text").alias("digest")
+    )
+    dn = docs.filter(F.col("doc_id") % 2 == 1).withColumn(
+        "ingest_ts",
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")),
+    )
+    doc_tape = f"{scratch}/docs"
+    dn.repartition(TAPE_FILES).write.parquet(doc_tape)
+    n_docs = spark.read.parquet(doc_tape).count()
+    doc_schema = spark.read.parquet(doc_tape).schema
+    record(
+        "stream_dedup_docs",
+        n_docs,
+        _drain(
+            lambda: stream_dedup_docs(
+                spark.readStream.schema(doc_schema).parquet(doc_tape),
+                corpus_digests,
+            )
+        ),
+    )
+    return results
+
+
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    # State-scale replays KX the rows; run it on the smaller dir by default.
-    state_sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    args = list(sys.argv[1:])
+    state_sf_dir = "/root/testdata/sf0.01"
+    if "--state-sf" in args:
+        i = args.index("--state-sf")
+        state_sf_dir = args[i + 1]
+        del args[i : i + 2]
+    # every positional arg is a throughput sf_dir; the table gets one
+    # section per dir (VERDICT r14 #6 wants sf0.1 AND sf1 side by side)
+    sf_dirs = args or ["/root/testdata/sf0.1"]
     spark = pin_session(get_spark("stream_bench"))
     sc = spark.sparkContext
     env = f"{sc.master}, parallelism={sc.defaultParallelism}"
     scratch = tempfile.mkdtemp(prefix="stream_bench_")
     try:
-        obs = observations(spark, sf_dir)
-        obs_tape = f"{scratch}/obs"
-        obs.repartition(TAPE_FILES).write.parquet(obs_tape)
-        n_obs = spark.read.parquet(obs_tape).count()
-        obs_schema = spark.read.parquet(obs_tape).schema
-
-        ev = load_table(spark, sf_dir, "events")
-        ev_tape = f"{scratch}/events"
-        ev.repartition(TAPE_FILES).write.parquet(ev_tape)
-        n_ev = spark.read.parquet(ev_tape).count()
-        ev_schema = spark.read.parquet(ev_tape).schema
-
-        def obs_stream():
-            return spark.readStream.schema(obs_schema).parquet(obs_tape)
-
-        def ev_stream():
-            return spark.readStream.schema(ev_schema).parquet(ev_tape)
-
-        results = {}
-        results["stream_trips"] = (
-            n_obs,
-            _drain(lambda: stream_trips(obs_stream(), TESTDATA)),
-        )
-        results["stream_dedup_events"] = (
-            n_obs,
-            _drain(lambda: stream_dedup_events(obs_stream(), TESTDATA)),
-        )
-        results["stream_sessionize_events"] = (
-            n_ev,
-            _drain(lambda: stream_sessionize_events(ev_stream())),
-        )
-
-        from airstrik_py_spark.streaming.stateful import stream_attribution
-
-        results["stream_attribution"] = (
-            n_ev,
-            _drain(lambda: stream_attribution(ev_stream(), live=False)),
-        )
-
-        from airstrik_py_spark.streaming.pipeline import (
-            stream_touch_conversion_pairs,
-        )
-
-        # r8 profile (tools/profile_ssjoin.py): this lane's cost is NOT the
-        # join — it is per-partition state-store COMMIT overhead (the
-        # symmetric join keeps keyed stores on BOTH sides, snapshotted per
-        # partition per micro-batch; cumulative stateCommitMs 52 s of an
-        # 8.3 s wall at 32 partitions).  8 partitions ran 3.4x faster
-        # (2.45 s, 40.8 k rows/s) on identical results; RocksDB and a
-        # tighter watermark moved nothing.  Size state partitions to state
-        # VOLUME (~40 k rows here), not to CPU count — at production state
-        # sizes the 32+ partitions win back their keep.
-        # r9: the pinned 8 became the measured formula — state here is the
-        # watermark-span click+purchase buffers (~40% of the tape rows).
-        from airstrik_py_spark.streaming.pipeline import configure_state_partitions
-
-        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        applied = configure_state_partitions(spark, int(n_ev * 0.4))
-        print(f"stream_ss_interval_join: auto state partitions = {applied}")
-        try:
-            results["stream_ss_interval_join"] = (
-                n_ev,
-                _drain(lambda: stream_touch_conversion_pairs(ev_stream())),
-            )
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-
-        # Document ingest dedup: even doc_ids play the accepted corpus
-        # (static digest side), odd doc_ids arrive as the stream.
-        docs = load_table(spark, sf_dir, "documents")
-        corpus_digests = docs.filter(F.col("doc_id") % 2 == 0).select(
-            F.md5("text").alias("digest")
-        )
-        dn = docs.filter(F.col("doc_id") % 2 == 1).withColumn(
-            "ingest_ts",
-            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")),
-        )
-        doc_tape = f"{scratch}/docs"
-        dn.repartition(TAPE_FILES).write.parquet(doc_tape)
-        n_docs = spark.read.parquet(doc_tape).count()
-        doc_schema = spark.read.parquet(doc_tape).schema
-        results["stream_dedup_docs"] = (
-            n_docs,
-            _drain(
-                lambda: stream_dedup_docs(
-                    spark.readStream.schema(doc_schema).parquet(doc_tape),
-                    corpus_digests,
-                )
-            ),
-        )
+        per_sf: dict[str, dict[str, dict]] = {}
+        for n, d in enumerate(sf_dirs):
+            sub = f"{scratch}/sf{n}"
+            per_sf[d] = throughput_section(spark, d, sub)
+            shutil.rmtree(sub, ignore_errors=True)
 
         # ---- state-scale axis: key fan-out x state-store provider -------
         sobs = observations(spark, state_sf_dir)
@@ -300,16 +340,9 @@ def main() -> None:
 
         payload = {
             "metric": "streaming_rows_per_sec",
-            "sf_dir": sf_dir,
+            "sf_dirs": sf_dirs,
             "env": env,
-            "pipelines": {
-                name: {
-                    "rows": rows,
-                    "sec": round(sec, 3),
-                    "rows_per_sec": int(rows / sec),
-                }
-                for name, (rows, sec) in results.items()
-            },
+            "pipelines": per_sf,
             "state_scale": state_rows,
             "attribution_state_scale": attr_rows,
         }
@@ -318,17 +351,37 @@ def main() -> None:
         lines = [
             "# STREAMBENCH — Structured Streaming throughput (availableNow replay)",
             "",
-            f"sf_dir: `{sf_dir}`, {env}, {TAPE_FILES}-file parquet tape,",
-            "noop sink, best-of-2 wall-clock from query start to drain.  The",
-            "reference's live loop processes ONE snapshot per poll tick",
+            f"{env}, {TAPE_FILES}-file parquet tape,",
+            "noop sink, best-of-2 wall-clock from query start to drain; peak",
+            "state rows/MB from the best drain's stateOperators progress.",
+            "The reference's live loop processes ONE snapshot per poll tick",
             "single-threaded (airstrik.py:189-208); these are the same",
-            "semantics as keyed, watermarked streaming state:",
-            "",
-            "| pipeline | input rows | sec | rows/sec |",
-            "|---|---|---|---|",
+            "semantics as keyed, watermarked streaming state.",
         ]
-        for name, (rows, sec) in results.items():
-            lines.append(f"| {name} | {rows} | {sec:.2f} | {int(rows / sec)} |")
+        for d in sf_dirs:
+            lines += [
+                "",
+                f"## Throughput at `{d}`",
+                "",
+                "| pipeline | input rows | sec | rows/sec |"
+                " peak state rows | peak state MB |",
+                "|---|---|---|---|---|---|",
+            ]
+            for name, r in per_sf[d].items():
+                lines.append(
+                    f"| {name} | {r['rows']} | {r['sec']:.2f} |"
+                    f" {r['rows_per_sec']} | {r['state_rows_peak']} |"
+                    f" {r['state_mb_peak']} |"
+                )
+        if len(sf_dirs) > 1:
+            lines += [
+                "",
+                "Watermark boundedness across scales: peak state is set by",
+                "keys alive inside the watermark window (and by micro-batch",
+                "granularity on a drained replay), NOT by total rows",
+                "replayed — compare the state columns across the sections",
+                "above to the 10x input growth.",
+            ]
         lines += [
             "",
             "stream_trips carries the heaviest state (session_window +",

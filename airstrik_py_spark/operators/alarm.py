@@ -42,6 +42,85 @@ def matched_filters(dist: Column, alt: Column, cfg: EngineConfig) -> Column:
     return F.concat_ws(",", *parts)
 
 
+def _dead_reckoning_fold(
+    df: DataFrame, cfg: EngineConfig, heading: Column, can_sim: Column
+) -> DataFrame:
+    """The spherical D1 lane as ONE per-row array fold (r15 optimization).
+
+    The former shape — explode(sequence) -> two (hex, event_id) windows ->
+    groupBy -> join back onto `df` — made Catalyst evaluate the ENTIRE
+    upstream kinematics pipeline twice (two parquet scans, two hex
+    exchanges, double window sorts: plans/r15/alarm_dead_reckoning_before
+    .txt), because the probe and build subtrees differ and nothing reuses.
+    The simulation state for one fix depends only on that row, so the whole
+    step loop folds into a single F.aggregate over sequence(0, h-1):
+    zero extra passes, zero joins, zero exchanges beyond the kinematics
+    one, still whole-stage codegen (the lambda is a runtime loop, not an
+    h-times-inlined expression).  Step arithmetic, break order (oob checked
+    before growth, breaking step excluded — see dead_reckoning docstring)
+    and null propagation are expression-identical to the unrolled form, so
+    outputs are bit-identical (oracle-checked at sf0.001/0.01/0.1).
+    """
+    step_w = F.sequence(F.lit(0), F.lit(int(cfg.think_ahead)) - 1)
+    zero = F.struct(
+        F.lit(False).alias("broken"),
+        F.lit(None).cast("double").alias("prevd"),
+        F.lit(False).alias("ll"),
+        F.lit(None).cast("int").alias("at"),
+        F.lit(None).cast("double").alias("mr"),
+    )
+
+    def step(acc: Column, t: Column) -> Column:
+        step_km = (F.col("calc_speed") / 3600.0) * t
+        slat = dest_lat_deg(F.col("lat"), heading, step_km)
+        slon = dest_lon_deg(F.col("lat"), F.col("lon"), slat, heading, step_km)
+        sdist = haversine_km(
+            F.lit(cfg.home_lat), F.lit(cfg.home_lon), slat, slon
+        )
+        in_zone = sdist < F.lit(cfg.most_generous_dist_km)
+        oob = (F.abs(slat) > 90.0) | (F.abs(slon) > 90.0)
+        growth = in_zone & acc["prevd"].isNotNull() & (sdist > acc["prevd"])
+        return F.when(
+            acc["broken"] | oob | growth,
+            F.struct(
+                F.lit(True).alias("broken"),
+                acc["prevd"].alias("prevd"),
+                acc["ll"].alias("ll"),
+                acc["at"].alias("at"),
+                acc["mr"].alias("mr"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.lit(False).alias("broken"),
+                F.when(in_zone, sdist).otherwise(acc["prevd"]).alias("prevd"),
+                (acc["ll"] | in_zone).alias("ll"),
+                F.coalesce(acc["at"], F.when(in_zone, t)).alias("at"),
+                F.when(in_zone & acc["mr"].isNotNull(), F.least(acc["mr"], sdist))
+                .when(in_zone, sdist)
+                .otherwise(acc["mr"])
+                .alias("mr"),
+            )
+        )
+
+    alt_ok = F.col("alt_geom").isNull() | (
+        F.col("alt_geom") <= F.lit(cfg.most_generous_alt_m)
+    )
+    return (
+        df.withColumn("can_sim", can_sim)
+        .withColumn("_sim", F.when(can_sim, F.aggregate(step_w, zero, step)))
+        .withColumn("alarm_ll", F.coalesce(F.col("_sim.ll"), F.lit(False)))
+        .withColumn("alarm_time", F.coalesce(F.col("_sim.at"), F.lit(-1)))
+        .withColumn(
+            "min_radius",
+            F.when(~F.col("can_sim"), F.lit(0.0)).otherwise(
+                F.round(F.coalesce(F.col("_sim.mr"), F.lit(MIN_RADIUS_SENTINEL)), 4)
+            ),
+        )
+        .withColumn("alarm", F.col("alarm_ll") & alt_ok)
+        .drop("_sim")
+    )
+
+
 def dead_reckoning(
     df: DataFrame, cfg: EngineConfig, exact_geodesic: bool = False
 ) -> DataFrame:
@@ -75,6 +154,9 @@ def dead_reckoning(
     heading = F.coalesce(F.col("calc_heading"), F.col("nav_heading"))
     can_sim = heading.isNotNull() & F.col("calc_speed").isNotNull()
     horizon = F.lit(int(cfg.think_ahead))
+
+    if not exact_geodesic:
+        return _dead_reckoning_fold(df, cfg, heading, can_sim)
 
     sim = (
         df.select("hex", "event_id", "lat", "lon", "calc_speed", heading.alias("sim_heading"))

@@ -44,10 +44,16 @@ def _shingle_array(text: Column, n: int = 3) -> Column:
 
 
 def _spread(docs: DataFrame) -> DataFrame:
-    """Repartition small single-file inputs before the shingle explode so the
-    ~100x row blowup parallelizes.  At real scale the input arrives in many
-    splits and this is a no-op-cost round-robin."""
+    """Repartition small under-partitioned inputs before the shingle explode
+    so the ~100x row blowup parallelizes (sf-sized fixtures are one parquet
+    file -> one task).  Conditional (r15): at real scale the scan already
+    has >= core-count splits and an unconditional round-robin repartition
+    here would shuffle the ENTIRE corpus text once for nothing (plus the
+    sort-before-repartition pass every keyless repartition pays) — the
+    guard makes it a plan-time no-op exactly when it would be pure cost."""
     sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return docs
     return docs.repartition(sc.defaultParallelism)
 
 
@@ -84,17 +90,31 @@ def dedup_normalized(docs: DataFrame) -> DataFrame:
 
 def minhash_signature(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """Per-doc MinHash signature: h_i = min over shingles of md5('i|'+s).
-    One groupBy; the k minima are parallel partial aggregates."""
-    # no distinct: min() is duplicate-insensitive, so the dedup shuffle in
-    # shingles() would be pure waste here — explode feeds the agg directly
-    sh = _spread(docs).select(
-        "doc_id", F.explode(_shingle_array(F.col("text"))).alias("shingle")
+
+    Row-local (r15): the signature depends only on the doc's OWN shingles,
+    so h_i is array_min over a transform of the shingle array — no explode,
+    no groupBy.  The former explode -> groupBy(doc_id).agg(min(md5str))
+    shape planned as a DOUBLE SortAggregate (min over a var-width string
+    buffer is not hash-aggregable), i.e. a full sort of the exploded
+    shingle stream plus a doc_id exchange — at 100 TB that sorted and
+    shuffled ~100x the corpus rows for a value each row already owns
+    (plans/r15/dedup_minhash_lsh_before.txt).  Values are identical:
+    array_min is the same lexicographic min over the same md5 strings
+    (min() was duplicate-insensitive, so the non-distinct transform
+    matches), and docs with no shingles are filtered exactly as the
+    explode dropped them."""
+    def _mh(i: int):
+        # single-arg lambda: a second (defaulted) parameter would make
+        # pyspark bind the array INDEX to it, not the loop constant
+        return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
+
+    arr = _spread(docs).select(
+        "doc_id", _shingle_array(F.col("text")).alias("_sh")
+    ).filter(F.size("_sh") > 0)
+    return arr.select(
+        "doc_id",
+        *[F.array_min(F.transform("_sh", _mh(i))).alias(f"h{i}") for i in range(k)],
     )
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(k)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_band_keys(
@@ -147,21 +167,39 @@ def simhash_signature(docs: DataFrame) -> DataFrame:
     """64-bit SimHash over whitespace tokens: bit j set when the sum over
     token occurrences of ±1 is positive; the ±1 for bit j reads md5 hex
     nibble j//4 at nibble-bit (3 - j%4) — the HEX_BIT_SETS convention."""
-    tok = _spread(docs).select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    tok = tok.withColumn("h", F.md5("tok"))
-    bit_sums = [
-        F.sum(
-            F.when(
-                F.substring("h", j // 4 + 1, 1).isin(*list(HEX_BIT_SETS[j % 4])), 1
-            ).otherwise(-1)
-        ).alias(f"s{j}")
-        for j in range(SIMHASH_BITS)
-    ]
-    sums = tok.groupBy("doc_id").agg(*bit_sums)
-    sig = F.concat(
-        *[F.when(F.col(f"s{j}") > 0, F.lit("1")).otherwise(F.lit("0")) for j in range(SIMHASH_BITS)]
+    # Row-local (r15): the signature depends only on the doc's own tokens,
+    # so compute one md5 per token into an array (single pass), then fold
+    # each bit's +/-1 sum over that array — no explode, no doc_id exchange,
+    # no groupBy (the former shape shuffled a partial-agg row per doc and
+    # materialized the exploded token stream).  Same md5 count, same sums,
+    # identical sig strings; null-text docs are filtered exactly as
+    # explode(null) dropped them.
+    md5s = (
+        _spread(docs)
+        .select(
+            "doc_id",
+            F.transform(F.split("text", " "), lambda t: F.md5(t)).alias("_h"),
+        )
+        .filter(F.col("_h").isNotNull())
     )
-    return sums.select("doc_id", sig.alias("sig"))
+
+    def _bit_sum(j: int):
+        pos = j // 4 + 1
+        chars = list(HEX_BIT_SETS[j % 4])
+        return F.aggregate(
+            "_h",
+            F.lit(0),
+            lambda a, h: a
+            + F.when(F.substring(h, pos, 1).isin(*chars), 1).otherwise(-1),
+        )
+
+    sig = F.concat(
+        *[
+            F.when(_bit_sum(j) > 0, F.lit("1")).otherwise(F.lit("0"))
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    return md5s.select("doc_id", sig.alias("sig"))
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:

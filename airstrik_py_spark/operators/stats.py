@@ -33,18 +33,34 @@ def day_str(sec_col, cfg: EngineConfig):
 
 def daily_stats(trips_df: DataFrame, cfg: EngineConfig) -> DataFrame:
     """A1 — per local day of trip close: unique_planes, total_trips,
-    unique_alarm_planes, total_alarm_trips (airstrik.py:668-691)."""
-    return (
+    unique_alarm_planes, total_alarm_trips (airstrik.py:668-691).
+
+    Shape (r15): explicit two-level aggregation instead of two
+    countDistincts in one groupBy.  The multi-distinct form planned an
+    Expand that tripled every trip row before the first exchange (gid=1
+    for flight_id, gid=2 for the alarmed projection, gid=0 for the plain
+    counts — plans/r15/agg_daily_stats_before.txt); the (day, flight_id)
+    partial level shuffles each row once, needs NO new exchange when the
+    input is already hash-partitioned by flight_id (the sessionize chain
+    is), and the day level then aggregates one row per (day, plane).
+    Values are identical: counts/sums are exact, and count(flight_id)
+    over the per-plane level reproduces countDistinct's null handling
+    (null planes counted in totals, never in uniques)."""
+    per_plane = (
         trips_df.withColumn("day", day_str(F.col("end_sec"), cfg))
-        .groupBy("day")
+        .groupBy("day", "flight_id")
         .agg(
-            F.countDistinct("flight_id").alias("unique_planes"),
-            F.count("*").alias("total_trips"),
-            F.countDistinct(F.when(F.col("alarmed"), F.col("flight_id"))).alias(
-                "unique_alarm_planes"
-            ),
-            F.sum(F.when(F.col("alarmed"), 1).otherwise(0)).alias("total_alarm_trips"),
+            F.count("*").alias("_n_trips"),
+            F.sum(F.when(F.col("alarmed"), 1).otherwise(0)).alias("_n_alarm"),
         )
+    )
+    return per_plane.groupBy("day").agg(
+        F.count("flight_id").alias("unique_planes"),
+        F.sum("_n_trips").alias("total_trips"),
+        F.count(F.when(F.col("_n_alarm") > 0, F.col("flight_id"))).alias(
+            "unique_alarm_planes"
+        ),
+        F.sum("_n_alarm").alias("total_alarm_trips"),
     )
 
 

@@ -105,9 +105,27 @@ def _dead_reckoning_fold(
     alt_ok = F.col("alt_geom").isNull() | (
         F.col("alt_geom") <= F.lit(cfg.most_generous_alt_m)
     )
+    # Materialize the fold ONCE PER ROW behind a Generate barrier (r15 —
+    # the round's single biggest win).  `F.aggregate` is a higher-order
+    # function: it runs INTERPRETED (CodegenFallback, no whole-stage
+    # codegen and no common-subexpression elimination), and a plain
+    # `withColumn("_sim", ...)` is a Project that CollapseProject inlines
+    # into every downstream expression that references a derived column —
+    # alarm_payload's filter/eta alone re-inlined the whole 60-step fold
+    # several times over, and each inlined copy re-evaluates the loop per
+    # row (measured: alarm_payload noop at sf0.1 was 412 s against 7-13 s
+    # for dead_reckoning itself; sink_kafka_alert profiled at 394 s).
+    # explode(array(x)) evaluates x exactly once per input row inside a
+    # Generate node — a plan barrier CollapseProject cannot cross — so
+    # `_sim` becomes a materialized ATTRIBUTE and every downstream
+    # reference is a field access, not a fold re-evaluation.  A 1-element
+    # array explode never drops or duplicates rows (explode skips only
+    # empty arrays; a NULL element passes through as a NULL value).
     return (
         df.withColumn("can_sim", can_sim)
-        .withColumn("_sim", F.when(can_sim, F.aggregate(step_w, zero, step)))
+        .withColumn(
+            "_sim", F.explode(F.array(F.when(can_sim, F.aggregate(step_w, zero, step))))
+        )
         .withColumn("alarm_ll", F.coalesce(F.col("_sim.ll"), F.lit(False)))
         .withColumn("alarm_time", F.coalesce(F.col("_sim.at"), F.lit(-1)))
         .withColumn(

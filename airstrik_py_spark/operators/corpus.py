@@ -808,6 +808,7 @@ def salted_sample_candidates(
     quota: int = STRAT_QUOTA,
     buckets: int = 8,
     id_col: str = "doc_id",
+    extra_part: tuple = (),
 ) -> DataFrame:
     """Phase 1 of the two-phase salted per-stratum top-`quota` (shared by
     stratified_sample_exact and pipeline_corpus_release): rank rows within
@@ -818,11 +819,18 @@ def salted_sample_candidates(
     partitions by the bare stratum key, so a hot stratum cannot funnel
     through one partition at 100 TB.  The salt bucket derives from the
     already-materialized digest (no second md5 per row).  Adds columns:
-    `h` (order hash) and `r1` (phase-1 rank)."""
+    `h` (order hash) and `r1` (phase-1 rank).
+
+    `extra_part` (r15): additional partition columns for callers that rank
+    an UNFILTERED frame — partitioning by a boolean eligibility flag ranks
+    the eligible rows exactly as a pre-filtered frame would (a subset's
+    row_number under the same ordering is order-isomorphic), letting one
+    frame feed both the sample and unconditional rollups without being
+    evaluated twice."""
     h = F.md5(F.concat(F.lit(STRAT_SALT), F.col(id_col).cast("string")))
     d = df.withColumn("h", h)
     salt = F.expr(f"CAST(conv(substring(h, 1, 2), 16, 10) AS INT) % {buckets}")
-    w = Window.partitionBy(part, salt).orderBy("h", id_col)
+    w = Window.partitionBy(part, salt, *extra_part).orderBy("h", id_col)
     return d.withColumn("r1", F.row_number().over(w))
 
 

@@ -313,6 +313,54 @@ def dedup_clusters(pairs: DataFrame) -> DataFrame:
 NGRAM_DF_MAX = 50  # drop shingles shared by more than this many docs
 
 
+def _capped_pair_counts(docs: DataFrame, n: int, df_max: int):
+    """Shared candidate core of the DF-capped n-gram measures
+    (jaccard / containment): per-doc capped-shingle sizes and the
+    shared-shingle pair intersection counts.
+
+    Pair generation (r15 — replaces the bucket SELF-JOIN): after the
+    DF-cap join every shingle bucket holds <= df_max doc_ids, so the
+    bucket's C(d,2) ordered pairs are generated ROW-LOCALLY from a
+    sort_array(collect_list(doc_id)) — bounded memory by construction —
+    on the shingle partitioning the DF join already established (no new
+    exchange).  The former a×b self-join fed the pair aggregation d^2
+    rows per bucket through a rebuilt+broadcast b-side subtree (the whole
+    capped index materialized into every task: plans/r15/
+    dedup_ngram_jaccard_before.txt ops 20-27); this emits exactly the
+    C(d,2) = d(d-1)/2 surviving pairs and touches the index once.
+    Results are identical: sort_array orders each bucket ascending, so
+    (ids[i], ids[j]) with i < j enumerates precisely the doc_a < doc_b
+    pairs the join's `a.doc_id < b.doc_id` condition kept (doc_ids are
+    unique per bucket — shingles are array_distinct per doc upstream)."""
+    sh_all = shingles(docs, n)
+    capped_vocab = (
+        sh_all.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= F.lit(df_max))
+        .drop("df")
+    )
+    sh = sh_all.join(capped_vocab.hint("shuffle_hash"), "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    buckets = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + F.lit(2), F.lit(df_max)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    inter = (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return sizes, inter
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, threshold: float, n: int = 3, df_max: int = NGRAM_DF_MAX
 ) -> DataFrame:
@@ -336,27 +384,10 @@ def ngram_jaccard_pairs(
     map-side-combined groupBy — hot shingles collapse to one partial row
     per map task — and the capped vocabulary joins back as the BUILD side
     of a shuffled-hash join whose probe STREAMS the shingle rows, so a
-    hot key costs streaming time, never a sort.  The self-join then
-    reuses the same shingle-hash exchange."""
-    sh_all = shingles(docs, n)
-    capped_vocab = (
-        sh_all.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= F.lit(df_max))
-        .drop("df")
-    )
-    sh = sh_all.join(capped_vocab.hint("shuffle_hash"), "shingle")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_inter"))
-    )
+    hot key costs streaming time, never a sort.  Candidate pairs come
+    from bounded per-bucket generation (r15, _capped_pair_counts), not a
+    bucket self-join."""
+    sizes, inter = _capped_pair_counts(docs, n, df_max)
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     jac = (
@@ -460,31 +491,13 @@ def ngram_containment_pairs(
     screens on max(C(A in B), C(B in A)) (Broder's containment measure).
 
     Same scale contract as ngram_jaccard_pairs: candidates from the
-    DF-capped inverted-index equi-join (per-key fan-out bounded by
-    df_max^2, never all-pairs); containment is computed over the capped
-    vocabulary so it stays a true set ratio.  The shingle-hash exchange is
-    shared by the DF rollup, the per-doc sizes, and the self-join —
-    ratios round to 4 dp AFTER exact integer counts, keeping the verdict
-    bit-stable across engines."""
-    sh_all = shingles(docs, n)
-    capped_vocab = (
-        sh_all.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= F.lit(df_max))
-        .drop("df")
-    )
-    sh = sh_all.join(capped_vocab.hint("shuffle_hash"), "shingle")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_inter"))
-    )
+    DF-capped inverted index (per-key fan-out bounded by C(df_max, 2),
+    never all-pairs — bounded row-local pair generation, see
+    _capped_pair_counts); containment is computed over the capped
+    vocabulary so it stays a true set ratio.  Ratios round to 4 dp AFTER
+    exact integer counts, keeping the verdict bit-stable across
+    engines."""
+    sizes, inter = _capped_pair_counts(docs, n, df_max)
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     c = (

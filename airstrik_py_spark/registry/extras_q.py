@@ -466,7 +466,6 @@ def q_pipeline_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     acc = d.withColumn("first_wins", first).withColumn(
         "accept", F.col("gate_keep") & F.col("lr_keep") & F.col("first_wins")
     )
-    accepted = acc.filter("accept")
     # Per-source quota via the TWO-PHASE salted top-k: phase 1 is the
     # shared operators/corpus.py::salted_sample_candidates (a bare
     # partitionBy("source") window would funnel every accepted row of a
@@ -479,11 +478,20 @@ def q_pipeline_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the same cost shape as the old single-window form, minus its skew.
     # Output is identical to the unsalted single-window form the DuckDB
     # oracle keeps.
+    #
+    # ONE aggregation branch (r15): the sample window ranks the UNFILTERED
+    # frame partitioned additionally by `accept` (rank among accepted rows
+    # is unchanged — see salted_sample_candidates), so a single
+    # groupBy("source") computes the doc/gate/lr rollup AND the accepted
+    # sample fold in one pass.  The former two-branch shape evaluated the
+    # whole upstream (LR scores + digest window + doc_id join) TWICE and
+    # re-joined the rollups; plan diff in plans/r15/
+    # pipeline_corpus_release_{before,after}.txt.
     from airstrik_py_spark.operators.corpus import salted_sample_candidates
 
-    frame = salted_sample_candidates(accepted, quota=10)
+    frame = salted_sample_candidates(acc, quota=10, extra_part=("accept",))
     cand_struct = F.when(
-        F.col("r1") <= 10,
+        F.col("accept") & (F.col("r1") <= 10),
         F.struct(
             F.col("h"),
             F.col("doc_id").alias("d"),
@@ -493,28 +501,27 @@ def q_pipeline_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     top10 = F.slice(F.array_sort(F.collect_list(cand_struct)), 1, 10)
-    roll_acc = frame.groupBy("source").agg(
-        F.count("*").alias("n_accepted"),
-        top10.alias("top10"),
-    ).select(
-        "source",
-        "n_accepted",
-        F.size("top10").cast("long").alias("n_sampled"),
-        F.aggregate(
-            "top10", F.lit(0).cast("long"), lambda a, x: a + x["t"]
-        ).alias("tokens_sampled"),
-    )
-    roll = acc.groupBy("source").agg(
-        F.count("*").alias("n_docs"),
-        F.sum(F.col("gate_keep").cast("int")).alias("n_gate"),
-        F.sum((F.col("gate_keep") & F.col("lr_keep")).cast("int")).alias("n_lr"),
-    )
     return (
-        roll.join(F.broadcast(roll_acc), "source", "left")
-        .withColumn("n_accepted", F.coalesce("n_accepted", F.lit(0)))
-        .withColumn("n_sampled", F.coalesce("n_sampled", F.lit(0).cast("long")))
-        .withColumn(
-            "tokens_sampled", F.coalesce("tokens_sampled", F.lit(0).cast("long"))
+        frame.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("gate_keep").cast("int")).alias("n_gate"),
+            F.sum((F.col("gate_keep") & F.col("lr_keep")).cast("int")).alias(
+                "n_lr"
+            ),
+            F.sum(F.col("accept").cast("int")).cast("long").alias("n_accepted"),
+            top10.alias("top10"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_gate",
+            "n_lr",
+            "n_accepted",
+            F.size("top10").cast("long").alias("n_sampled"),
+            F.aggregate(
+                "top10", F.lit(0).cast("long"), lambda a, x: a + x["t"]
+            ).alias("tokens_sampled"),
         )
     )
 

@@ -42,100 +42,107 @@ def matched_filters(dist: Column, alt: Column, cfg: EngineConfig) -> Column:
     return F.concat_ws(",", *parts)
 
 
-def _dead_reckoning_fold(
+def _dead_reckoning_steps(
     df: DataFrame, cfg: EngineConfig, heading: Column, can_sim: Column
 ) -> DataFrame:
-    """The spherical D1 lane as ONE per-row array fold (r15 optimization).
+    """The spherical D1 lane as ONE explode+window pass (r16 adjudication).
 
-    The former shape — explode(sequence) -> two (hex, event_id) windows ->
-    groupBy -> join back onto `df` — made Catalyst evaluate the ENTIRE
-    upstream kinematics pipeline twice (two parquet scans, two hex
-    exchanges, double window sorts: plans/r15/alarm_dead_reckoning_before
-    .txt), because the probe and build subtrees differ and nothing reuses.
-    The simulation state for one fix depends only on that row, so the whole
-    step loop folds into a single F.aggregate over sequence(0, h-1):
-    zero extra passes, zero joins, zero exchanges beyond the kinematics
-    one, still whole-stage codegen (the lambda is a runtime loop, not an
-    h-times-inlined expression).  Step arithmetic, break order (oob checked
-    before growth, breaking step excluded — see dead_reckoning docstring)
-    and null propagation are expression-identical to the unrolled form, so
-    outputs are bit-identical (oracle-checked at sf0.001/0.01/0.1).
+    History of the shape, because this lane has now been measured three
+    ways: (r14) explode(sequence) -> windows -> groupBy -> JOIN back onto
+    `df` evaluated the ENTIRE upstream kinematics pipeline twice (probe
+    and build subtrees differ, nothing reuses: plans/r15/
+    alarm_dead_reckoning_before.txt); (r15) one per-row `F.aggregate`
+    fold killed the join and the 60x row blowup, but higher-order
+    functions are CodegenFallback — the 60-step loop ran INTERPRETED per
+    row, which the r15 paired A/B flagged as a bench-scale regression.
+    This r16 shape takes the best of both: explode ALL rows (can_sim
+    rows fan out to the think_ahead steps, non-sim rows to a single t=0
+    row so none are lost), compute every step position/distance/flag in
+    whole-stage codegen, resolve the break/alarm aggregates as WINDOW
+    functions over (hex, event_id), and keep only the t=0 row — one
+    upstream evaluation, zero joins, zero interpreted expressions.  The
+    window sort is partition-local: the input is already hash-clustered
+    by hex (hashpartitioning(hex) satisfies the window's (hex, event_id)
+    clustering requirement), so no new exchange is introduced.
+
+    Replicated break semantics (bit-identical to both prior shapes,
+    oracle-checked): steps at or after the first out-of-bounds or
+    distance-growth step are dead; the growth-break step's own flags
+    can never change the outputs (it is in-zone with a prior in-zone
+    step, so alarm_ll/alarm_time are already set and its dist exceeds
+    the running min), so `t < first_break` suffices.
     """
-    step_w = F.sequence(F.lit(0), F.lit(int(cfg.think_ahead)) - 1)
-    zero = F.struct(
-        F.lit(False).alias("broken"),
-        F.lit(None).cast("double").alias("prevd"),
-        F.lit(False).alias("ll"),
-        F.lit(None).cast("int").alias("at"),
-        F.lit(None).cast("double").alias("mr"),
-    )
-
-    def step(acc: Column, t: Column) -> Column:
-        step_km = (F.col("calc_speed") / 3600.0) * t
-        slat = dest_lat_deg(F.col("lat"), heading, step_km)
-        slon = dest_lon_deg(F.col("lat"), F.col("lon"), slat, heading, step_km)
-        sdist = haversine_km(
-            F.lit(cfg.home_lat), F.lit(cfg.home_lon), slat, slon
-        )
-        in_zone = sdist < F.lit(cfg.most_generous_dist_km)
-        oob = (F.abs(slat) > 90.0) | (F.abs(slon) > 90.0)
-        growth = in_zone & acc["prevd"].isNotNull() & (sdist > acc["prevd"])
-        return F.when(
-            acc["broken"] | oob | growth,
-            F.struct(
-                F.lit(True).alias("broken"),
-                acc["prevd"].alias("prevd"),
-                acc["ll"].alias("ll"),
-                acc["at"].alias("at"),
-                acc["mr"].alias("mr"),
+    horizon = F.lit(int(cfg.think_ahead))
+    sim = (
+        df.withColumn("can_sim", can_sim)
+        .withColumn("_shdg", heading)
+        .withColumn(
+            "_t",
+            F.explode(
+                F.when(F.col("can_sim"), F.sequence(F.lit(0), horizon - 1)).otherwise(
+                    F.array(F.lit(0))
+                )
             ),
-        ).otherwise(
-            F.struct(
-                F.lit(False).alias("broken"),
-                F.when(in_zone, sdist).otherwise(acc["prevd"]).alias("prevd"),
-                (acc["ll"] | in_zone).alias("ll"),
-                F.coalesce(acc["at"], F.when(in_zone, t)).alias("at"),
-                F.when(in_zone & acc["mr"].isNotNull(), F.least(acc["mr"], sdist))
-                .when(in_zone, sdist)
-                .otherwise(acc["mr"])
-                .alias("mr"),
-            )
         )
+    )
+    step_km = (F.col("calc_speed") / 3600.0) * F.col("_t")
+    slat = dest_lat_deg(F.col("lat"), F.col("_shdg"), step_km)
+    sim = sim.withColumn("_slat", slat)
+    sim = sim.withColumn(
+        "_slon",
+        dest_lon_deg(F.col("lat"), F.col("lon"), F.col("_slat"), F.col("_shdg"), step_km),
+    )
+    sim = sim.withColumn(
+        "_sdist",
+        haversine_km(F.lit(cfg.home_lat), F.lit(cfg.home_lon), F.col("_slat"), F.col("_slon")),
+    )
+    in_zone = F.col("can_sim") & (F.col("_sdist") < F.lit(cfg.most_generous_dist_km))
+    oob = (F.abs(F.col("_slat")) > 90.0) | (F.abs(F.col("_slon")) > 90.0)
+
+    step_w = Window.partitionBy("hex", "event_id").orderBy("_t")
+    before = step_w.rowsBetween(Window.unboundedPreceding, -1)
+    full_w = Window.partitionBy("hex", "event_id")
+
+    prev_zone_dist = F.last(F.when(in_zone, F.col("_sdist")), ignorenulls=True).over(before)
+    growth = in_zone & prev_zone_dist.isNotNull() & (F.col("_sdist") > prev_zone_dist)
+    flagged = sim.withColumn("_in_zone", in_zone).withColumn(
+        "_b_oob", F.min(F.when(oob, F.col("_t"))).over(full_w)
+    ).withColumn("_b_grow", F.min(F.when(growth, F.col("_t"))).over(full_w))
+
+    live = F.col("_t") < F.least(
+        F.coalesce(F.col("_b_oob"), horizon), F.coalesce(F.col("_b_grow"), horizon)
+    )
+    agg = (
+        flagged.withColumn(
+            "_sim_ll", F.max(F.when(live, F.col("_in_zone"))).over(full_w)
+        )
+        .withColumn(
+            "_sim_at", F.min(F.when(live & F.col("_in_zone"), F.col("_t"))).over(full_w)
+        )
+        .withColumn(
+            "_sim_mr",
+            F.min(F.when(live & F.col("_in_zone"), F.col("_sdist"))).over(full_w),
+        )
+    )
 
     alt_ok = F.col("alt_geom").isNull() | (
         F.col("alt_geom") <= F.lit(cfg.most_generous_alt_m)
     )
-    # Materialize the fold ONCE PER ROW behind a Generate barrier (r15 —
-    # the round's single biggest win).  `F.aggregate` is a higher-order
-    # function: it runs INTERPRETED (CodegenFallback, no whole-stage
-    # codegen and no common-subexpression elimination), and a plain
-    # `withColumn("_sim", ...)` is a Project that CollapseProject inlines
-    # into every downstream expression that references a derived column —
-    # alarm_payload's filter/eta alone re-inlined the whole 60-step fold
-    # several times over, and each inlined copy re-evaluates the loop per
-    # row (measured: alarm_payload noop at sf0.1 was 412 s against 7-13 s
-    # for dead_reckoning itself; sink_kafka_alert profiled at 394 s).
-    # explode(array(x)) evaluates x exactly once per input row inside a
-    # Generate node — a plan barrier CollapseProject cannot cross — so
-    # `_sim` becomes a materialized ATTRIBUTE and every downstream
-    # reference is a field access, not a fold re-evaluation.  A 1-element
-    # array explode never drops or duplicates rows (explode skips only
-    # empty arrays; a NULL element passes through as a NULL value).
     return (
-        df.withColumn("can_sim", can_sim)
-        .withColumn(
-            "_sim", F.explode(F.array(F.when(can_sim, F.aggregate(step_w, zero, step))))
-        )
-        .withColumn("alarm_ll", F.coalesce(F.col("_sim.ll"), F.lit(False)))
-        .withColumn("alarm_time", F.coalesce(F.col("_sim.at"), F.lit(-1)))
+        agg.filter(F.col("_t") == 0)
+        .withColumn("alarm_ll", F.coalesce(F.col("_sim_ll"), F.lit(False)))
+        .withColumn("alarm_time", F.coalesce(F.col("_sim_at"), F.lit(-1)))
         .withColumn(
             "min_radius",
             F.when(~F.col("can_sim"), F.lit(0.0)).otherwise(
-                F.round(F.coalesce(F.col("_sim.mr"), F.lit(MIN_RADIUS_SENTINEL)), 4)
+                F.round(F.coalesce(F.col("_sim_mr"), F.lit(MIN_RADIUS_SENTINEL)), 4)
             ),
         )
         .withColumn("alarm", F.col("alarm_ll") & alt_ok)
-        .drop("_sim")
+        .drop(
+            "_shdg", "_t", "_slat", "_slon", "_sdist", "_in_zone",
+            "_b_oob", "_b_grow", "_sim_ll", "_sim_at", "_sim_mr",
+        )
     )
 
 
@@ -174,7 +181,7 @@ def dead_reckoning(
     horizon = F.lit(int(cfg.think_ahead))
 
     if not exact_geodesic:
-        return _dead_reckoning_fold(df, cfg, heading, can_sim)
+        return _dead_reckoning_steps(df, cfg, heading, can_sim)
 
     sim = (
         df.select("hex", "event_id", "lat", "lon", "calc_speed", heading.alias("sim_heading"))

@@ -93,7 +93,14 @@ def quality_lr_fit_score(docs: DataFrame, iters: int = LR_ITERS) -> DataFrame:
     n_part = int(
         docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    if docs.rdd.getNumPartitions() < n_part:
+    # file-count probe, not docs.rdd.getNumPartitions(): .rdd forces full
+    # analysis + physical planning + a Python-RDD conversion at every
+    # plan build (r16, same fix as dedup._spread / ADVICE r15)
+    try:
+        n_files = len(docs.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files < n_part:
         docs = docs.repartition(n_part)
     feats = _features(docs).localCheckpoint()
     # Driver-carried model state: the weight vector is N_FEATS=4 integers —

@@ -8,9 +8,10 @@ expressions wherever possible, every shuffle accounted for, and a DuckDB
 oracle mirror per query (registry/text_q.py).
 
 Scale notes (100 TB):
-  * repetition_signals — map-only, zero shuffle.  The per-doc top-term scan
-    is O(unique x total) tokens per document, bounded by document length,
-    never by corpus size.
+  * repetition_signals — map-only, zero shuffle.  The per-doc top-term
+    count is a sort + single run-length fold, O(n log n) in document
+    length (r16; the old nested scan was O(unique x total)), never
+    corpus-size-dependent.
   * domain_balance — two tiny aggregates (per-source totals: one
     map-side-combined shuffle on a low-cardinality key, then a 1-row
     rollup) broadcast back onto the doc stream; the keep/drop decision is a
@@ -38,6 +39,30 @@ PACK_SALT = "pack|"
 LM_MICRO = 1_000_000
 
 
+def _max_multiplicity(arr: Column) -> Column:
+    """Highest multiplicity of any element of `arr` (int; null for a null
+    array), as max run length over the SORTED array — one O(n log n)
+    codegen sort + ONE O(n) fold, replacing the r15-profiled O(unique x
+    total) nested transform/filter scan (guide §1.2 per-task work: at
+    ~200-word docs that was ~40k interpreted element evals per doc and
+    15.6 s of the sf0.1 profile; this shape is ~200 per doc).  Equal
+    elements are adjacent after array_sort, so the longest run IS the top
+    element count — exact for any multiset, independent of sort order."""
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc: Column, w: Column) -> Column:
+        run = F.when(acc["prev"].eqNullSafe(w), acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            w.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    return F.aggregate(F.array_sort(arr), zero, step, lambda acc: acc["best"])
+
+
 def repetition_signals(docs: DataFrame) -> DataFrame:
     """Gopher-style repetition measurements, pure map stage: duplicate-word
     fraction (1 - distinct/total), most-frequent-word share, and
@@ -46,11 +71,7 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
     d = docs.withColumn("words", F.split("text", " "))
     n = F.size("words")
     uniq = F.array_distinct("words")
-    top_word = F.array_max(
-        F.transform(
-            uniq, lambda u: F.size(F.filter(F.col("words"), lambda w: w == u))
-        )
-    )
+    top_word = _max_multiplicity(F.col("words"))
     # sequence() runs BACKWARDS when stop < start -> explicit empty branch
     grams = F.expr(
         "CASE WHEN size(words) >= 2 THEN "
@@ -61,13 +82,7 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
     top_gram_frac = F.when(
         F.size(grams) > 0,
         F.round(
-            F.array_max(
-                F.transform(
-                    F.array_distinct(grams),
-                    lambda g: F.size(F.filter(grams, lambda x: x == g)),
-                )
-            ).cast("double")
-            / F.size(grams).cast("double"),
+            _max_multiplicity(grams).cast("double") / F.size(grams).cast("double"),
             6,
         ),
     ).otherwise(F.lit(0.0))

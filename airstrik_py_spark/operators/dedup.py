@@ -50,9 +50,24 @@ def _spread(docs: DataFrame) -> DataFrame:
     has >= core-count splits and an unconditional round-robin repartition
     here would shuffle the ENTIRE corpus text once for nothing (plus the
     sort-before-repartition pass every keyless repartition pays) — the
-    guard makes it a plan-time no-op exactly when it would be pure cost."""
+    guard makes it a plan-time no-op exactly when it would be pure cost.
+
+    Guard probe (r16): the r15 guard called docs.rdd.getNumPartitions(),
+    which forces full analysis + physical planning + a Python-RDD
+    conversion of the frame at every call, per query build — driver-side
+    work proportional to plan size that also defeats plan caching (ADVICE
+    r15).  inputFiles() only analyzes the logical plan and reads the
+    scan's file listing: a scan split across >= core-count files is
+    already parallel enough for the explode (splits >= files), while the
+    single-file sf fixtures keep the spread.  Frames with no file scan
+    (in-memory test frames) report zero files and keep the spread too —
+    the safe side."""
     sc = docs.sparkSession.sparkContext
-    if docs.rdd.getNumPartitions() >= sc.defaultParallelism:
+    try:
+        n_files = len(docs.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files >= sc.defaultParallelism:
         return docs
     return docs.repartition(sc.defaultParallelism)
 
@@ -90,31 +105,30 @@ def dedup_normalized(docs: DataFrame) -> DataFrame:
 
 def minhash_signature(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """Per-doc MinHash signature: h_i = min over shingles of md5('i|'+s).
+    One groupBy; the k minima are parallel partial aggregates.
 
-    Row-local (r15): the signature depends only on the doc's OWN shingles,
-    so h_i is array_min over a transform of the shingle array — no explode,
-    no groupBy.  The former explode -> groupBy(doc_id).agg(min(md5str))
-    shape planned as a DOUBLE SortAggregate (min over a var-width string
-    buffer is not hash-aggregable), i.e. a full sort of the exploded
-    shingle stream plus a doc_id exchange — at 100 TB that sorted and
-    shuffled ~100x the corpus rows for a value each row already owns
-    (plans/r15/dedup_minhash_lsh_before.txt).  Values are identical:
-    array_min is the same lexicographic min over the same md5 strings
-    (min() was duplicate-insensitive, so the non-distinct transform
-    matches), and docs with no shingles are filtered exactly as the
-    explode dropped them."""
-    def _mh(i: int):
-        # single-arg lambda: a second (defaulted) parameter would make
-        # pyspark bind the array INDEX to it, not the loop constant
-        return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
-
-    arr = _spread(docs).select(
-        "doc_id", _shingle_array(F.col("text")).alias("_sh")
-    ).filter(F.size("_sh") > 0)
-    return arr.select(
-        "doc_id",
-        *[F.array_min(F.transform("_sh", _mh(i))).alias(f"h{i}") for i in range(k)],
+    Shape adjudicated r16 (the r15 row-local rewrite was a CONFIRMED bench
+    regression — driver 0.60x, paired A/B +286%): `array_min(transform(
+    _sh, md5))` per hash is a higher-order function, i.e. CodegenFallback
+    INTERPRETED evaluation of k*|shingles| md5 lambdas per row, and it
+    lost to this explode+groupBy form — whose md5s run inside whole-stage
+    codegen — at every measured scale.  The groupBy(doc_id).agg(min(str))
+    pair plans as SortAggregate (min over var-width strings has no
+    fixed-width hash-agg buffer): the map-side partial sorts the exploded
+    shingle stream but collapses it to ONE row per doc BEFORE the
+    exchange, so the doc_id shuffle moves ~docs rows, not ~shingles rows —
+    the scale cost is the partial sort, which the A/B shows is far cheaper
+    than interpreted md5 evaluation."""
+    # no distinct: min() is duplicate-insensitive, so the dedup shuffle in
+    # shingles() would be pure waste here — explode feeds the agg directly
+    sh = _spread(docs).select(
+        "doc_id", F.explode(_shingle_array(F.col("text"))).alias("shingle")
     )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_band_keys(
@@ -163,17 +177,32 @@ def lsh_candidate_pairs(docs: DataFrame, k: int = MINHASH_K, rows_per_band: int 
     )
 
 
-def simhash_signature(docs: DataFrame) -> DataFrame:
-    """64-bit SimHash over whitespace tokens: bit j set when the sum over
-    token occurrences of ±1 is positive; the ±1 for bit j reads md5 hex
-    nibble j//4 at nibble-bit (3 - j%4) — the HEX_BIT_SETS convention."""
-    # Row-local (r15): the signature depends only on the doc's own tokens,
-    # so compute one md5 per token into an array (single pass), then fold
-    # each bit's +/-1 sum over that array — no explode, no doc_id exchange,
-    # no groupBy (the former shape shuffled a partial-agg row per doc and
-    # materialized the exploded token stream).  Same md5 count, same sums,
-    # identical sig strings; null-text docs are filtered exactly as
-    # explode(null) dropped them.
+def _simhash_block_ints(docs: DataFrame) -> DataFrame:
+    """(doc_id, b0..b{SIMHASH_BLOCKS-1}): the 64-bit SimHash as 16-bit
+    block INTEGERS — block b holds signature bits 16b..16b+15, bit j at
+    weight 2^(15 - j%16).  The compact form every simhash consumer
+    derives from: block ints are the bucket-join keys directly, and two
+    64-bit signatures compare in one xor+popcount.
+
+    Shape adjudicated r16 — the r15 row-local fold WINS for simhash
+    (unlike minhash, where the same adjudication reverted to
+    explode+groupBy): measured at sf0.1 (noop, min-of-2, quiet box) the
+    row-local signature costs 1.1 s vs 3.5 s for an explode + codegen-md5
+    + packed-counter HashAggregate and ~22 s for the r14 explode+64-agg
+    form (3-way A/B medians for the whole pairs query: 5.6 / 22.1 /
+    22.0 s).  Here the explode fans the token stream out only to
+    aggregate it straight back per doc, so the interpreted fold's
+    overhead never catches the exchange + fan-out it avoids.  One md5
+    per token into an array (single pass), then each bit's +/-1 sum
+    folds over that array — no explode of tokens, no doc_id exchange.
+    Null-text docs are filtered exactly as explode(null) dropped them.
+
+    The 64 interpreted bit-folds are materialized behind a Generate
+    barrier (explode of a 1-element array — the r15 alarm lesson):
+    without it CollapseProject re-inlines the folds into every
+    downstream reference (the block keys, the signature long, the sig
+    string) and each reference re-runs all 64 folds per row.
+    """
     md5s = (
         _spread(docs)
         .select(
@@ -193,13 +222,50 @@ def simhash_signature(docs: DataFrame) -> DataFrame:
             + F.when(F.substring(h, pos, 1).isin(*chars), 1).otherwise(-1),
         )
 
+    block_w = SIMHASH_BITS // SIMHASH_BLOCKS
+
+    def _bval(b: int):
+        return sum(
+            F.when(_bit_sum(block_w * b + l) > 0, F.lit(1 << (block_w - 1 - l)))
+            .otherwise(F.lit(0))
+            for l in range(block_w)
+        )
+
+    bv = md5s.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(*[_bval(b).alias(f"b{b}") for b in range(SIMHASH_BLOCKS)])
+            )
+        ).alias("_bv"),
+    )
+    return bv.select(
+        "doc_id", *[F.col(f"_bv.b{b}").alias(f"b{b}") for b in range(SIMHASH_BLOCKS)]
+    )
+
+
+def simhash_signature(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash over whitespace tokens: bit j set when the sum over
+    token occurrences of ±1 is positive; the ±1 for bit j reads md5 hex
+    nibble j//4 at nibble-bit (3 - j%4) — the HEX_BIT_SETS convention.
+    The '0'/'1' string renders from the block-int core (one shift+mask
+    per bit, codegen) — same strings as the direct concat, single source
+    of truth for the fold."""
+    bi = _simhash_block_ints(docs)
+    block_w = SIMHASH_BITS // SIMHASH_BLOCKS
     sig = F.concat(
         *[
-            F.when(_bit_sum(j) > 0, F.lit("1")).otherwise(F.lit("0"))
+            F.when(
+                F.shiftright(
+                    F.col(f"b{j // block_w}"), block_w - 1 - (j % block_w)
+                ).bitwiseAND(F.lit(1))
+                == 1,
+                F.lit("1"),
+            ).otherwise(F.lit("0"))
             for j in range(SIMHASH_BITS)
         ]
     )
-    return md5s.select("doc_id", sig.alias("sig"))
+    return bi.select("doc_id", sig.alias("sig"))
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
@@ -208,20 +274,28 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     hamming<=3).  Bucket work is Sum(bucket^2) over 65536 values per
     block: linear until corpora approach ~10^6 docs per bucket value, at
     which point SIMHASH_BITS grows (bits scale with log2 of corpus —
-    same rule as SRP_BITS, SCALE.md)."""
-    sig = simhash_signature(docs)
+    same rule as SRP_BITS, SCALE.md).
+
+    r16: the join keys are the 16-bit block INTS (not 16-char '0'/'1'
+    substrings) and hamming is ONE xor+bit_count over the packed 64-bit
+    signature longs instead of 64 per-pair substring comparisons —
+    identical pairs and distances (bval int equality <=> block bit
+    equality; popcount(xor) IS the differing-bit count), ~4x less
+    shuffle width per candidate row and all-codegen pair scoring.
+    Measured sf0.1: 7.3 s (string keys + substring hamming, single fold
+    eval) -> 3.3 s; the committed r15 shape, which also re-ran the bit
+    folds per block reference, 5.6 s."""
+    bi = _simhash_block_ints(docs)
     block_w = SIMHASH_BITS // SIMHASH_BLOCKS
-    blocks = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("blk"),
-                F.substring("sig", b * block_w + 1, block_w).alias("bval"),
-            )
-            for b in range(SIMHASH_BLOCKS)
-        ]
-    )
-    keyed = sig.select("doc_id", "sig", F.explode(blocks).alias("bk")).select(
-        "doc_id", "sig", F.col("bk.blk").alias("blk"), F.col("bk.bval").alias("bval")
+    sig_long = F.col("b0").cast("long")
+    for b in range(1, SIMHASH_BLOCKS):
+        sig_long = F.shiftleft(sig_long, block_w).bitwiseOR(F.col(f"b{b}").cast("long"))
+    keyed = bi.withColumn("sigl", sig_long).select(
+        "doc_id",
+        "sigl",
+        F.posexplode(F.array(*[f"b{b}" for b in range(SIMHASH_BLOCKS)])).alias(
+            "blk", "bval"
+        ),
     )
     a, b = keyed.alias("a"), keyed.alias("b")
     cand = (
@@ -234,19 +308,15 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            F.col("a.sigl").alias("sig_a"),
+            F.col("b.sigl").alias("sig_b"),
         )
         .distinct()
     )
-    ham = sum(
-        F.when(
-            F.substring("sig_a", j + 1, 1) != F.substring("sig_b", j + 1, 1), 1
-        ).otherwise(0)
-        for j in range(SIMHASH_BITS)
-    )
     return (
-        cand.withColumn("hamming", ham)
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
@@ -313,6 +383,26 @@ def dedup_clusters(pairs: DataFrame) -> DataFrame:
 NGRAM_DF_MAX = 50  # drop shingles shared by more than this many docs
 
 
+def bucket_pair_structs(ids: Column, cap: int) -> Column:
+    """The C(d,2) ordered pairs of a SORTED unique-id array, row-locally:
+    array of struct(a, b) with a < b, exactly d(d-1)/2 entries.  `cap` is
+    the bucket-size bound the caller's DF cap guarantees (slice length
+    must cover the array tail).  Replaces the bucket self-join everywhere
+    a DF-capped inverted index generates candidate pairs: the index is
+    touched once on the partitioning the DF join already established and
+    only the surviving pairs flow into the pair aggregate (r15 for the
+    ngram lanes — driver-confirmed 1.37x; r16 reuses it for winnowing)."""
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.lit(cap)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+
+
 def _capped_pair_counts(docs: DataFrame, n: int, df_max: int):
     """Shared candidate core of the DF-capped n-gram measures
     (jaccard / containment): per-doc capped-shingle sizes and the
@@ -344,17 +434,8 @@ def _capped_pair_counts(docs: DataFrame, n: int, df_max: int):
     buckets = sh.groupBy("shingle").agg(
         F.sort_array(F.collect_list("doc_id")).alias("ids")
     )
-    pair_arr = F.flatten(
-        F.transform(
-            "ids",
-            lambda x, i: F.transform(
-                F.slice("ids", i + F.lit(2), F.lit(df_max)),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
     inter = (
-        buckets.select(F.explode(pair_arr).alias("p"))
+        buckets.select(F.explode(bucket_pair_structs(F.col("ids"), df_max)).alias("p"))
         .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .agg(F.count("*").alias("n_inter"))
     )

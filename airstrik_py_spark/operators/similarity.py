@@ -571,6 +571,13 @@ def kmeans_fit(
     """Lloyd training returning BOTH the final assignment (vec_id, vec,
     cell) and the trained centroid table (cell, cvec) — the latter feeds
     multi-probe queries."""
+    # NOT checkpointed (r16 adjudication): materializing ev once for the
+    # Lloyd loop was tried and measured FLAT at sf0.1 (ann_ivf_kmeans
+    # 4.5-4.8 s vs 4.0-4.9 s across interleaved pairs) — the per-round
+    # re-derivation here is one column-pruned scan + a vec cast, cheaper
+    # than the eager materialization it would replace.  Contrast pq_fit,
+    # where the re-derived frame includes a repartition + 8x explode and
+    # the same checkpoint measured -22%.
     ev = _with_vec(emb).select("vec_id", "vec")
     cents = ev.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").cast("int").alias("cell"), F.col("vec").alias("cvec")
@@ -857,7 +864,11 @@ def pq_fit(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Train the PQ codebooks and encode: returns (assignment, codebook) —
     assignment (vec_id, sub, cid, dist) from the final Lloyd round,
     codebook (sub, cid, cvec)."""
-    sv = _pq_long(emb)
+    # One materialization of the iteration-invariant long form (r16 —
+    # same rationale as kmeans_fit's ev): each Lloyd round's eager
+    # centroid update otherwise re-ran scan + vec cast + repartition +
+    # 8x subvector explode, PQ_ITERS + 1 times.
+    sv = _pq_long(emb).localCheckpoint()
     cents = sv.filter(F.col("vec_id") < PQ_K).select(
         "sub", F.col("vec_id").cast("int").alias("cid"), F.col("subv").alias("cvec")
     )

@@ -106,11 +106,19 @@ def winnow_pairs(
     minhash/jaccard lanes miss on partial overlap, at ~40% of the shingle
     index volume.
 
-    Scale contract: same DF-capped inverted-index equi-join as
-    ngram_jaccard_pairs — a boilerplate fingerprint shared by more than
-    df_max docs leaves the representation (per-key fan-out bounded by
-    df_max^2), and the fingerprint-hash exchange is shared by the DF
-    rollup and the self-join."""
+    Scale contract: same DF-capped inverted index as ngram_jaccard_pairs —
+    a boilerplate fingerprint shared by more than df_max docs leaves the
+    representation (per-key fan-out bounded by C(df_max, 2)).  r16: the
+    bucket SELF-JOIN is gone — after the DF-cap join every fp bucket
+    holds <= df_max doc_ids, so the C(d,2) ordered pairs are generated
+    ROW-LOCALLY from sort_array(collect_list(doc_id)) on the fp_hash
+    partitioning the cap join already established (dedup.
+    bucket_pair_structs, the shape the driver confirmed at 1.37x for the
+    ngram lanes in r15).  Results identical: doc_ids are unique per
+    bucket (winnow_fp_set is distinct), and (ids[i], ids[j]) with i < j
+    enumerates exactly the `a.doc_id < b.doc_id` join pairs."""
+    from airstrik_py_spark.operators.dedup import bucket_pair_structs
+
     fps = winnow_fp_set(docs)
     capped = (
         fps.groupBy("fp_hash")
@@ -119,14 +127,12 @@ def winnow_pairs(
         .drop("df")
     )
     sh = fps.join(capped.hint("shuffle_hash"), "fp_hash")
-    a, b = sh.alias("a"), sh.alias("b")
+    buckets = sh.groupBy("fp_hash").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.fp_hash") == F.col("b.fp_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(F.explode(bucket_pair_structs(F.col("ids"), df_max)).alias("p"))
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= F.lit(min_shared))
     )

@@ -483,3 +483,33 @@ def test_pack_shard_chars_widens(spark):
         for r in docs:
             assert r["bin_off"] == fill.get(r["bin_idx"], 0)
             fill[r["bin_idx"]] = r["bin_off"] + r["n_tokens"]
+
+
+def test_max_multiplicity_matches_bruteforce(spark):
+    """r16: top-term counts come from a sorted run-length fold
+    (corpus._max_multiplicity) instead of the O(unique x total) nested
+    scan — pin exact equality with brute-force multiset counts on the
+    edge shapes (ties, all-same, all-unique, single element)."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from airstrik_py_spark.operators.corpus import _max_multiplicity
+
+    cases = [
+        ["a", "b", "a", "c", "b", "a"],      # clear winner
+        ["t", "t", "u", "u"],                 # tie
+        ["only"],                             # single
+        ["z"] * 9,                            # all same
+        ["p", "q", "r", "s"],                 # all unique
+        ["b", "a", "b", "a", "c", "b", "a"],  # tie at 3, unsorted input
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i long, arr array<string>"
+    )
+    got = {
+        r["i"]: r["m"]
+        for r in df.select("i", _max_multiplicity(F.col("arr")).alias("m")).collect()
+    }
+    for i, c in enumerate(cases):
+        assert got[i] == max(Counter(c).values()), (i, c)

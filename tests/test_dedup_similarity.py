@@ -643,3 +643,32 @@ def test_reattach_fallback_matches_broadcast(spark, monkeypatch):
     plan = fb_pairs_df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_simhash_block_ints_match_signature_string(spark):
+    """r16: simhash consumers run on 16-bit block INTS (join keys) and a
+    packed 64-bit long (xor+popcount hamming).  Pin the packing against
+    the rendered '0'/'1' signature string: bit j of the string must equal
+    bit (15 - j%16) of block int j//16, for every doc."""
+    sig = {r["doc_id"]: r["sig"] for r in D.simhash_signature(_docs(spark)).collect()}
+    blocks = {
+        r["doc_id"]: [r[f"b{b}"] for b in range(D.SIMHASH_BLOCKS)]
+        for r in D._simhash_block_ints(_docs(spark)).collect()
+    }
+    assert set(sig) == set(blocks) and len(sig) == 5
+    for doc_id, s in sig.items():
+        assert len(s) == D.SIMHASH_BITS
+        for j, ch in enumerate(s):
+            bit = (blocks[doc_id][j // 16] >> (15 - j % 16)) & 1
+            assert ch == str(bit), (doc_id, j)
+
+
+def test_simhash_pairs_hamming_matches_string_hamming(spark):
+    """r16: xor+bit_count hamming over the packed longs must equal the
+    character-wise signature-string distance for every emitted pair."""
+    sig = {r["doc_id"]: r["sig"] for r in D.simhash_signature(_docs(spark)).collect()}
+    for r in D.simhash_pairs(_docs(spark), max_hamming=64).collect():
+        want = sum(
+            1 for x, y in zip(sig[r["doc_a"]], sig[r["doc_b"]]) if x != y
+        )
+        assert r["hamming"] == want, (r["doc_a"], r["doc_b"])

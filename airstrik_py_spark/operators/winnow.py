@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from airstrik_py_spark.operators.dedup import _shingle_array
+from airstrik_py_spark.operators.dedup import _shingle_array, bucket_pair_structs
 
 WINNOW_W = 4  # window: W consecutive k-gram hashes
 WINNOW_K = 3  # k-gram width in words (shared shingle shape)
@@ -117,8 +117,6 @@ def winnow_pairs(
     ngram lanes in r15).  Results identical: doc_ids are unique per
     bucket (winnow_fp_set is distinct), and (ids[i], ids[j]) with i < j
     enumerates exactly the `a.doc_id < b.doc_id` join pairs."""
-    from airstrik_py_spark.operators.dedup import bucket_pair_structs
-
     fps = winnow_fp_set(docs)
     capped = (
         fps.groupBy("fp_hash")

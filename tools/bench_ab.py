@@ -224,9 +224,11 @@ def main() -> int:
         # BENCH_r*.json series — NOT comparable to each other when the
         # headline set changed (see added/removed below)
         for key in ("value", "original10_total_sec"):
+            # pre-r3 bench JSONs lack original10_total_sec — record what
+            # each side actually printed (None-padded keys would lie)
             totals[key] = {
-                "base_samples": [r[key] for r in base_runs],
-                "head_samples": [r[key] for r in head_runs],
+                "base_samples": [r[key] for r in base_runs if key in r],
+                "head_samples": [r[key] for r in head_runs if key in r],
             }
 
         out = {

@@ -294,6 +294,8 @@ def main() -> None:
         # ---- attribution state-scale: user fan-out over the Python-side
         # keyed-state lane (state = 2 longs/user; SCALE.md 3c claims it is
         # linear in ACTIVE users — measure it)
+        from airstrik_py_spark.streaming.stateful import stream_attribution
+
         sev = load_table(spark, state_sf_dir, "events")
         ev_state_tape = f"{scratch}/state_ev"
         sev.repartition(TAPE_FILES).write.parquet(ev_state_tape)

@@ -128,11 +128,17 @@ def _reduced_lat(phi_deg: float) -> tuple[float, float]:
     return sb / norm, cb / norm
 
 
-def _karney_eval(
+def _karney_eval_core(
     alpha1: float, sb1: float, cb1: float, sb2: float, cb2: float
-) -> tuple[float, float]:
-    """Given azimuth alpha1 at point 1 (canonical configuration), return
-    (lambda12, s12_m) along the geodesic through both latitudes."""
+) -> tuple[float, float, float, float, float, float]:
+    """Shared intermediates of the per-azimuth evaluation (canonical
+    configuration): returns (s1, s2, w1, w2, sa0, eps).  Split out (r16)
+    so the bisection loop computes ONLY lambda12 per iteration — the s12
+    it used to compute and discard cost two I1 series (with fresh
+    coefficient lists) per iteration — mirroring the structure the DuckDB
+    oracle mirror always had (its `ivbis` CTE evaluates lam12 alone and
+    `ivfin` evaluates I1 once at the converged midpoint).  Every float
+    operation and its order is unchanged."""
     sa1, ca1 = math.sin(alpha1), math.cos(alpha1)
     # Clairaut: sin(alpha0) = sin(alpha1) cos(beta1)
     sa0 = sa1 * cb1
@@ -141,7 +147,6 @@ def _karney_eval(
     s1 = math.atan2(sb1, cb1 * ca1)
     w1 = math.atan2(sa0 * sb1, cb1 * ca1)  # = atan2(sin a0 sin s, cos s)
     # alpha2 from Clairaut at beta2 (canonical: cos b2 >= cos b1 -> real)
-    sa2 = sa0 / cb2 if cb2 > 0 else 1.0
     ca2 = math.sqrt(max(ca1 * ca1 * cb1 * cb1 + (cb2 * cb2 - cb1 * cb1), 0.0)) / cb2
     s2 = math.atan2(sb2, cb2 * ca2)
     w2 = math.atan2(sa0 * sb2, cb2 * ca2)
@@ -149,9 +154,42 @@ def _karney_eval(
     k2 = _EP2 * ca0 * ca0
     sq = math.sqrt(1.0 + k2)
     eps = (sq - 1.0) / (sq + 1.0)
-    lam12 = (w2 - w1) - WGS84_F * sa0 * (_i3_term(s2, eps) - _i3_term(s1, eps))
-    s12 = WGS84_B_M * (_i1(s2, eps) - _i1(s1, eps))
-    return lam12, s12
+    return s1, s2, w1, w2, sa0, eps
+
+
+def _lam12_from_core(
+    core: tuple[float, float, float, float, float, float],
+) -> float:
+    """lambda12 from the shared core.  A3/C3 are computed ONCE and reused
+    for both sigma terms — bit-identical to the former two _i3_term calls
+    (pure functions of eps; multiplication order preserved)."""
+    s1, s2, w1, w2, sa0, eps = core
+    a3 = _a3(eps)
+    c3 = _c3(eps)
+    return (w2 - w1) - WGS84_F * sa0 * (
+        a3 * (s2 + _sin_series(s2, c3)) - a3 * (s1 + _sin_series(s1, c3))
+    )
+
+
+def _s12_from_core(
+    core: tuple[float, float, float, float, float, float],
+) -> float:
+    """s12 (metres) from the shared core; A1/C1 computed once, as above."""
+    s1, s2, _w1, _w2, _sa0, eps = core
+    a1 = _a1(eps)
+    c1 = _c1(eps)
+    return WGS84_B_M * (
+        a1 * (s2 + _sin_series(s2, c1)) - a1 * (s1 + _sin_series(s1, c1))
+    )
+
+
+def _karney_eval(
+    alpha1: float, sb1: float, cb1: float, sb2: float, cb2: float
+) -> tuple[float, float]:
+    """Given azimuth alpha1 at point 1 (canonical configuration), return
+    (lambda12, s12_m) along the geodesic through both latitudes."""
+    core = _karney_eval_core(alpha1, sb1, cb1, sb2, cb2)
+    return _lam12_from_core(core), _s12_from_core(core)
 
 
 def karney_inverse_km(
@@ -212,14 +250,18 @@ def karney_inverse_km(
     lo, hi = 1e-15, math.pi - 1e-15
     for _ in range(200):
         mid = 0.5 * (lo + hi)
-        lam12, _s = _karney_eval(mid, sb1, cb1, sb2, cb2)
+        # lam12 only — s12 is not needed until convergence (r16; the SQL
+        # mirror's ivbis/ivfin split has always had this structure)
+        lam12 = _lam12_from_core(_karney_eval_core(mid, sb1, cb1, sb2, cb2))
         if lam12 < lam:
             lo = mid
         else:
             hi = mid
         if hi - lo < 1e-15:
             break
-    _lam12, s12 = _karney_eval(0.5 * (lo + hi), sb1, cb1, sb2, cb2)
+    s12 = _s12_from_core(
+        _karney_eval_core(0.5 * (lo + hi), sb1, cb1, sb2, cb2)
+    )
     if s12 < 0.0:
         raise ValueError(
             f"karney bisection converged to a non-geodesic root "
@@ -246,14 +288,19 @@ def _c1p(eps: float) -> list[float]:
     ]
 
 
-def karney_direct(
-    lat1: float, lon1: float, azi1_deg: float, s_km: float
-) -> tuple[float, float]:
-    """WGS-84 direct (destination-point) problem, Karney 2013 §3: from
-    (lat1, lon1) travel s_km along initial azimuth azi1_deg (clockwise from
-    north).  Returns (lat2, lon2) with lon2 normalized to [-180, 180].
-    Closed form — no iteration: sigma2 comes from the published inverse
-    series (eq. 20-21), not from root-finding."""
+def _karney_direct_prefix(
+    lat1: float, azi1_deg: float
+) -> tuple[float, float, float, float, float, list[float], float, list[float], float]:
+    """Everything in the direct problem that depends only on the ORIGIN
+    latitude and azimuth (r16): the Clairaut constant, omega1, eps and all
+    four series coefficient sets, plus b·I1(sigma1) and the I3 term at
+    sigma1.  D1's dead-reckoning unroll evaluates think_ahead (~60) steps
+    per plane-fix that share (lat1, azi1) and vary only the distance, so
+    hoisting this prefix out of the per-step call removes ~98% of the
+    series work.  Every retained float operation and its order is
+    unchanged from the former inline form; hoisted subexpressions
+    (b·A1(eps), A3·(s1+series)) are the identical products the inline
+    form computed."""
     sb1, cb1 = _reduced_lat(lat1)
     alpha1 = math.radians(azi1_deg)
     sa1, ca1 = math.sin(alpha1), math.cos(alpha1)
@@ -266,11 +313,27 @@ def karney_direct(
     k2 = _EP2 * ca0 * ca0
     sq = math.sqrt(1.0 + k2)
     eps = (sq - 1.0) / (sq + 1.0)
-    # advance arc length: s2 = b I1(sigma1) + s, inverted via tau series
     a1c = _a1(eps)
-    s2_m = WGS84_B_M * _i1(s1_, eps) + s_km * 1000.0
-    tau2 = s2_m / (WGS84_B_M * a1c)
-    sigma2 = tau2 + _sin_series(tau2, _c1p(eps))
+    b_i1_s1 = WGS84_B_M * _i1(s1_, eps)  # b I1(sigma1), metres
+    den = WGS84_B_M * a1c
+    c1p = _c1p(eps)
+    a3 = _a3(eps)
+    c3 = _c3(eps)
+    i3_s1 = a3 * (s1_ + _sin_series(s1_, c3))  # == _i3_term(s1_, eps)
+    return sa0, ca0, w1, b_i1_s1, den, c1p, a3, c3, i3_s1
+
+
+def _karney_direct_step(
+    prefix: tuple[float, float, float, float, float, list[float], float, list[float], float],
+    lon1: float,
+    s_km: float,
+) -> tuple[float, float]:
+    """Per-distance tail of the direct problem given a shared prefix."""
+    sa0, ca0, w1, b_i1_s1, den, c1p, a3, c3, i3_s1 = prefix
+    # advance arc length: s2 = b I1(sigma1) + s, inverted via tau series
+    s2_m = b_i1_s1 + s_km * 1000.0
+    tau2 = s2_m / den
+    sigma2 = tau2 + _sin_series(tau2, c1p)
     ss2, cs2 = math.sin(sigma2), math.cos(sigma2)
     # back to the ellipsoid
     sb2 = ca0 * ss2
@@ -278,10 +341,21 @@ def karney_direct(
     lat2 = math.degrees(math.atan2(sb2, (1.0 - WGS84_F) * cb2))
     w2 = math.atan2(sa0 * ss2, cs2)
     lam12 = (w2 - w1) - WGS84_F * sa0 * (
-        _i3_term(sigma2, eps) - _i3_term(s1_, eps)
+        a3 * (sigma2 + _sin_series(sigma2, c3)) - i3_s1
     )
     lon2 = math.remainder(lon1 + math.degrees(lam12), 360.0)
     return lat2, lon2
+
+
+def karney_direct(
+    lat1: float, lon1: float, azi1_deg: float, s_km: float
+) -> tuple[float, float]:
+    """WGS-84 direct (destination-point) problem, Karney 2013 §3: from
+    (lat1, lon1) travel s_km along initial azimuth azi1_deg (clockwise from
+    north).  Returns (lat2, lon2) with lon2 normalized to [-180, 180].
+    Closed form — no iteration: sigma2 comes from the published inverse
+    series (eq. 20-21), not from root-finding."""
+    return _karney_direct_step(_karney_direct_prefix(lat1, azi1_deg), lon1, s_km)
 
 
 # --- Vincenty 1975 ----------------------------------------------------------
@@ -425,10 +499,17 @@ def geodesic_dest_pandas_udf():
     def _udf(
         lat1: pd.Series, lon1: pd.Series, azi: pd.Series, dist_km: pd.Series
     ) -> pd.DataFrame:
-        out = [
-            karney_direct(a, b, c, d)
-            for a, b, c, d in zip(lat1, lon1, azi, dist_km)
-        ]
+        # The think_ahead steps of one plane-fix share (lat, azi) and vary
+        # only the distance, so memoize the prefix within the Arrow batch
+        # (fresh dict per batch — per-row CSE, no state across calls).
+        prefixes: dict[tuple[float, float], tuple] = {}
+        out = []
+        for a, b, c, d in zip(lat1, lon1, azi, dist_km):
+            key = (a, c)
+            pre = prefixes.get(key)
+            if pre is None:
+                pre = prefixes[key] = _karney_direct_prefix(a, c)
+            out.append(_karney_direct_step(pre, b, d))
         return pd.DataFrame(out, columns=["lat", "lon"])
 
     return _udf

@@ -203,6 +203,39 @@ def test_dest_pandas_udf_matches_scalar(spark):
         assert abs(r["lat"] - k[0]) < 1e-12 and abs(r["lon"] - k[1]) < 1e-12
 
 
+def test_dest_pandas_udf_prefix_memo_bitexact(spark):
+    """A dead-reckoning-shaped batch — many steps sharing (lat, azi) and
+    varying only the distance — exercises the per-batch prefix memo in
+    geodesic_dest_pandas_udf (r16).  The memoized path must be BIT-equal
+    (==, not tolerance) to the scalar karney_direct, which computes the
+    prefix fresh per call: the split is claimed to preserve every float
+    operation and its order."""
+    from pyspark.sql import functions as F
+
+    from airstrik_py_spark.functions.geodesic import (
+        geodesic_dest_pandas_udf,
+        karney_direct,
+    )
+
+    rows = [(35.727, -78.94, 77.5, 0.35 * t) for t in range(60)]
+    rows += [(35.727, -78.94, 191.25, 0.8 * t) for t in range(10)]
+    rows += [(-10.0, 100.0, 271.0, 900.0)]  # singleton key among repeats
+    df = spark.createDataFrame(
+        rows, "lat double, lon double, azi double, d double"
+    ).coalesce(1)  # one partition -> one Arrow batch -> memo is hit
+    got = (
+        df.select("lat", "lon", "azi", "d",
+                  geodesic_dest_pandas_udf()("lat", "lon", "azi", "d").alias("p"))
+        .select("lat", "lon", "azi", "d", F.col("p.lat").alias("plat"),
+                F.col("p.lon").alias("plon"))
+        .collect()
+    )
+    assert len(got) == len(rows)
+    for r in got:
+        k = karney_direct(r["lat"], r["lon"], r["azi"], r["d"])
+        assert r["plat"] == k[0] and r["plon"] == k[1], (r, k)
+
+
 def test_dead_reckoning_exact_lane(spark):
     """The exact_geodesic=True D1 lane: same schema/rows as the spherical
     default, alarm verdicts identical away from geofence boundaries, and

@@ -1266,8 +1266,15 @@ def pca_top_component(
             for i in range(dim)
         ]
     ).select(F.array(*[F.col(f"_m{i}") for i in range(dim)]).alias("mvec"))
-    centered = ev.crossJoin(F.broadcast(mean)).select(
-        "vec_id", F.zip_with("vec", "mvec", lambda a, b: a - b).alias("cvec")
+    # Materialize the iteration-invariant centered cloud ONCE (r16, the
+    # pq_fit `sv` idiom): without this every power round re-runs the
+    # global mean aggregate AND the centering scan — the lineage behind
+    # `centered` executes iters+1 times.  Values unchanged (the 6-dp
+    # rounded mean is deterministic); inside the timed region.
+    centered = (
+        ev.crossJoin(F.broadcast(mean))
+        .select("vec_id", F.zip_with("vec", "mvec", lambda a, b: a - b).alias("cvec"))
+        .localCheckpoint()
     )
     v0 = round(1.0 / math.sqrt(dim), 6)
     vdf = spark.range(1).select(
